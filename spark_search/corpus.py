@@ -1,0 +1,126 @@
+"""Corpus sources.
+
+The engine's input is a table shaped like the BASELINE input_hint:
+``(repo string, path string, commit string, lang string, content string)``
+— one row per source file (the Spark analog of the reference's document
+registry, reference engine/src/main/java/org/search/engine/model/Document.java:12-28).
+
+Three sources, all deterministic, no external data:
+  * ``synthetic_corpus``      — seeded code-like generator (keyword-heavy
+                                for realistic term skew).
+  * ``reference_fixture_corpus`` — the reference repo's own test files,
+                                verbatim (FIXTURES.md §2), the
+                                rank-identity anchor.
+  * ``load_sf_documents``     — adapter over the driver-provided
+                                /root/testdata/sf*/documents.parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+# Keyword pools: high-df terms (every language's 'import'/'return' class)
+# create the exact skew the salted/chunked build must survive.
+_KEYWORDS = [
+    "import", "return", "def", "class", "public", "static", "void", "if",
+    "else", "for", "while", "try", "except", "final", "new", "this",
+    "self", "val", "var", "fun", "const", "let", "function",
+]
+_IDENTS = [
+    "snake_case_name", "camelCaseName", "MAX_RETRY_COUNT", "buildIndex",
+    "doc_id", "postings", "tokenizer", "segment_merge", "block_max",
+    "queryPlanner", "shuffle_writer", "arrow_batch", "varint_codec",
+    "bm25_score", "term_dict", "index_reader", "manifest", "lineage",
+]
+_EXTS = [("py", "python"), ("java", "java"), ("kt", "kotlin"),
+         ("js", "javascript"), ("txt", "text")]
+
+
+def _doc_text(rng: random.Random, i: int) -> str:
+    lines = []
+    n_lines = rng.randint(3, 18)
+    for _ in range(n_lines):
+        words: List[str] = []
+        for _ in range(rng.randint(2, 12)):
+            r = rng.random()
+            if r < 0.45:
+                words.append(rng.choice(_KEYWORDS))
+            elif r < 0.9:
+                words.append(rng.choice(_IDENTS))
+            else:
+                words.append(f"tok{rng.randint(0, 5000)}")
+        sep = rng.choice([" ", ", ", "(", "). ", " - ", "; "])
+        lines.append(sep.join(words))
+    # one globally-unique token per doc, for exact-match point queries
+    lines.append(f"uniq_{i}_{hashlib.sha256(str(i).encode()).hexdigest()[:8]}")
+    return "\n".join(lines)
+
+
+def synthetic_rows(n_docs: int, seed: int = 42) -> List[Tuple[str, str, str, str, str]]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        ext, lang = _EXTS[i % len(_EXTS)]
+        rows.append(
+            (
+                f"org{i % 7}/repo{i % 23}",
+                f"src/m{i % 41}/f{i}.{ext}",
+                hashlib.sha256(f"c{i}".encode()).hexdigest()[:40],
+                lang,
+                _doc_text(rng, i),
+            )
+        )
+    return rows
+
+
+def synthetic_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(synthetic_rows(n_docs, seed), CORPUS_SCHEMA)
+
+
+# Reference test fixtures, content verbatim (FIXTURES.md §2; sources:
+# reference engine/src/test/resources/testFolder/{one,two}.txt,
+# TestFileOne.txt, and DocumentUpdateTaskTest.java:38).
+FIXTURE_ROWS: List[Tuple[str, str, str, str, str]] = [
+    ("reference", "testFolder/one.txt", "v0", "txt",
+     "mama mila doma hi mama i am here"),
+    ("reference", "testFolder/two.txt", "v0", "txt",
+     "ama milak ruka ram mila"),
+    ("reference", "TestFileOne.txt", "v0", "txt",
+     "What authority surfeits on would relieve us---"),
+    ("reference", "TestFileTwo.txt", "v0", "txt",
+     "Example of text for test file"),
+]
+
+
+def reference_fixture_corpus(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(FIXTURE_ROWS, CORPUS_SCHEMA)
+
+
+def load_sf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table (doc_id, text, lang, source,
+    n_chars) into the corpus schema, keeping the table's own ``doc_id``
+    so DuckDB oracles can address the same rows (FIXTURES.md §6)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("repo"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.lit("sf").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,64 @@
+"""Deterministic document identity.
+
+The reference mints docIDs from an AtomicInteger in arrival order
+(reference SearchEngineInitializer.java:37,59) — nondeterministic under
+parallelism. For rank-identity across cluster sizes we instead assign
+``doc_id = row_number() OVER (ORDER BY repo, path, commit)`` (dense,
+1-based, deterministic), and record ``content_sha256`` as the per-row
+invariant against the source table (BASELINE input_hint) plus ``dl``
+(token count, the BM25 length norm).
+
+Scale note: a single global row_number window would serialize on one
+partition. We use the standard two-pass distributed ranking: range
+shuffle on the key, row_number within each partition, then add
+per-partition base offsets (a tiny broadcast join) — no step ever sees
+more than one partition's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .tokenizer import tokens_col
+
+KEY_COLS = ["repo", "path", "commit"]
+
+
+def with_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Assign deterministic dense 1-based doc_id ordered by (repo, path,
+    commit), without a single-partition global window."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *KEY_COLS)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*KEY_COLS)
+    with_local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+    # per-partition row counts -> exclusive prefix sums = base offsets;
+    # this table has one row per partition, so the driver-side window is fine.
+    w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    counts = (
+        with_local.groupBy("_pid").count()
+        .withColumn("_base", F.coalesce(F.sum("count").over(w_base), F.lit(0)))
+        .select("_pid", "_base")
+    )
+    return (
+        with_local.join(F.broadcast(counts), "_pid")
+        .withColumn("doc_id", (F.col("_base") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_base")
+    )
+
+
+def with_content_hash(df: DataFrame) -> DataFrame:
+    """content_sha256 = sha2(content, 256) — the per-row invariant the
+    query verification path re-checks against the source table."""
+    return df.withColumn(
+        "content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
+
+
+def with_doc_length(df: DataFrame, tokenizer: str = "standard") -> DataFrame:
+    """dl = token count (BM25 length norm), pure JVM expression."""
+    return df.withColumn(
+        "dl", F.size(tokens_col(F.col("content"), tokenizer)).cast("int")
+    )

@@ -1,0 +1,1 @@
+from .bm25 import OracleEngine  # noqa: F401

@@ -1,0 +1,73 @@
+"""Pure-Python single-node oracle engine.
+
+Implements the exact semantics the Spark engine must match: the
+reference's tokenizer + match modes (reference SimpleSearchManager.java
+/ SearchEngineConcurrentTree.java getValue) and the frozen BM25 spec
+(SURVEY.md §7.5). Used by tests to assert rank-identity; never touched
+by Spark code.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+from ..pipeline import B, EXACT_MATCH, K1, START_WITH, WITH_SUGGESTIONS
+from ..tokenizer import tokenize
+
+
+class OracleEngine:
+    def __init__(self, docs: Sequence[Tuple[int, str]], tokenizer: str = "standard"):
+        """docs: iterable of (doc_id, content)."""
+        self.tokenizer = tokenizer
+        self.tf: Dict[str, Dict[int, int]] = defaultdict(dict)
+        self.dl: Dict[int, int] = {}
+        for doc_id, content in docs:
+            toks = tokenize(content, tokenizer)
+            self.dl[doc_id] = len(toks)
+            for t, c in Counter(toks).items():
+                self.tf[t][doc_id] = c
+        self.n = len(self.dl)
+        self.avgdl = (sum(self.dl.values()) / self.n) if self.n else 0.0
+
+    def match_terms(self, terms: Iterable[str], mode: str) -> List[str]:
+        qterms = list(dict.fromkeys(terms))
+        if mode == START_WITH:
+            out = []
+            for t in sorted(self.tf):
+                if any(t.startswith(q) for q in qterms):
+                    out.append(t)
+            return out
+        return [t for t in qterms if t in self.tf]
+
+    def postings(self, term: str) -> Dict[int, int]:
+        return self.tf.get(term, {})
+
+    def idf(self, term: str) -> float:
+        df = len(self.tf.get(term, {}))
+        return math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+
+    def search(
+        self, terms: Iterable[str], mode: str = EXACT_MATCH, k: int = 10
+    ) -> List[Tuple[int, float]]:
+        """Top-k [(doc_id, score)] — score DESC, doc_id ASC."""
+        if mode not in (EXACT_MATCH, START_WITH, WITH_SUGGESTIONS):
+            raise ValueError(mode)
+        scores: Dict[int, float] = defaultdict(float)
+        for t in self.match_terms(terms, mode):
+            idf = self.idf(t)
+            for doc_id, tf in self.tf[t].items():
+                dl = self.dl[doc_id]
+                denom = tf + K1 * (1.0 - B + B * dl / self.avgdl)
+                scores[doc_id] += idf * tf * (K1 + 1.0) / denom
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def match_set(self, terms: Iterable[str], mode: str = EXACT_MATCH) -> set:
+        """Document-level match set — the reference's own result notion
+        (unordered doc set, reference SimpleSearchManager.java:61-66)."""
+        out: set = set()
+        for t in self.match_terms(terms, mode):
+            out.update(self.tf[t].keys())
+        return out

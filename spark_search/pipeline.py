@@ -1,0 +1,162 @@
+"""The relational core: tokens -> tf -> df/dl/stats -> BM25 top-k.
+
+This module is the declarative (pure DataFrame, zero-Python) expression
+of the engine's semantics. The disk-backed index (build.py / query.py)
+is an optimization of exactly this plan; tests assert both paths agree
+with the pure-Python oracle.
+
+Reference mapping (SURVEY.md §2):
+  * ``tokens``        = S3+T1 (tokenize every file's content)
+  * ``term_doc_tf``   = O1's set-merge radix insert, generalized to tf
+                        counting (the reference stores boolean membership
+                        only — reference tree/TreeNode.java:18)
+  * ``doc_freq``      = the df statistic the reference lacks
+  * ``bm25_topk``     = Q1/Q2/Q3 match modes + the north-star BM25
+                        ranking replacing the reference's unordered
+                        limit(100) (reference SimpleSearchManager.java:64-70)
+
+Scoring spec (frozen; SURVEY.md §7.5): k1=1.2, b=0.75,
+idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+score(q,d) = sum over distinct q-terms of
+             idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+Tie-break: score DESC, doc_id ASC.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .tokenizer import tokens_col
+
+K1 = 1.2
+B = 0.75
+
+EXACT_MATCH = "EXACT_MATCH"
+START_WITH = "START_WITH"
+WITH_SUGGESTIONS = "WITH_SUGGESTIONS"  # OR over the explicit query list
+
+
+def tokens(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
+    """(doc_id, term) — one row per token occurrence. Pure JVM
+    split+explode; Catalyst prunes ``content`` right after."""
+    return corpus.select(
+        "doc_id", F.explode(tokens_col(F.col("content"), tokenizer)).alias("term")
+    )
+
+
+def term_doc_tf(tok: DataFrame) -> DataFrame:
+    """(term, doc_id, tf). Spark's partial+final hash aggregation gives
+    map-side combining for free — the distributed replacement for the
+    reference's single apply thread (IndexationSchedulerTask.java:34-63).
+    Keys are (term, doc_id), so hot terms spread across reducers by
+    doc_id: this stage is skew-immune by construction."""
+    return tok.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
+
+
+def doc_lengths(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
+    """(doc_id, dl). Computed as size(tokenize(content)) without an
+    explode — no shuffle, reads each row once."""
+    return corpus.select(
+        "doc_id", F.size(tokens_col(F.col("content"), tokenizer)).alias("dl")
+    )
+
+
+def doc_freq(tf: DataFrame) -> DataFrame:
+    """(term, df). Partial+final agg; one output row per term."""
+    return tf.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def corpus_stats_df(dl: DataFrame) -> DataFrame:
+    """Single-row (n_docs, avgdl). Kept as a DataFrame (broadcast-joined
+    downstream) so the whole query stays one lazy plan."""
+    return dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def _match_filter(col, terms: List[str], mode: str):
+    if mode == START_WITH:
+        cond = None
+        for t in terms:
+            c = col.startswith(t)
+            cond = c if cond is None else (cond | c)
+        return cond
+    # EXACT_MATCH and WITH_SUGGESTIONS are both an exact-term IN-list;
+    # WITH_SUGGESTIONS just carries a longer list (the app expands the
+    # query with Hunspell suggestions — reference
+    # app/src/main/java/org/search/app/listener/SearchActionListener.java:44-48).
+    return col.isin(terms)
+
+
+def bm25_score_col(tf_col, dl_col, df_col, n_col, avgdl_col):
+    """BM25 contribution of one (term, doc) pair as a Column expression
+    (float64, same operation order as the oracle)."""
+    idf = F.log(F.lit(1.0) + (n_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
+    tf_d = tf_col.cast("double")
+    denom = tf_d + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl_col / avgdl_col)
+    return idf * tf_d * F.lit(K1 + 1.0) / denom
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    mode: str = EXACT_MATCH,
+    k: int = 10,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """End-to-end declarative BM25 top-k over a corpus DataFrame that
+    already has ``doc_id``. Returns (doc_id, score, rank).
+
+    Plan shape (what Catalyst produces, verified via .explain in tests):
+    scan -> split/explode -> partial+final agg (tf) -> broadcast joins of
+    the tiny per-term df and single-row stats -> TakeOrderedAndProject.
+    The only wide exchanges are the two aggregations; the match filter is
+    applied *before* the df join so only matching terms shuffle.
+    """
+    qterms = list(dict.fromkeys(terms))  # dedup, preserve order
+    if not qterms:
+        # degenerate query guard (reference SimpleSearchManager.java:58)
+        return (
+            corpus.select("doc_id")
+            .where(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0))
+        )
+
+    tok = tokens(corpus, tokenizer)
+    # Filter at the token level first: for EXACT/OR modes Catalyst pushes
+    # this into the scan side of the agg, so the tf aggregation only ever
+    # sees query-term rows.
+    matched = tok.where(_match_filter(F.col("term"), qterms, mode))
+    tf = term_doc_tf(matched)
+
+    # Global document frequency of each matched term: the term filter
+    # keeps every doc containing the term, so doc_freq(tf) IS the global
+    # df — no second pass over the corpus needed.
+    dfreq = doc_freq(tf)
+
+    dl = doc_lengths(corpus, tokenizer)
+    stats = corpus_stats_df(dl)
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            bm25_score_col(
+                F.col("tf"), F.col("dl").cast("double"), F.col("df").cast("double"),
+                F.col("n_docs"), F.col("avgdl"),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    # rank over ≤k rows — the window after the limit is trivially small.
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.select("doc_id", "score", F.row_number().over(w).alias("rank"))

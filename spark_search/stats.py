@@ -1,0 +1,29 @@
+"""Corpus-level statistics (N, avgdl) + per-term idf.
+
+The reference has no corpus stats at all (boolean membership index);
+these are the north-star BM25 additions. They are tiny (two scalars +
+one float per *query* term), so at query time they travel as plain
+Python broadcast values, never as a shuffle.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import Dict
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+    def idf(self, df: int) -> float:
+        # ln(1 + (N - df + 0.5)/(df + 0.5)) — Robertson/Sparck-Jones,
+        # Lucene variant (always >= 0). Frozen in SURVEY.md §7.5.
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def to_dict(self) -> Dict:
+        return {"n_docs": self.n_docs, "avgdl": self.avgdl}
+
+    @staticmethod
+    def from_dict(d: Dict) -> "CorpusStats":
+        return CorpusStats(n_docs=int(d["n_docs"]), avgdl=float(d["avgdl"]))

@@ -1,0 +1,119 @@
+"""Tokenizers — byte-for-byte faithful to the reference's analyzers.
+
+StandardTokenizer splits on a fixed 29-char punctuation set (consecutive
+delimiters collapse; case-SENSITIVE; no stemming/stopwords/lowercasing;
+``_ = | & `` and backtick are NOT delimiters), per
+reference engine/src/main/java/org/search/engine/analyzer/StandardTokenizer.java:14-16.
+WhitespaceTokenizer splits on U+0020 only (not tabs), per
+reference .../analyzer/WhitespaceTokenizer.java:13-48.
+
+Three implementations that must agree (tested against the reference's
+own golden vectors, see tests/test_tokenizer.py):
+  * ``tokenize`` / ``tokenize_with_positions`` — pure Python (oracle path)
+  * ``tokens_col`` — pure Spark SQL expression (JVM, whole-stage codegen;
+    the index-build hot path — zero Python)
+  * ``tokenize_udf`` — Arrow-vectorized pandas UDF (verification path,
+    where per-token positions are required)
+"""
+
+import re
+from typing import List, Tuple
+
+# The exact delimiter set of StandardTokenizer.java:14-16 (29 chars,
+# including the Unicode curly quotes U+201C/U+201D and ASCII space).
+STANDARD_DELIMITERS = frozenset(
+    [".", ",", "!", "?", ":", ";", '"', "'", "(", ")",
+     "[", "]", "/", "-", "“", "”", " ", "<", ">", "{",
+     "}", "+", "*", "^", "#", "~", "%", "$", "@"]
+)
+
+# Character class valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# '-' last so it is literal, ']'/'[' escaped, '^' not first.
+_CLASS_BODY = ' .,!?:;"\'()\\[\\]/<>{}+*^#~%$@“”-'
+STANDARD_SPLIT_REGEX = "[" + _CLASS_BODY + "]+"
+# Same pattern with the single-quote doubled, for embedding in a SQL
+# string literal (DuckDB oracle).
+STANDARD_SPLIT_REGEX_SQL = STANDARD_SPLIT_REGEX.replace("'", "''")
+
+WHITESPACE_SPLIT_REGEX = " +"
+
+_std_re = re.compile(STANDARD_SPLIT_REGEX)
+_ws_re = re.compile(WHITESPACE_SPLIT_REGEX)
+
+
+def tokenize(content: str | None, tokenizer: str = "standard") -> List[str]:
+    """Pure-Python tokenizer; semantics of StandardTokenizer.tokenize
+    (reference StandardTokenizer.java:23-49) minus positions."""
+    if not content:
+        return []
+    rx = _std_re if tokenizer == "standard" else _ws_re
+    return [t for t in rx.split(content) if t]
+
+
+def tokenize_with_positions(
+    content: str | None, tokenizer: str = "standard"
+) -> List[Tuple[str, int]]:
+    """Tokens with start offset in the string — mirrors the reference's
+    Token {content, positionInRow} (reference model/Token.java:3-11)."""
+    if not content:
+        return []
+    delims = STANDARD_DELIMITERS if tokenizer == "standard" else frozenset(" ")
+    out: List[Tuple[str, int]] = []
+    buf: List[str] = []
+    pos = 0
+    for i, ch in enumerate(content):
+        if ch in delims:
+            if buf:
+                out.append(("".join(buf), pos))
+                buf = []
+        else:
+            if not buf:
+                pos = i
+            buf.append(ch)
+    if buf:
+        out.append(("".join(buf), pos))
+    return out
+
+
+def tokens_col(col, tokenizer: str = "standard"):
+    """Spark Column: array of tokens of ``col`` — pure JVM expression
+    (split + filter), stays inside whole-stage codegen. This is the
+    index-build hot path; positions are intentionally absent (the
+    reference's index stores none either — SURVEY.md §0 fact 1/3)."""
+    from pyspark.sql import functions as F
+
+    rx = STANDARD_SPLIT_REGEX if tokenizer == "standard" else WHITESPACE_SPLIT_REGEX
+    split = F.split(F.coalesce(col, F.lit("")), rx)
+    return F.filter(split, lambda t: t != F.lit(""))
+
+
+def tokens_sql(expr: str, tokenizer: str = "standard", dialect: str = "spark") -> str:
+    """SQL snippet producing the token array for ``expr``.
+
+    ``dialect='duckdb'`` is the oracle form (string_split_regex +
+    list_filter); ``dialect='spark'`` uses split + filter. Both collapse
+    consecutive delimiters by dropping empty strings.
+    """
+    rx = STANDARD_SPLIT_REGEX_SQL if tokenizer == "standard" else WHITESPACE_SPLIT_REGEX
+    if dialect == "duckdb":
+        return (
+            f"list_filter(string_split_regex(coalesce({expr}, ''), '{rx}'),"
+            f" t -> t <> '')"
+        )
+    return f"filter(split(coalesce({expr}, ''), '{rx}'), t -> t != '')"
+
+
+def tokenize_udf(tokenizer: str = "standard"):
+    """Arrow-vectorized pandas UDF -> array<struct<term,pos>>; used only
+    by the match-position verification path (reference
+    SimpleSearchManager.java:187-214 re-scans files at query time)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema = "array<struct<term: string, pos: int>>"
+
+    @F.pandas_udf(schema)
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.map(lambda c: tokenize_with_positions(c, tokenizer))
+
+    return _tok

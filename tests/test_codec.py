@@ -1,0 +1,65 @@
+"""Round-trip and property tests for the delta+varint posting codec."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_search.codec import (
+    decode_block,
+    encode_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_known_values():
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([1], dtype=np.uint64)) == b"\x01"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=500
+    )
+)
+def test_varint_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    out = varint_decode(varint_encode(a))
+    assert out.tolist() == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**12),
+            st.integers(min_value=1, max_value=5000),
+        ),
+        min_size=1,
+        max_size=600,
+        unique_by=lambda x: x[0],
+    ),
+    st.sampled_from([4, 128, 256]),
+)
+def test_block_roundtrip(postings, block_size):
+    postings.sort()
+    doc_ids = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    blocks = encode_blocks(doc_ids, tfs, block_size=block_size)
+
+    got_docs, got_tfs = [], []
+    for first, last, n, max_tf, deltas, tf_bytes in blocks:
+        d, t = decode_block(first, deltas, tf_bytes)
+        assert d.size == n == t.size
+        assert d[0] == first and d[-1] == last
+        assert t.max() == max_tf
+        got_docs.extend(d.tolist())
+        got_tfs.extend(t.tolist())
+    assert got_docs == doc_ids.tolist()
+    assert got_tfs == tfs.tolist()

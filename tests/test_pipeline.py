@@ -1,0 +1,102 @@
+"""Declarative pipeline vs pure-Python oracle: rank identity on the
+reference fixtures (FIXTURES.md §3) and a seeded synthetic corpus."""
+
+import math
+
+import pytest
+
+from spark_search import pipeline as P
+from spark_search.corpus import synthetic_corpus
+from spark_search.ids import with_doc_ids
+from spark_search.oracle import OracleEngine
+
+
+def _oracle_for(df):
+    rows = df.select("doc_id", "content").collect()
+    return OracleEngine([(r.doc_id, r.content) for r in rows])
+
+
+def _paths_by_id(df):
+    return {r.doc_id: r.path for r in df.select("doc_id", "path").collect()}
+
+
+def _assert_rank_identical(spark_df, oracle_result):
+    got = [(r.doc_id, r.score) for r in spark_df.collect()]
+    assert [g[0] for g in got] == [o[0] for o in oracle_result]
+    for (gd, gs), (od, os_) in zip(got, oracle_result):
+        assert math.isclose(gs, os_, rel_tol=1e-12), (gd, gs, os_)
+
+
+# the reference query set (FIXTURES.md §3)
+CASES = [
+    (["mila"], P.EXACT_MATCH, {"testFolder/one.txt", "testFolder/two.txt"}),
+    (["relieve"], P.EXACT_MATCH, {"TestFileOne.txt"}),
+    (["surfeits"], P.EXACT_MATCH, {"TestFileOne.txt"}),
+    (["Example"], P.EXACT_MATCH, {"TestFileTwo.txt"}),
+    (["mila"], P.START_WITH, {"testFolder/one.txt", "testFolder/two.txt"}),
+    (["mama", "mila"], P.WITH_SUGGESTIONS,
+     {"testFolder/one.txt", "testFolder/two.txt"}),
+]
+
+
+@pytest.mark.parametrize("terms,mode,expected_paths", CASES)
+def test_reference_query_set(fixture_corpus, terms, mode, expected_paths):
+    oracle = _oracle_for(fixture_corpus)
+    paths = _paths_by_id(fixture_corpus)
+
+    res = P.bm25_topk(fixture_corpus, terms, mode, k=10)
+    got = res.collect()
+    # doc-level match set == reference expectation
+    assert {paths[r.doc_id] for r in got} == expected_paths
+    # rank + scores == oracle
+    _assert_rank_identical(res, oracle.search(terms, mode, k=10))
+
+
+def test_prefix_expands_terms(fixture_corpus):
+    # START_WITH 'mila' matches terms {mila, milak}
+    # (reference tree/SearchEngineConcurrentTree.java:176-195)
+    oracle = _oracle_for(fixture_corpus)
+    assert oracle.match_terms(["mila"], P.START_WITH) == ["mila", "milak"]
+
+
+def test_empty_query(fixture_corpus):
+    assert P.bm25_topk(fixture_corpus, [], P.EXACT_MATCH, 10).count() == 0
+
+
+def test_case_sensitive(fixture_corpus):
+    # no lowercasing: 'example' does not match 'Example'
+    assert P.bm25_topk(fixture_corpus, ["example"], P.EXACT_MATCH, 10).count() == 0
+
+
+@pytest.mark.parametrize("mode", [P.EXACT_MATCH, P.START_WITH])
+def test_synthetic_rank_identity(spark, mode):
+    corpus = with_doc_ids(synthetic_corpus(spark, 120, seed=7)).cache()
+    oracle = _oracle_for(corpus)
+    # skewed keyword, moderate term, and a unique token
+    for terms in [["import"], ["return", "def"], ["bm25_score"], ["tok1"]]:
+        res = P.bm25_topk(corpus, terms, mode, k=15)
+        _assert_rank_identical(res, oracle.search(terms, mode, k=15))
+    corpus.unpersist()
+
+
+def test_random_word_property(spark):
+    """The reference's e2e property (SearchEngineAppTest.java:55-102):
+    every token sampled from a doc finds that doc via EXACT_MATCH."""
+    import random
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 60, seed=11)).cache()
+    rows = corpus.select("doc_id", "content").collect()
+    rng = random.Random(0)
+    doc = rng.choice(rows)
+    from spark_search.tokenizer import tokenize
+
+    words = list(set(tokenize(doc.content)))
+    sample = rng.sample(words, min(25, len(words)))
+    oracle = _oracle_for(corpus)
+    for w in sample:
+        assert doc.doc_id in oracle.match_set([w], P.EXACT_MATCH)
+    # spot-check a handful through Spark (full 25 would be slow per-query)
+    for w in sample[:5]:
+        got = {r.doc_id for r in P.bm25_topk(corpus, [w], P.EXACT_MATCH, 1000).collect()}
+        assert got == oracle.match_set([w], P.EXACT_MATCH)
+    corpus.unpersist()

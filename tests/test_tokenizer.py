@@ -1,0 +1,93 @@
+"""Tokenizer goldens — exact vectors from the reference's own unit tests
+(StandardTokenizerTest.java:21-44, WhitespaceTokenizerTest.java:21-44)
+plus the delimiter-set edge cases from FIXTURES.md §4."""
+
+import re
+
+from spark_search.tokenizer import (
+    STANDARD_DELIMITERS,
+    STANDARD_SPLIT_REGEX,
+    tokenize,
+    tokenize_with_positions,
+)
+
+GOLDEN = "I'am \" ? test, !  ,  example string. "
+
+
+def test_standard_golden_tokens():
+    assert tokenize(GOLDEN) == ["I", "am", "test", "example", "string"]
+
+
+def test_standard_golden_positions():
+    # positions from StandardTokenizerTest.java expectations
+    assert tokenize_with_positions(GOLDEN) == [
+        ("I", 0), ("am", 2), ("test", 9), ("example", 21), ("string", 29),
+    ]
+
+
+def test_whitespace_golden():
+    s = "I'am test    example string. "
+    assert tokenize(s, "whitespace") == ["I'am", "test", "example", "string."]
+    assert tokenize_with_positions(s, "whitespace") == [
+        ("I'am", 0), ("test", 5), ("example", 13), ("string.", 21),
+    ]
+
+
+def test_empty_and_none():
+    for tk in ("standard", "whitespace"):
+        assert tokenize("", tk) == []
+        assert tokenize(None, tk) == []
+        assert tokenize_with_positions(None, tk) == []
+
+
+def test_non_delimiters():
+    # _ = | & ` are NOT delimiters (StandardTokenizer.java:14-16)
+    assert tokenize("a_b a=b a|b a&b a`b") == ["a_b", "a=b", "a|b", "a&b", "a`b"]
+
+
+def test_unicode_quotes_are_delimiters():
+    assert tokenize("x“y”z") == ["x", "y", "z"]
+
+
+def test_delimiter_set_cardinality():
+    assert len(STANDARD_DELIMITERS) == 29  # 28 punctuation + space
+
+
+def test_regex_matches_charwise_tokenizer():
+    # the regex split and the char-loop tokenizer must agree on
+    # adversarial strings covering every delimiter
+    samples = [
+        "".join(sorted(STANDARD_DELIMITERS)),
+        "a.b,c!d?e:f;g\"h'i(j)k[l]m/n-o“p”q r<s>t{u}v+w*x^y#z~0%1$2@3",
+        "tab\there stays",  # tab is NOT a delimiter
+        "\n keeps newlines_inside\ntokens",
+    ]
+    rx = re.compile(STANDARD_SPLIT_REGEX)
+    for s in samples:
+        assert [t for t in rx.split(s) if t] == tokenize(s), s
+
+
+def test_whitespace_tab_not_delimiter():
+    assert tokenize("a\tb c", "whitespace") == ["a\tb", "c"]
+
+
+def test_spark_tokens_col_agrees(spark):
+    from pyspark.sql import functions as F
+
+    from spark_search.tokenizer import tokens_col, tokenize_udf
+
+    samples = [
+        GOLDEN, "", None, "a_b a=b a|b a&b", "x“y”z",
+        "mama mila doma hi mama i am here",
+        "import os\nreturn self.value # trailing",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "content string")
+    got = [r[0] for r in df.select(tokens_col(F.col("content"))).collect()]
+    assert got == [tokenize(s) for s in samples]
+
+    # pandas-UDF (positions) path agrees too
+    got_pos = [
+        [(t["term"], t["pos"]) for t in r[0]]
+        for r in df.select(tokenize_udf()(F.col("content"))).collect()
+    ]
+    assert got_pos == [tokenize_with_positions(s) for s in samples]

@@ -1,38 +1,220 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 query on sf0.001.
+``queries()`` / ``oracle_sql()`` — per-operator DataFrame callables and
+their DuckDB-SQL oracles, compared by the driver at sf=0.01
+(row-count + schema + order-insensitive value-hash).
+
+Float columns are rounded to 6 decimals on BOTH sides; ranks/counts are
+BIGINT on both sides. The BM25 arithmetic in the SQL oracles mirrors the
+engine's operation order exactly (spark_search/pipeline.py bm25_score_col).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spark_search import pipeline as P
+from spark_search.corpus import load_sf_documents
+from spark_search.tokenizer import tokens_sql
+
+K1_PLUS_1 = "2.2"
+K1 = "1.2"
+ONE_MINUS_B = "0.25"
+B = "0.75"
+
+# anchor query terms present in the driver corpus vocabulary
+TERMS_EXACT = ["spark"]
+TERMS_OR = ["data", "join", "merge"]
+TERMS_AND = ["spark", "query"]
+TERMS_PREFIX = ["sca"]  # matches 'scan'
+TERMS_STATS = ["spark", "join", "data", "vector", "hash"]
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_sf_documents(spark, sf_dir)
+
+
+def _topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
+    res = P.bm25_topk(_corpus(spark, sf_dir), terms, mode, k=k)
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOKS_DUCK = tokens_sql("text", dialect="duckdb")
+
+
+def _bm25_oracle(terms, mode, k=10) -> str:
+    uniq = list(dict.fromkeys(terms))
+    if mode == P.START_WITH:
+        pred = " OR ".join(f"term LIKE '{t}%'" for t in uniq)
+    else:
+        inlist = ", ".join(f"'{t}'" for t in uniq)
+        pred = f"term IN ({inlist})"
+    having = (
+        f"HAVING count(*) = {len(uniq)}" if mode == P.AND_MATCH else ""
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE {pred}),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id {having}
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_bm25_exact(spark, sf_dir):
+    return _topk(spark, sf_dir, TERMS_EXACT, P.EXACT_MATCH)
+
+
+def _q_bm25_or(spark, sf_dir):
+    return _topk(spark, sf_dir, TERMS_OR, P.WITH_SUGGESTIONS)
+
+
+def _q_bm25_and(spark, sf_dir):
+    return _topk(spark, sf_dir, TERMS_AND, P.AND_MATCH)
+
+
+def _q_bm25_prefix(spark, sf_dir):
+    return _topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
+
+
+def _q_term_stats(spark, sf_dir):
+    """Posting-list statistics: df (document frequency) and cf
+    (collection frequency) per term — the O1 aggregation output."""
+    corpus = _corpus(spark, sf_dir)
+    tf = P.term_doc_tf(P.tokens(corpus).where(F.col("term").isin(TERMS_STATS)))
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """N, avgdl, vocabulary size, total token count."""
+    corpus = _corpus(spark, sf_dir)
+    tok = P.tokens(corpus)
+    dl = P.doc_lengths(corpus)
+    agg = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    vocab = tok.agg(F.countDistinct("term").cast("long").alias("vocab_size"))
+    return agg.crossJoin(vocab)
+
+
+def _q_match_set(spark, sf_dir):
+    """Reference-semantics doc-level match set (unordered set of doc ids
+    containing the term — reference SimpleSearchManager.java:61-66)."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        P.tokens(corpus)
+        .where(F.col("term") == "vector")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _q_doc_lengths_top(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    return (
+        P.doc_lengths(corpus)
+        .select("doc_id", F.col("dl").cast("long").alias("dl"))
+        .orderBy(F.col("dl").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 multi-term OR query over sf0.001, with doc
+    metadata joined back (the Q4 registry semi-join analog)."""
+    corpus = _corpus(spark, "/root/testdata/sf0.001").cache()
+    res = P.bm25_topk(corpus, TERMS_OR, P.WITH_SUGGESTIONS, k=10)
+    return (
+        res.join(corpus.select("doc_id", "repo", "path"), "doc_id")
+        .select("doc_id", "repo", "path", F.round("score", 6).alias("score"), "rank")
+        .orderBy("rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_exact_topk": _q_bm25_exact,
+        "bm25_or_topk": _q_bm25_or,
+        "bm25_and_topk": _q_bm25_and,
+        "bm25_prefix_topk": _q_bm25_prefix,
+        "term_stats": _q_term_stats,
+        "corpus_stats": _q_corpus_stats,
+        "match_set_exact": _q_match_set,
+        "doc_lengths_top": _q_doc_lengths_top,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    terms_in = ", ".join(f"'{t}'" for t in TERMS_STATS)
+    return {
+        "bm25_exact_topk": _bm25_oracle(TERMS_EXACT, P.EXACT_MATCH),
+        "bm25_or_topk": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "bm25_and_topk": _bm25_oracle(TERMS_AND, P.AND_MATCH),
+        "bm25_prefix_topk": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
+        "term_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+              FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+       WHERE term IN ({terms_in}) GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
+        "corpus_stats": f"""
+WITH dl AS (SELECT doc_id, len({_TOKS_DUCK})::BIGINT AS dl
+            FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+         FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents))
+SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       (SELECT round(avg(dl), 6) FROM dl) AS avgdl,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT term) FROM toks)::BIGINT AS vocab_size
+""",
+        "match_set_exact": f"""
+SELECT DISTINCT doc_id::BIGINT AS doc_id
+FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+      FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents))
+WHERE term = 'vector'
+""",
+        "doc_lengths_top": f"""
+SELECT doc_id::BIGINT AS doc_id, len({_TOKS_DUCK})::BIGINT AS dl
+FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)
+ORDER BY dl DESC, doc_id ASC LIMIT 20
+""",
+    }

@@ -1,0 +1,103 @@
+"""Build manifest: corpus stats + per-stage/per-partition lineage + metrics.
+
+The Spark analog of the reference's 4-file FST snapshot + startup diff
+(reference SearchEngineInitializer.java:317-339 save, :133-211
+calculateIndexChanges): an index directory is valid iff ``manifest.json``
+exists (atomic rename commit); an interrupted build leaves
+``manifest.partial.json`` whose completed stage records (matched by
+input fingerprint) are skipped on resume — the north-rule
+"resumable from checkpoint with per-partition lineage".
+"""
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+MANIFEST = "manifest.json"
+PARTIAL = "manifest.partial.json"
+FORMAT_VERSION = 1
+
+
+@dataclass
+class BuildManifest:
+    index_dir: str
+    config: Dict = field(default_factory=dict)
+    stats: Dict = field(default_factory=dict)
+    stages: Dict[str, Dict] = field(default_factory=dict)  # name -> lineage record
+
+    # ---------------------------------------------------------- persistence
+
+    @property
+    def _partial_path(self) -> str:
+        return os.path.join(self.index_dir, PARTIAL)
+
+    @property
+    def _final_path(self) -> str:
+        return os.path.join(self.index_dir, MANIFEST)
+
+    def save_partial(self) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = self._partial_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._to_dict(), f, indent=2, sort_keys=True)
+        os.replace(tmp, self._partial_path)
+
+    def commit(self) -> None:
+        """Atomic publish: rename partial -> final. Readers only ever see
+        a complete index (the snapshot-isolation replacement for the
+        reference's global write lock)."""
+        self.save_partial()
+        os.replace(self._partial_path, self._final_path)
+
+    def _to_dict(self) -> Dict:
+        return {
+            "format_version": FORMAT_VERSION,
+            "config": self.config,
+            "stats": self.stats,
+            "stages": self.stages,
+        }
+
+    @staticmethod
+    def load(index_dir: str, allow_partial: bool = False) -> Optional["BuildManifest"]:
+        for name in ([MANIFEST, PARTIAL] if allow_partial else [MANIFEST]):
+            p = os.path.join(index_dir, name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    d = json.load(f)
+                m = BuildManifest(index_dir, d.get("config", {}),
+                                  d.get("stats", {}), d.get("stages", {}))
+                return m
+        return None
+
+    # ------------------------------------------------------------- lineage
+
+    def stage_done(self, name: str, fingerprint: str) -> bool:
+        rec = self.stages.get(name)
+        return bool(rec) and rec.get("fingerprint") == fingerprint and rec.get("ok")
+
+    def record_stage(self, name: str, fingerprint: str, **metrics) -> None:
+        self.stages[name] = {
+            "fingerprint": fingerprint,
+            "ok": True,
+            "finished_at": time.time(),
+            **metrics,
+        }
+        self.save_partial()
+
+
+def corpus_fingerprint(corpus) -> str:
+    """Deterministic fingerprint of the input: row count + order-invariant
+    xor/sum of xxhash64 over the identity key. Content is addressed by
+    ``commit`` (source-code corpora are immutable per commit), so key
+    identity implies content identity — O8's mtime diff analog."""
+    from pyspark.sql import functions as F
+
+    row = corpus.select(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+        ).alias("h"),
+    ).collect()[0]
+    return f"n={row['n']},h={row['h']}"

@@ -13,7 +13,7 @@ import math
 from collections import Counter, defaultdict
 from typing import Dict, Iterable, List, Sequence, Tuple
 
-from ..pipeline import B, EXACT_MATCH, K1, START_WITH, WITH_SUGGESTIONS
+from ..pipeline import AND_MATCH, B, EXACT_MATCH, K1, START_WITH, WITH_SUGGESTIONS
 from ..tokenizer import tokenize
 
 
@@ -52,15 +52,21 @@ class OracleEngine:
         self, terms: Iterable[str], mode: str = EXACT_MATCH, k: int = 10
     ) -> List[Tuple[int, float]]:
         """Top-k [(doc_id, score)] — score DESC, doc_id ASC."""
-        if mode not in (EXACT_MATCH, START_WITH, WITH_SUGGESTIONS):
+        if mode not in (EXACT_MATCH, START_WITH, WITH_SUGGESTIONS, AND_MATCH):
             raise ValueError(mode)
         scores: Dict[int, float] = defaultdict(float)
-        for t in self.match_terms(terms, mode):
+        nterms: Dict[int, int] = defaultdict(int)
+        matched = self.match_terms(terms, mode)
+        for t in matched:
             idf = self.idf(t)
             for doc_id, tf in self.tf[t].items():
                 dl = self.dl[doc_id]
                 denom = tf + K1 * (1.0 - B + B * dl / self.avgdl)
                 scores[doc_id] += idf * tf * (K1 + 1.0) / denom
+                nterms[doc_id] += 1
+        if mode == AND_MATCH:
+            need = len(list(dict.fromkeys(terms)))
+            scores = {d: s for d, s in scores.items() if nterms[d] == need}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

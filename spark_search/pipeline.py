@@ -36,6 +36,7 @@ B = 0.75
 EXACT_MATCH = "EXACT_MATCH"
 START_WITH = "START_WITH"
 WITH_SUGGESTIONS = "WITH_SUGGESTIONS"  # OR over the explicit query list
+AND_MATCH = "AND_MATCH"  # conjunctive extension (north-star intersection)
 
 
 def tokens(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
@@ -84,7 +85,7 @@ def _match_filter(col, terms: List[str], mode: str):
             c = col.startswith(t)
             cond = c if cond is None else (cond | c)
         return cond
-    # EXACT_MATCH and WITH_SUGGESTIONS are both an exact-term IN-list;
+    # EXACT_MATCH, WITH_SUGGESTIONS and AND_MATCH are exact-term IN-lists;
     # WITH_SUGGESTIONS just carries a longer list (the app expands the
     # query with Hunspell suggestions — reference
     # app/src/main/java/org/search/app/listener/SearchActionListener.java:44-48).
@@ -153,7 +154,14 @@ def bm25_topk(
             ),
         )
         .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("_nt"))
+    )
+    if mode == AND_MATCH:
+        # intersection semantics: doc must contain every query term.
+        # tf rows are unique per (term, doc), so _nt == matched-term count.
+        scored = scored.where(F.col("_nt") == len(qterms))
+    scored = (
+        scored.drop("_nt")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline measurements (BASELINE.md §2):
+  * index-build wall time + files/sec (the build throughput target)
+  * BM25 top-10 query latency per reference-style query (warm index)
+
+The ``value`` is total wall seconds for build + all queries (lower is
+better). Extra keys carry throughput detail for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark_search_bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_search import pipeline as P
+    from spark_search.build import build_index
+    from spark_search.corpus import load_sf_documents
+    from spark_search.query import IndexReader
+
+    corpus = load_sf_documents(spark, sf_dir).cache()
+    n_files = corpus.count()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = -1.0
+
+    queries: dict[str, float] = {}
+    timings: dict[str, float] = {}
+
+    # ------------------------------------------------------------ build
+    index_dir = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "index")
+    t0 = time.time()
+    build_index(spark, corpus, index_dir)
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
+
+    reader = IndexReader(spark, index_dir)
+
+    # warmup: spin up python workers / AQE once so per-query numbers
+    # measure the engine, not process startup (BASELINE.md §3.5 "warm index")
+    t0 = time.time()
+    reader.search(["warmup_zz"], P.EXACT_MATCH, k=1).collect()
+    reader.search(["data"], P.EXACT_MATCH, k=10).collect()
+    timings["warmup"] = round(time.time() - t0, 3)
+
+    # ------------------------------------------------- queries (warm index)
+    bench_queries = [
+        ("q_exact", ["spark"], P.EXACT_MATCH),
+        ("q_or3", ["data", "join", "merge"], P.WITH_SUGGESTIONS),
+        ("q_and2", ["spark", "query"], P.AND_MATCH),
+        ("q_prefix", ["sca"], P.START_WITH),
+        ("q_hot_or", ["the", "and", "data", "with"], P.WITH_SUGGESTIONS),
+    ]
+    for name, terms, mode in bench_queries:
+        tq = time.time()
+        reader.search(terms, mode, k=10).collect()
+        queries[name] = round(time.time() - tq, 3)
+
+    # declarative (index-free) flagship for comparison
+    tq = time.time()
+    P.bm25_topk(corpus, ["data", "join", "merge"], P.WITH_SUGGESTIONS, k=10).collect()
+    queries["q_or3_declarative"] = round(time.time() - tq, 3)
+
+    total = build_s + sum(queries.values())
+    out = {
+        "metric": "index_build_plus_bm25_topk_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_num,
+        "n_files": n_files,
+        "build_sec": round(build_s, 3),
+        "build_files_per_sec": round(n_files / build_s, 1) if build_s else None,
+        "cpus": cpus,
+        "timings": timings,
+    }
+    shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

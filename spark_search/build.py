@@ -259,6 +259,9 @@ def build_index(
                 F.sum("n_docs").alias("df"),
                 F.sum("sum_tf").alias("cf"),
                 F.max("max_tf").alias("max_tf"),
+                # bucket is functional on term; storing it here lets the
+                # query side prune postings partitions without a second job
+                F.first("bucket").alias("bucket"),
             )
         )
         nparts = max(1, min(num_buckets, spark.sparkContext.defaultParallelism))

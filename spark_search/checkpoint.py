@@ -96,8 +96,12 @@ def corpus_fingerprint(corpus) -> str:
 
     row = corpus.select(
         F.count("*").alias("n"),
+        # decimal(38) accumulator: never overflows (ANSI mode), stays
+        # order-invariant
         F.sum(
-            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")).cast(
+                "decimal(38,0)"
+            )
         ).alias("h"),
     ).collect()[0]
     return f"n={row['n']},h={row['h']}"

@@ -1,0 +1,392 @@
+"""Disk-index query engine: exact/prefix/OR/AND retrieval, BM25,
+chunk- and block-level max-score pruning, bounded top-k.
+
+The Spark replacement for the reference's query side
+(reference engine/src/main/java/org/search/engine/search/SimpleSearchManager.java:50-85
+and tree getValue, tree/SearchEngineConcurrentTree.java:163-195), extended
+with the north-star BM25 ranking the reference lacks.
+
+Query lifecycle (SURVEY.md §3.1 Spark plan):
+
+  1. term-dictionary lookup (tiny: df, max_tf per query term; prefix
+     queries expand to the matching dictionary range) -> driver
+  2. idf + upper bounds computed driver-side (a few floats)
+  3. bootstrap threshold θ: the single most-promising chunk is decoded
+     driver-side; θ = its k-th best score.  θ is broadcast as the
+     block-max pruning bar — chunks whose summed term upper bounds
+     can't beat θ are never read, blocks within surviving chunks are
+     skipped by the same test (block-max WAND adapted to a static
+     distributed threshold; per-chunk heaps then raise the bar locally)
+  4. postings scan: ``bucket`` partition pruning + ``term`` predicate
+     pushed to parquet, so only query-term rows are ever deserialized
+  5. per-chunk numpy scoring inside ``applyInPandas`` (Arrow batches,
+     no per-row Python), emitting ≤k local winners per chunk
+  6. global TakeOrderedAndProject -> (doc_id, score, rank)
+
+Scale: every stage's volume is bounded by (query terms × matched
+chunks), never by corpus size; the only exchange after the scan is the
+chunk-grouped shuffle of already-filtered postings rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .build import IndexPaths, bucket_col
+from .checkpoint import BuildManifest
+from .codec import decode_block
+from .pipeline import (
+    AND_MATCH,
+    B,
+    EXACT_MATCH,
+    K1,
+    START_WITH,
+    WITH_SUGGESTIONS,
+)
+from .stats import CorpusStats
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+)
+
+_LOCAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("nterms", T.IntegerType()),
+    ]
+)
+
+
+def _term_ub(idf: float, max_tf: int) -> float:
+    """Upper bound of a term's BM25 contribution given its max tf.
+    The dl-dependent denominator is minimized at dl -> 0
+    (tf + k1*(1-b)), so this bounds every real contribution."""
+    return idf * max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B))
+
+
+def _score_np(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+    denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+    return idf * tf * (K1 + 1.0) / denom
+
+
+class IndexReader:
+    """Open a committed index directory for querying.
+
+    The analog of the reference's snapshot load
+    (reference SearchEngineInitializer.java:116-131) — refuses to open
+    an uncommitted (partial) index, giving snapshot isolation against
+    concurrent builds.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        manifest = BuildManifest.load(index_dir)
+        if manifest is None:
+            raise FileNotFoundError(
+                f"no committed manifest.json under {index_dir}"
+            )
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.manifest = manifest
+        self.stats = CorpusStats.from_dict(manifest.stats)
+        cfg = manifest.config
+        self.num_buckets = int(cfg["num_buckets"])
+        self.chunk_span = int(cfg["chunk_span"])
+        self.tokenizer = cfg.get("tokenizer", "standard")
+
+    # ------------------------------------------------------------ pieces
+
+    def terms_df(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.terms)
+
+    def postings_df(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    def docs_df(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs)
+
+    def doclens_df(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.doclens)
+
+    def match_terms(
+        self, terms: Iterable[str], mode: str
+    ) -> List[Tuple[str, int, int, int]]:
+        """Expand the query against the term dictionary ->
+        [(term, df, max_tf, bucket)]. Exact modes are an IN-list point
+        lookup; START_WITH is the Q2 prefix range scan (terms/ files are
+        term-sorted, so parquet min/max stats prune row groups)."""
+        qterms = list(dict.fromkeys(terms))
+        if not qterms:
+            return []
+        t = self.terms_df()
+        if mode == START_WITH:
+            cond = None
+            for q in qterms:
+                c = F.col("term").startswith(q)
+                cond = c if cond is None else (cond | c)
+            t = t.where(cond)
+        else:
+            t = t.where(F.col("term").isin(qterms))
+        if "bucket" not in t.columns:  # pre-v2 index layout
+            t = t.withColumn("bucket", bucket_col(F.col("term"), self.num_buckets))
+        rows = t.select("term", "df", "max_tf", "bucket").collect()
+        return [
+            (r["term"], int(r["df"]), int(r["max_tf"]), int(r["bucket"]))
+            for r in rows
+        ]
+
+    # ------------------------------------------------------------- search
+
+    def search(
+        self,
+        terms: Iterable[str],
+        mode: str = EXACT_MATCH,
+        k: int = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """BM25 top-k -> DataFrame (doc_id, score, rank)."""
+        qterms = list(dict.fromkeys(terms))
+        n_query_terms = len(qterms)
+        matched = self.match_terms(qterms, mode)
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not matched or (mode == AND_MATCH and len(matched) < n_query_terms):
+            return empty
+
+        stats = self.stats
+        idf: Dict[str, float] = {t: stats.idf(df) for t, df, _, _ in matched}
+        ub: Dict[str, float] = {
+            t: _term_ub(idf[t], mtf) for t, _, mtf, _ in matched
+        }
+        term_list = [t for t, _, _, _ in matched]
+
+        # postings scan: bucket partition pruning + term predicate pushdown
+        buckets = sorted({b for _, _, _, b in matched})
+        post = (
+            self.postings_df()
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(term_list))
+            .select("term", "chunk", "blocks")
+        )
+
+        theta = 0.0
+        if prune and mode != AND_MATCH:
+            theta = self._bootstrap_theta(post, idf, k)
+        need_all = mode == AND_MATCH
+
+        # chunk-level prune: sum of term ubs in the chunk must beat θ
+        idf_map = F.create_map(
+            *[x for t in term_list for x in (F.lit(t), F.lit(idf[t]))]
+        )
+        ub_map = F.create_map(
+            *[x for t in term_list for x in (F.lit(t), F.lit(ub[t]))]
+        )
+        post = post.withColumn("idf", idf_map[F.col("term")]).withColumn(
+            "term_ub", ub_map[F.col("term")]
+        )
+        if theta > 0.0:
+            w_ub = (
+                post.groupBy("chunk")
+                .agg(F.sum("term_ub").alias("chunk_ub"))
+                .where(F.col("chunk_ub") > theta)
+                .select("chunk")
+            )
+            post = post.join(F.broadcast(w_ub), "chunk")
+        if need_all:
+            # a chunk missing any query term can't produce an AND match
+            w_n = (
+                post.groupBy("chunk")
+                .agg(F.count("*").alias("_m"))
+                .where(F.col("_m") == len(term_list))
+                .select("chunk")
+            )
+            post = post.join(F.broadcast(w_n), "chunk")
+
+        joined = post.join(
+            self.doclens_df().withColumnRenamed("dls", "_dls"), "chunk"
+        )
+
+        avgdl = stats.avgdl
+        span = self.chunk_span
+        loc_k = k
+        n_query = n_query_terms
+
+        def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"doc_id": [], "score": [], "nterms": []}
+                ).astype({"doc_id": "int64", "score": "float64", "nterms": "int32"})
+            chunk = int(pdf["chunk"].iloc[0])
+            dls = np.frombuffer(pdf["_dls"].iloc[0], dtype=np.int32).astype(
+                np.float64
+            )
+            scores = np.zeros(dls.size, dtype=np.float64)
+            counts = np.zeros(dls.size, dtype=np.int32)
+            base = chunk * span
+            # rest_ub[i]: chunk-level ub of every row except i — the
+            # slack available from other terms when testing row i's blocks
+            ubs = pdf["term_ub"].to_numpy(dtype=np.float64)
+            total_ub = float(ubs.sum())
+            for i in range(len(pdf)):
+                t_idf = float(pdf["idf"].iloc[i])
+                rest = total_ub - float(ubs[i])
+                for blk in pdf["blocks"].iloc[i]:
+                    if theta > 0.0:
+                        blk_ub = _term_ub(t_idf, int(blk["max_tf"]))
+                        if blk_ub + rest <= theta:
+                            continue  # block-max skip
+                    doc_ids, tfs = decode_block(
+                        int(blk["first_doc"]), bytes(blk["deltas"]), bytes(blk["tfs"])
+                    )
+                    pos = doc_ids - 1 - base
+                    scores[pos] += _score_np(
+                        tfs.astype(np.float64), dls[pos], t_idf, avgdl
+                    )
+                    counts[pos] += 1
+            hit = np.flatnonzero(counts)
+            if need_all:
+                hit = hit[counts[hit] == n_query]
+            if hit.size == 0:
+                return pd.DataFrame(
+                    {"doc_id": [], "score": [], "nterms": []}
+                ).astype({"doc_id": "int64", "score": "float64", "nterms": "int32"})
+            if hit.size > loc_k:
+                # local bounded top-k: keep the loc_k best (ties kept by
+                # taking extras with equal score so the global merge stays
+                # exact)
+                sc = scores[hit]
+                kth = np.partition(sc, sc.size - loc_k)[sc.size - loc_k]
+                hit = hit[sc >= kth]
+            return pd.DataFrame(
+                {
+                    "doc_id": (hit + 1 + base).astype("int64"),
+                    "score": scores[hit],
+                    "nterms": counts[hit].astype("int32"),
+                }
+            )
+
+        local = joined.groupBy("chunk").applyInPandas(score_chunk, _LOCAL_SCHEMA)
+        if need_all:
+            local = local.where(F.col("nterms") == n_query_terms)
+        topk = (
+            local.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        out = [
+            (r["doc_id"], float(r["score"]), i + 1) for i, r in enumerate(topk)
+        ]
+        return self.spark.createDataFrame(out, RESULT_SCHEMA) if out else empty
+
+    def _bootstrap_theta(
+        self, post: DataFrame, idf: Dict[str, float], k: int
+    ) -> float:
+        """Decode the single most-promising chunk driver-side and return
+        its k-th best score (0 if it holds < k docs). One tiny collect —
+        bounded by (query terms × blocks-in-one-chunk)."""
+        agg = (
+            post.groupBy("chunk")
+            .agg(F.count("*").alias("m"))
+            .orderBy(F.col("m").desc())
+            .limit(1)
+            .collect()
+        )
+        if not agg:
+            return 0.0
+        best_chunk = agg[0]["chunk"]
+        rows = post.where(F.col("chunk") == best_chunk).collect()
+        dls_row = (
+            self.doclens_df().where(F.col("chunk") == best_chunk).collect()
+        )
+        if not dls_row:
+            return 0.0
+        dls = np.frombuffer(dls_row[0]["dls"], dtype=np.int32).astype(np.float64)
+        scores = np.zeros(dls.size, dtype=np.float64)
+        base = int(best_chunk) * self.chunk_span
+        for r in rows:
+            t_idf = idf[r["term"]]
+            for blk in r["blocks"]:
+                doc_ids, tfs = decode_block(
+                    int(blk["first_doc"]), bytes(blk["deltas"]), bytes(blk["tfs"])
+                )
+                pos = doc_ids - 1 - base
+                scores[pos] += _score_np(
+                    tfs.astype(np.float64), dls[pos], t_idf, self.stats.avgdl
+                )
+        hit = scores[scores > 0]
+        if hit.size < k:
+            return 0.0
+        return float(np.partition(hit, hit.size - k)[hit.size - k])
+
+    # ----------------------------------------------------- verification
+
+    def verify_search(
+        self,
+        corpus: DataFrame,
+        terms: Iterable[str],
+        mode: str = EXACT_MATCH,
+        k: int = 10,
+    ) -> DataFrame:
+        """Q5 analog (reference SimpleSearchManager.java:187-214): join
+        the top-k back to the source table, re-check the per-row
+        content sha256 invariant (BASELINE input_hint), and recompute
+        match rows/positions by re-tokenizing content."""
+        res = self.search(terms, mode, k)
+        docs = self.docs_df().select("doc_id", "content_sha256")
+        qterms = list(dict.fromkeys(terms))
+
+        from .tokenizer import tokenize_with_positions
+
+        tokenizer = self.tokenizer
+
+        def _positions(content: pd.Series) -> pd.Series:
+            def one(c):
+                out = []
+                for row_no, line in enumerate((c or "").split("\n")):
+                    pos = [
+                        p
+                        for t, p in tokenize_with_positions(line, tokenizer)
+                        if _match_token(t, qterms, mode)
+                    ]
+                    if pos:
+                        out.append({"row": row_no, "positions": pos})
+                return out
+
+            return content.map(one)
+
+        pos_udf = F.pandas_udf(
+            "array<struct<row: int, positions: array<int>>>"
+        )(_positions)
+
+        joined = (
+            res.join(corpus.select("doc_id", "repo", "path", "content"), "doc_id")
+            .join(docs, "doc_id")
+            .select(
+                "doc_id",
+                "repo",
+                "path",
+                "score",
+                "rank",
+                (
+                    F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+                    == F.col("content_sha256")
+                ).alias("sha_ok"),
+                pos_udf(F.col("content")).alias("match_rows"),
+            )
+            .orderBy("rank")
+        )
+        return joined
+
+
+def _match_token(tok: str, qterms: List[str], mode: str) -> bool:
+    # predicate per reference SimpleSearchManager.java:196-202
+    if mode == START_WITH:
+        return any(tok.startswith(q) for q in qterms)
+    return tok in qterms

@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spark_search import dedup as DD
+from spark_search import multimodal as MM
 from spark_search import pipeline as P
+from spark_search import similarity as SIM
+from spark_search import textops as TX
 from spark_search.corpus import load_sf_documents
 from spark_search.tokenizer import tokens_sql
 
@@ -157,6 +161,75 @@ def _q_doc_lengths_top(spark, sf_dir):
     )
 
 
+# -------------------------------------------- training-data pipeline ops
+
+SIM_QUERY_IDS = [0, 1, 2]
+
+
+def _docs_raw(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb_raw(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_token_counts(spark, sf_dir):
+    return TX.token_counts(_docs_raw(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    return TX.quality_scores(_docs_raw(spark, sf_dir))
+
+
+def _q_text_lang_confusion(spark, sf_dir):
+    return TX.lang_confusion(_docs_raw(spark, sf_dir))
+
+
+def _q_text_fingerprints(spark, sf_dir):
+    return TX.fingerprints(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return DD.exact_dup_groups(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return DD.minhash_near_dup(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return DD.simhash(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    return DD.simhash_near_dup(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return DD.embedding_near_dup(_emb_raw(spark, sf_dir))
+
+
+def _q_sim_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_emb_raw(spark, sf_dir), SIM_QUERY_IDS)
+
+
+def _q_sim_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(_emb_raw(spark, sf_dir), SIM_QUERY_IDS)
+
+
+def _q_media_stats(spark, sf_dir):
+    return MM.media_stats(_docs_raw(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    return MM.media_features_summary(_docs_raw(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 multi-term OR query over sf0.001, with doc
     metadata joined back (the Q4 registry semi-join analog)."""
@@ -179,6 +252,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "match_set_exact": _q_match_set,
         "doc_lengths_top": _q_doc_lengths_top,
+        # training-data pipeline (SURVEY.md scope extension)
+        "text_token_counts": _q_text_token_counts,
+        "text_quality": _q_text_quality,
+        "text_lang_confusion": _q_text_lang_confusion,
+        "text_fingerprints": _q_text_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_embedding": _q_dedup_embedding,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
     }
 
 
@@ -217,4 +305,18 @@ SELECT doc_id::BIGINT AS doc_id, len({_TOKS_DUCK})::BIGINT AS dl
 FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)
 ORDER BY dl DESC, doc_id ASC LIMIT 20
 """,
+        "text_token_counts": TX.token_counts_sql(),
+        "text_quality": TX.quality_scores_sql(),
+        "text_lang_confusion": TX.lang_confusion_sql(),
+        "text_fingerprints": TX.fingerprints_sql(),
+        "dedup_exact": DD.exact_dup_groups_sql(),
+        "dedup_minhash_lsh": DD.minhash_near_dup_sql(),
+        "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(),
+        "dedup_simhash": DD.simhash_sql(),
+        "dedup_simhash_pairs": DD.simhash_near_dup_sql(),
+        "dedup_embedding": DD.embedding_near_dup_sql(),
+        "sim_cosine_topk": SIM.cosine_topk_sql(SIM_QUERY_IDS),
+        "sim_ivf_topk": SIM.ivf_topk_sql(SIM_QUERY_IDS),
+        "media_stats": MM.media_stats_sql(),
+        "media_features": MM.media_features_summary_sql(),
     }

@@ -1,0 +1,486 @@
+"""Deduplication operators for a training-data pipeline.
+
+Five dedup families over the ``documents`` table (and one over
+``embeddings``), each expressed as declarative DataFrame pipelines with
+a DuckDB oracle builder so the driver's correctness gate covers them:
+
+  * exact           — sha256 hash groupBy (one shuffle on the hash key)
+  * MinHash + LSH   — shingle → p-permutation minhash → banded bucket
+                      join → exact-Jaccard verification of candidates
+  * n-gram Jaccard  — exact all-pairs via a shingle inverted index
+  * SimHash         — 32-bit sign-random-projection hash + pigeonhole
+                      chunk join for Hamming-distance pairs
+  * embedding cosine— near-duplicate vector pairs (brute-force baseline;
+                      the LSH-bucketed scale path lives in similarity.py)
+
+Determinism across engines: all hashing goes through md5
+(texthash.h60 / raw md5 hex strings), which Spark SQL and DuckDB
+compute identically; MinHash signatures are *string* minima of md5
+digests, so no integer-width pitfalls.
+
+The reference has no dedup surface at all — its only dedup is the
+"already indexed" guard (reference
+engine/src/main/java/org/search/engine/index/DocumentIndexManager.java:334-336,
+SURVEY.md §2.3 O9). These operators are the north-star training-data
+extensions.
+
+Scale notes (100 TB):
+  * exact: single hash-partitioned aggregation; AQE handles size.
+  * MinHash: the signature aggregation is one groupBy(doc_id) with p
+    min() aggregates (map-side partial agg — no row explosion by p);
+    the band self-join shuffles on (band, band_hash), whose cardinality
+    is bounded by bucket collisions, not corpus size.
+  * n-gram Jaccard: the shingle self-join is quadratic in per-shingle
+    df; production runs cap shingle df (drop shingles with df > D, they
+    carry no similarity signal) — exposed via ``max_shingle_df``.
+  * SimHash: pigeonhole join on 8-bit chunks ⇒ 4 shuffle keys per doc;
+    guarantees exactness for Hamming distance ≤ 3.
+  * embedding: the all-pairs form is the correctness baseline; swap in
+    similarity.ann_assignments buckets to block the join at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .texthash import h60, h60_sql, shingles_col, shingles_sql
+from .tokenizer import tokens_col, tokens_sql
+
+DEFAULT_P = 12        # minhash permutations
+DEFAULT_BANDS = 4     # LSH bands (rows per band = P / BANDS)
+DEFAULT_N = 3         # word n-gram shingle width
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4    # 8-bit chunks -> exact for maxdist <= 3
+
+
+def _toks(col: Column) -> Column:
+    return tokens_col(col, "whitespace")
+
+
+def _toks_duck(expr: str = "text") -> str:
+    return tokens_sql(expr, tokenizer="whitespace", dialect="duckdb")
+
+
+def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s) — one row per distinct word n-gram shingle."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(shingles_col(_toks(F.col("text")), n)).alias("s"),
+    )
+
+
+_DUCK_SH = """
+base AS (SELECT doc_id, {toks} AS t FROM documents),
+sh0 AS (SELECT doc_id, {grams} AS grams FROM base),
+sh AS (SELECT doc_id, unnest(grams) AS s FROM sh0)
+"""
+
+
+def _duck_sh(n: int) -> str:
+    return _DUCK_SH.format(toks=_toks_duck(), grams=shingles_sql(n))
+
+
+# ------------------------------------------------------------- exact
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_sha256, group_size, keep) — exact dedup by
+    content hash; ``keep`` marks the canonical (minimum doc_id) member
+    of each duplicate group. One shuffle, partial+final agg, broadcast
+    join of the (small) group table back onto doc ids."""
+    key = F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+    hashed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        key.alias("content_sha256"),
+    )
+    groups = hashed.groupBy("content_sha256").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return hashed.join(groups, "content_sha256").select(
+        "doc_id",
+        "content_sha256",
+        "group_size",
+        (F.col("doc_id") == F.col("canonical")).alias("keep"),
+    )
+
+
+def exact_dup_groups_sql() -> str:
+    return """
+SELECT doc_id::BIGINT AS doc_id,
+       sha256(coalesce(text, '')) AS content_sha256,
+       (count(*) OVER (PARTITION BY sha256(coalesce(text, ''))))::BIGINT AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY sha256(coalesce(text, ''))) AS keep
+FROM documents
+"""
+
+
+# ---------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(
+    docs: DataFrame, p: int = DEFAULT_P, n: int = DEFAULT_N
+) -> DataFrame:
+    """(doc_id, m0..m{p-1}) — p-permutation MinHash signature. Each
+    permutation is min(md5(seed || ':' || shingle)) as a hex string.
+    Single groupBy(doc_id) with p min() aggregates — map-side combine,
+    no row multiplication by p. Docs without shingles have no row."""
+    sh = _shingle_rows(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+        for i in range(p)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, p: int = DEFAULT_P, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(doc_id, band, bh) — hash each band of r = p/bands signature rows."""
+    r = p // bands
+    cols = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"m{k * r + j}") for j in range(r)])
+            ).alias("bh"),
+        )
+        for k in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*cols)).alias("x")
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+
+
+def minhash_near_dup(
+    docs: DataFrame,
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH candidate pairs whose *exact*
+    shingle Jaccard ≥ threshold. The verification step makes the output
+    deterministic given the signature scheme (no false positives; false
+    negatives are pairs no band agrees on — the oracle replicates the
+    identical scheme, so results match bit-for-bit)."""
+    sh = _shingle_rows(docs, n)
+    sig = minhash_signatures(docs, p, n)
+    b = lsh_bands(sig, p, bands)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh, threshold)
+
+
+def _verified_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("nsh"))
+    common = (
+        cand.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    j = (
+        common.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_near_dup_sql(
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+) -> str:
+    r = p // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || s)) AS m{i}" for i in range(p)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {k} AS band, md5({parts}) AS bh FROM sig".format(
+            k=k,
+            parts=" || '|' || ".join(f"m{k * r + j}" for j in range(r)),
+        )
+        for k in range(bands)
+    )
+    return f"""
+WITH {_duck_sh(n)},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bandt AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandt a JOIN bandt b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY doc_id),
+common AS (SELECT doc_a, doc_b, count(*)::BIGINT AS c
+           FROM cand JOIN sh x ON x.doc_id = doc_a
+                     JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+           GROUP BY doc_a, doc_b)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sz na ON na.doc_id = doc_a
+JOIN sz nb ON nb.doc_id = doc_b
+WHERE c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE >= {threshold}
+"""
+
+
+# ----------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — EXACT all-pairs Jaccard ≥ threshold via
+    the shingle inverted index (pairs sharing zero shingles never
+    materialize). ``max_shingle_df`` drops ubiquitous shingles before
+    the self-join — the standard skew cap at scale (changes semantics
+    only for pairs glued together by stop-shingles)."""
+    sh = _shingle_rows(docs, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(keep, "s")
+    cand = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("nsh"))
+    j = (
+        cand.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def ngram_jaccard_pairs_sql(n: int = DEFAULT_N, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_duck_sh(n)},
+cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS c
+         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY doc_id)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE, 6) AS jaccard
+FROM cand
+JOIN sz na ON na.doc_id = doc_a
+JOIN sz nb ON nb.doc_id = doc_b
+WHERE c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE >= {threshold}
+"""
+
+
+# ------------------------------------------------------------ SimHash
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — sign-random-projection hash: bit j of the
+    term's h60 votes ±tf; simhash bit j = sign of the vote sum. One
+    explode + one groupBy(doc_id) with ``bits`` integer sums (exact
+    arithmetic — no float drift between engines)."""
+    tf = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(_toks(F.col("text"))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("h", h60(F.col("term")))
+    )
+    aggs = [
+        F.sum(
+            F.col("tf")
+            * (
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    votes = tf.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    toks = _toks_duck()
+    sums = ", ".join(
+        f"sum(tf * (2 * ((h >> {j}) & 1) - 1)) AS s{j}" for j in range(bits)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+hashed AS (SELECT doc_id, tf, {h60_sql('term')} AS h FROM tf),
+votes AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, ({combine})::BIGINT AS simhash FROM votes
+"""
+
+
+def simhash_near_dup(
+    docs: DataFrame, maxdist: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within Hamming distance
+    ``maxdist``. Pigeonhole: the hash is cut into SIMHASH_CHUNKS 8-bit
+    chunks; distance ≤ 3 < 4 chunks forces at least one identical
+    chunk, so the chunk equi-join finds every qualifying pair — exact,
+    and the join key spreads uniformly (it's a hash)."""
+    assert maxdist < SIMHASH_CHUNKS, "pigeonhole needs maxdist < chunks"
+    s = simhash(docs, bits)
+    width = bits // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    chunks = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("v"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    e = s.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("x")
+    ).select("doc_id", "simhash", F.col("x.c").alias("c"), F.col("x.v").alias("v"))
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= maxdist)
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_near_dup_sql(maxdist: int = 3, bits: int = SIMHASH_BITS) -> str:
+    """Oracle: brute-force all-pairs Hamming — exact, so it equals the
+    pigeonhole join's output by construction."""
+    return f"""
+WITH s AS ({simhash_sql(bits)})
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {maxdist}
+"""
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """(vec_a, vec_b, cosine) — brute-force cosine near-duplicate pairs
+    over (vec_id, embedding). All arithmetic in float64 with the same
+    reduction order as the oracle (sequential fold over the array).
+
+    This is the correctness baseline (O(n²) pairs); the scale path
+    blocks the join by similarity.ann centroid cells or SimHash-style
+    sign buckets before the pairwise step."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        v.alias("v"),
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    return (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.45) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+             6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+      >= {threshold}
+"""

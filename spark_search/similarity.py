@@ -1,0 +1,260 @@
+"""Similarity search over an embedding column (vec_id, embedding:
+array<float>, label).
+
+Two operators, both declarative and oracle-checked:
+
+  * ``cosine_topk``  — brute-force exact cosine top-k for a set of
+    query vectors: the baseline. The query set is broadcast (it is tiny
+    by definition); the corpus side streams — one scan, no shuffle
+    except the final per-query top-k (TakeOrdered via window over ≤ a
+    few thousand candidate rows per query after local pruning).
+  * ``ivf_topk``     — IVF-style approximate search: vectors are
+    assigned to deterministic centroid cells; a query probes only the
+    ``nprobe`` nearest cells, cutting scored candidates by ~C/nprobe.
+    Cell assignment is itself a broadcast-join argmax (centroids are
+    small), so building the "index" is one map-side pass — at 100 TB
+    the assignments would be written once (partitioned by cell) and
+    reused across queries, turning every query into a partition-pruned
+    scan of nprobe cells.
+
+Centroids are chosen deterministically (the ``n_centroids`` smallest
+vec_ids) instead of k-means — the partitioning mechanics, not the
+clustering quality, are what the engine contributes; swap in trained
+centroids without changing any plan.
+
+All float arithmetic is float64 with sequential reduction order so the
+DuckDB oracle (list_dot_product-based) matches to ~1e-15.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_K = 10
+DEFAULT_CENTROIDS = 8
+DEFAULT_NPROBE = 2
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    v = _as_double(F.col("embedding"))
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_ids: List[int], k: int = DEFAULT_K
+) -> DataFrame:
+    """(qid, vec_id, score, rank) — exact top-k by cosine for each query
+    vector (queries are corpus members identified by vec_id; the query
+    side is broadcast). Ties break vec_id ASC."""
+    e = _with_norm(emb)
+    q = e.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def cosine_topk_sql(query_ids: List[int], k: int = DEFAULT_K) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e WHERE vec_id IN ({ids})),
+scored AS (SELECT qid, vec_id,
+                  list_dot_product(v, qv) / (norm * qnorm) AS score
+           FROM e CROSS JOIN q),
+ranked AS (SELECT qid, vec_id, score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id,
+       round(score, 6) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------------ IVF ANN
+
+
+def ann_assignments(
+    emb: DataFrame, n_centroids: int = DEFAULT_CENTROIDS
+) -> DataFrame:
+    """(vec_id, cell) — assign every vector to its nearest centroid by
+    cosine (ties → smallest centroid id). Broadcast-join argmax: the
+    centroid table is tiny, the corpus side never shuffles; at scale
+    the result is written partitioned by cell (the IVF index)."""
+    e = _with_norm(emb)
+    cent = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: List[int],
+    k: int = DEFAULT_K,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    nprobe: int = DEFAULT_NPROBE,
+) -> DataFrame:
+    """(qid, vec_id, score, rank) — IVF approximate top-k: score only
+    vectors whose cell is among the query's ``nprobe`` closest
+    centroids. Deterministic (and therefore oracle-checkable) because
+    centroids and tie-breaks are."""
+    e = _with_norm(emb)
+    assign = ann_assignments(emb, n_centroids)
+    cent = e.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    q = e.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    # which cells does each query probe?
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "cell",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+            "sim"
+        ),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "cell")
+    )
+    # candidates = vectors living in probed cells (cell-pruned scan at
+    # scale: assignments are partitioned by cell on disk)
+    cand = assign.join(F.broadcast(probes), "cell").select("qid", "vec_id")
+    scored = (
+        cand.join(e, "vec_id")
+        .join(
+            F.broadcast(q.select("qid", "qv", "qnorm")), "qid"
+        )
+        .select(
+            "qid",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def ivf_topk_sql(
+    query_ids: List[int],
+    k: int = DEFAULT_K,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    nprobe: int = DEFAULT_NPROBE,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e
+         WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv) / (e.norm * cent.cnorm) DESC,
+                      cent.cell ASC) AS rn
+    FROM e CROSS JOIN cent)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, cent.cell,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, cent.cv) / (q.qnorm * cent.cnorm) DESC,
+                      cent.cell ASC) AS rn
+    FROM q CROSS JOIN cent)
+  WHERE rn <= {nprobe}),
+cand AS (SELECT probes.qid, assign.vec_id
+         FROM assign JOIN probes ON assign.cell = probes.cell),
+scored AS (SELECT cand.qid, cand.vec_id,
+                  list_dot_product(e.v, q.qv) / (e.norm * q.qnorm) AS score
+           FROM cand JOIN e ON e.vec_id = cand.vec_id
+                     JOIN q ON q.qid = cand.qid),
+ranked AS (SELECT qid, vec_id, score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id,
+       round(score, 6) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""

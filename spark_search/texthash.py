@@ -1,0 +1,73 @@
+"""Cross-engine deterministic hashing + shingling primitives.
+
+Every dedup / fingerprint operator in this package must be verifiable by
+a DuckDB SQL oracle (driver contract), so hashes cannot use Spark's
+``xxhash64`` (engine-private seed/algorithm). Instead both sides derive a
+60-bit integer from the first 15 hex chars of ``md5`` — byte-identical
+in Spark SQL and DuckDB, no Python in the hot path on the Spark side.
+
+Scale note (100 TB): md5 via the JVM's codegen'd expression is ~GB/s per
+core and embarrassingly parallel; the hash never shuffles more than the
+(doc_id, shingle/term) projection it is computed over.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, functions as F
+
+# ------------------------------------------------------------------ h60
+
+
+def h60(col: Column) -> Column:
+    """60-bit deterministic hash of a string column (Spark side).
+
+    ``conv`` parses the 15-hex-char prefix of md5 (60 bits < 2^63, so the
+    signed cast is lossless and non-negative).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """The identical hash as a DuckDB SQL snippet."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+# ------------------------------------------------------------- shingles
+
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (Spark side).
+
+    Pure JVM expression (sequence/transform/element_at) — no explode, no
+    Python; one array op per row. Docs with < n tokens yield [].
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(n: int = 3, var: str = "t") -> str:
+    """Same distinct word n-grams in DuckDB. The caller must bind the
+    token list to column/alias ``var`` in an enclosing CTE (1-indexed
+    lists; generate_series(1, len-n+1) is empty when len < n)."""
+    joined = " || ' ' || ".join(
+        f"{var}[i]" if j == 0 else f"{var}[i+{j}]" for j in range(n)
+    )
+    return (
+        f"list_distinct([{joined} for i in"
+        f" generate_series(1, len({var}) - {n - 1})])"
+    )
+
+
+def minhash_seeds(p: int) -> List[str]:
+    """Seed prefixes '0:' .. '{p-1}:' shared by both engines."""
+    return [f"{i}:" for i in range(p)]

@@ -1,0 +1,267 @@
+"""Text-analysis operators for a training-data pipeline over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+These extend the engine beyond the reference's search surface (the
+reference has no scalar functions at all beyond its two tokenizers —
+reference engine/src/main/java/org/search/engine/analyzer/, SURVEY.md
+§2.2); they are the corpus-preparation stages a 100 TB training-data
+pipeline needs: token counting, quality scoring, language ID, document
+fingerprinting.
+
+Design rules (enforced across the module):
+  * every operator is a pure Spark-SQL expression pipeline — zero
+    Python, whole-stage codegen end-to-end, no explode unless the
+    operator's output is per-token;
+  * every operator has a DuckDB oracle builder (``*_sql``) generating
+    the byte-identical computation, so the driver's correctness gate
+    covers it;
+  * narrow plans: one scan, one (optional) final aggregation — no joins
+    against anything non-broadcast, so the plan shape is unchanged at
+    1000 executors.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .tokenizer import tokens_col, tokens_sql
+
+# "BPE-ish" pre-tokenization: letter runs, digit runs, single
+# non-alphanumerics (identical semantics in Java regex and RE2).
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS: List[str] = [
+    "the", "a", "an", "of", "to", "and", "in", "is", "on", "for",
+    "with", "as", "by", "at", "or", "be", "this", "that", "it", "from",
+]
+
+# language marker words (n-gram-free heuristic language ID; the
+# mechanism — per-language evidence counts + deterministic argmax —
+# is what matters, the lists are intentionally tiny and disjoint)
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "y", "es", "un"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # argmax tie-break order
+
+
+def _toks(col: Column) -> Column:
+    return tokens_col(col, "whitespace")
+
+
+def _toks_duck(expr: str = "text") -> str:
+    return tokens_sql(expr, tokenizer="whitespace", dialect="duckdb")
+
+
+def _in_list(item: Column, words: List[str]) -> Column:
+    return item.isin(words)
+
+
+# -------------------------------------------------------- token counts
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_bpe, n_chars) — whitespace
+    token count, distinct-token count, BPE-ish pre-token count, chars.
+
+    Single scan, no shuffle, no Python: all four counts are array
+    expressions over one row. At 100 TB this is a map-only job.
+    """
+    t = _toks(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(BPE_REGEX), 0
+            )
+        ).cast("long").alias("n_bpe"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
+    )
+
+
+def token_counts_sql() -> str:
+    toks = _toks_duck()
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len({toks})::BIGINT AS n_tokens,
+       len(list_distinct({toks}))::BIGINT AS n_distinct,
+       len(regexp_extract_all(coalesce(text, ''), '{BPE_REGEX}'))::BIGINT AS n_bpe,
+       length(coalesce(text, ''))::BIGINT AS n_chars
+FROM documents
+"""
+
+
+# ------------------------------------------------------ quality scores
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, distinct_ratio, mean_token_len,
+    quality) — heuristic document-quality features + a frozen composite
+    score in [0, 1]. Map-only; identical float64 arithmetic on both
+    engines (counts are exact ints, one division each)."""
+    t = _toks(F.col("text"))
+    n = F.size(t).cast("double")
+    n_stop = F.size(F.filter(t, lambda x: _in_list(x, STOPWORDS))).cast("double")
+    n_dist = F.size(F.array_distinct(t)).cast("double")
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    stop_ratio = n_stop / safe_n
+    dist_ratio = n_dist / safe_n
+    mean_len = sum_len / safe_n
+    quality = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.3)
+            + F.lit(1.2) * stop_ratio
+            + F.lit(0.5) * dist_ratio
+            - F.lit(0.02) * F.abs(mean_len - F.lit(5.0)),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(dist_ratio, 6).alias("distinct_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def quality_scores_sql() -> str:
+    toks = _toks_duck()
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {toks} AS t,
+         len({toks})::DOUBLE AS n,
+         len(list_filter({toks}, x -> x IN ({stops})))::DOUBLE AS n_stop,
+         len(list_distinct({toks}))::DOUBLE AS n_dist,
+         list_sum(list_transform({toks}, x -> length(x)))::DOUBLE AS sum_len
+  FROM documents
+), r AS (
+  SELECT doc_id, n,
+         n_stop / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS stop_ratio,
+         n_dist / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS dist_ratio,
+         coalesce(sum_len, 0) / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS mean_len
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id,
+       n::BIGINT AS n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(dist_ratio, 6) AS distinct_ratio,
+       round(mean_len, 6) AS mean_token_len,
+       round(least(1.0, greatest(0.0,
+             0.3 + 1.2 * stop_ratio + 0.5 * dist_ratio
+             - 0.02 * abs(mean_len - 5.0))), 6) AS quality
+FROM r
+"""
+
+
+# --------------------------------------------------------- language ID
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — marker-word evidence counts with a
+    deterministic argmax (tie-break = _LANG_ORDER; all-zero → 'und').
+    Map-only scan."""
+    t = _toks(F.col("text"))
+    counts = {
+        lg: F.size(F.filter(t, lambda x: _in_list(x, ws)))
+        for lg, ws in LANG_MARKERS.items()
+    }
+    # build the CASE chain inside-out so earlier languages win ties
+    pred = F.lit("und")
+    for lg in reversed(_LANG_ORDER):
+        others = [counts[o] for o in _LANG_ORDER if o != lg]
+        cond = (counts[lg] > 0)
+        for o in others:
+            cond = cond & (counts[lg] >= o)
+        pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), pred.alias("pred_lang")
+    )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, pred_lang, n_docs) — labelled-vs-predicted confusion
+    counts. One map-only scan + one tiny aggregation (≤ |langs|² rows)."""
+    pred = lang_id(docs)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _lang_pred_sql() -> str:
+    toks = _toks_duck()
+    cnt = {
+        lg: f"len(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lg, ws in LANG_MARKERS.items()
+    }
+    whens = []
+    for lg in _LANG_ORDER:
+        conds = [f"c_{lg} > 0"] + [
+            f"c_{lg} >= c_{o}" for o in _LANG_ORDER if o != lg
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    cols = ", ".join(f"{expr} AS c_{lg}" for lg, expr in cnt.items())
+    return f"SELECT doc_id, lang, {case} AS pred_lang FROM (SELECT doc_id, lang, {cols} FROM documents)"
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+FROM ({_lang_pred_sql()})
+GROUP BY lang, pred_lang
+"""
+
+
+# -------------------------------------------------------- fingerprints
+
+
+def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, content_sha256, min_shingle_h) — exact content hash plus
+    a 1-permutation MinHash over word n-gram shingles (the cheapest
+    similarity-preserving fingerprint; docs with < n tokens fall back to
+    the whole-text hash). Map-only; both hashes are codegen'd JVM
+    expressions (texthash.h60)."""
+    from .texthash import h60, shingles_col
+
+    t = _toks(F.col("text"))
+    sh = shingles_col(t, n)
+    min_h = F.array_min(F.transform(sh, lambda s: h60(s)))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("content_sha256"),
+        F.coalesce(
+            min_h, h60(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("min_shingle_h"),
+    )
+
+
+def fingerprints_sql(n: int = 3) -> str:
+    from .texthash import h60_sql, shingles_sql
+
+    toks = _toks_duck()
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, text, {shingles_sql(n)} AS grams FROM base)
+SELECT doc_id::BIGINT AS doc_id,
+       sha256(text) AS content_sha256,
+       coalesce(list_min(list_transform(grams, s -> {h60_sql('s')})),
+                {h60_sql('text')})::BIGINT AS min_shingle_h
+FROM sh
+"""

@@ -155,9 +155,12 @@ def build_index(
         )
         docs_on_disk = spark.read.parquet(paths.docs)
         row = docs_on_disk.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("tot"),
         ).collect()[0]
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+        total_dl = int(row["tot"] or 0)
 
         # doclens: dense per-chunk int32 dl arrays (doc_ids are dense and
         # 1-based, so position = (doc_id-1) % chunk_span)
@@ -189,7 +192,7 @@ def build_index(
             )
         )
         chunked.write.mode("overwrite").parquet(paths.doclens)
-        manifest.stats = CorpusStats(n_docs, avgdl).to_dict()
+        manifest.stats = CorpusStats(n_docs, avgdl, total_dl).to_dict()
         manifest.record_stage(
             "docs", fingerprint, rows=n_docs, wall_s=time.time() - t0
         )

@@ -24,9 +24,13 @@ from .tokenizer import tokens_col
 KEY_COLS = ["repo", "path", "commit"]
 
 
-def with_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Assign deterministic dense 1-based doc_id ordered by (repo, path,
-    commit), without a single-partition global window."""
+def with_doc_ids(
+    df: DataFrame, num_partitions: int | None = None, start: int = 0
+) -> DataFrame:
+    """Assign deterministic dense doc_id (``start + 1`` upward) ordered
+    by (repo, path, commit), without a single-partition global window.
+    ``start`` lets incremental segments begin past the existing id
+    space (maintain.upsert_docs aligns it to a chunk boundary)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(parts, *KEY_COLS)
@@ -44,7 +48,10 @@ def with_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     )
     return (
         with_local.join(F.broadcast(counts), "_pid")
-        .withColumn("doc_id", (F.col("_base") + F.col("_local_rn")).cast("long"))
+        .withColumn(
+            "doc_id",
+            (F.lit(start) + F.col("_base") + F.col("_local_rn")).cast("long"),
+        )
         .drop("_pid", "_local_rn", "_base")
     )
 

@@ -1,0 +1,472 @@
+"""Incremental index maintenance: delete / upsert / compact.
+
+The Spark analog of the reference's incremental update surface
+(reference engine/src/main/java/org/search/engine/index/
+DocumentRemoveTask.java:40-58, DocumentUpdateTask.java:40-83 and the
+tree's removeByValue, tree/SearchEngineConcurrentTree.java:270-280 —
+SURVEY.md §2.3 O4-O7), redesigned for immutable distributed storage as
+segments + tombstones + manifest swap (the Lucene/Iceberg pattern):
+
+  * ``delete_docs``  — write a tombstone list; NO data files are
+    touched. Queries filter tombstones at score time; corpus stats
+    (N, total_dl) are corrected exactly at delete time from integer
+    totals. Cost: O(|deleted|), not O(index).
+  * ``upsert_docs``  — build a NEW segment from only the new/changed
+    documents (tokenize + aggregate + encode just those docs — the
+    partition-level rebuild of SURVEY.md O7), tombstone the replaced
+    doc_ids, and publish a manifest listing old segments + the new one.
+    New doc_ids start at a fresh chunk boundary, so chunk-level state
+    (doclens, postings chunks) never collides across segments.
+  * ``compact``      — the segment-merge stage: rewrite postings
+    dropping tombstoned docs (decode → filter → re-encode, only for
+    chunks that actually contain tombstones — untouched rows pass
+    through as opaque bytes), recompute exact per-term df, and publish
+    a single-segment index with zero tombstones.
+
+Staleness contract (identical to Lucene's): between a delete and the
+next compact, match SETS are exact (tombstones filter every query) but
+per-term ``df`` still counts tombstoned docs, so BM25 scores can differ
+from a fresh rebuild by the df drift; ``compact`` restores exactness.
+Tests pin both properties (tests/test_maintain.py).
+
+Every operation writes a NEW index directory (copy-on-write at the
+directory level, data shared by reference) and commits it atomically
+via the manifest rename — readers of the old index are never disturbed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import BLOCKS_SCHEMA, build_index
+from .checkpoint import BuildManifest
+from .codec import decode_block, encode_blocks
+from .ids import with_doc_ids
+from .stats import CorpusStats
+
+DELETES_SUB = "deletes"
+SEGMENTS_SUB = "segments"
+
+
+# ------------------------------------------------------------- helpers
+
+
+def _load_committed(index_dir: str) -> BuildManifest:
+    m = BuildManifest.load(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest.json under {index_dir}")
+    return m
+
+
+def _segments(m: BuildManifest, index_dir: str) -> List[str]:
+    return [os.path.abspath(p) for p in m.config.get("segments", [index_dir])]
+
+
+def _multi(spark: SparkSession, segs: List[str], sub: str) -> DataFrame:
+    # per-root reads unioned (partition discovery is per segment root)
+    dfs = [spark.read.parquet(os.path.join(s, sub)) for s in segs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _as_ids_df(
+    spark: SparkSession, doc_ids: Union[DataFrame, Iterable[int]]
+) -> DataFrame:
+    if isinstance(doc_ids, DataFrame):
+        return doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    )
+
+
+def _deleted_dl_sum(
+    spark: SparkSession, segs: List[str], dels: DataFrame, span: int
+) -> int:
+    """Exact Σ dl over the tombstoned ids, by decoding only the doclens
+    chunks that contain them (pandas UDF over packed int32 arrays)."""
+    by_chunk = (
+        dels.select(
+            ((F.col("doc_id") - 1) / span).cast("long").alias("chunk"),
+            ((F.col("doc_id") - 1) % span).alias("pos"),
+        )
+        .groupBy("chunk")
+        .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
+    )
+
+    @F.pandas_udf("long")
+    def sum_at(dls: pd.Series, pos: pd.Series) -> pd.Series:
+        out = []
+        for buf, p in zip(dls, pos):
+            arr = np.frombuffer(buf, dtype=np.int32)
+            idx = np.asarray(p, dtype=np.int64)
+            idx = idx[(idx >= 0) & (idx < arr.size)]
+            out.append(int(arr[idx].sum()))
+        return pd.Series(out, dtype="int64")
+
+    joined = _multi(spark, segs, "doclens").join(by_chunk, "chunk")
+    row = joined.select(sum_at("dls", "pos").alias("s")).agg(
+        F.sum("s").alias("t")
+    ).collect()[0]
+    return int(row["t"] or 0)
+
+
+def _exact_stats(m: BuildManifest, spark, segs: List[str]) -> CorpusStats:
+    s = CorpusStats.from_dict(m.stats)
+    if s.total_dl >= 0:
+        return s
+    # pre-v2 manifest: recompute the integer total from docs metadata
+    row = _multi(spark, segs, "docs").agg(F.sum("dl").alias("t")).collect()[0]
+    return CorpusStats(s.n_docs, s.avgdl, int(row["t"] or 0))
+
+
+# -------------------------------------------------------------- delete
+
+
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    doc_ids: Union[DataFrame, Iterable[int]],
+) -> BuildManifest:
+    """Tombstone ``doc_ids`` and publish a new index at ``out_dir``
+    sharing every data file of ``index_dir``. O(|deleted|) work."""
+    m = _load_committed(index_dir)
+    segs = _segments(m, index_dir)
+    span = int(m.config["chunk_span"])
+    t0 = time.time()
+
+    ids = _as_ids_df(spark, doc_ids)
+    live_docs = _multi(spark, segs, "docs").select("doc_id")
+    old_dels_dir = m.config.get("deletes_dir")
+    if old_dels_dir:
+        old = spark.read.parquet(old_dels_dir)
+        live = live_docs.join(old, "doc_id", "left_anti")
+    else:
+        old = None
+        live = live_docs
+    new_dels = ids.join(live, "doc_id", "left_semi").distinct()
+    n_new = new_dels.count()
+
+    stats = _exact_stats(m, spark, segs)
+    removed_dl = (
+        _deleted_dl_sum(spark, segs, new_dels, span) if n_new else 0
+    )
+
+    dels_out = os.path.join(os.path.abspath(out_dir), DELETES_SUB)
+    all_dels = new_dels if old is None else old.union(new_dels).distinct()
+    all_dels.repartition(1).write.mode("overwrite").parquet(dels_out)
+
+    out = BuildManifest(out_dir)
+    out.config = {
+        **m.config,
+        "segments": segs,
+        "deletes_dir": dels_out,
+    }
+    out.stats = CorpusStats.combine(
+        stats.n_docs - n_new, stats.total_dl - removed_dl
+    ).to_dict()
+    out.record_stage(
+        "delete", fingerprint=f"dels+{n_new}", n_deleted=n_new,
+        removed_dl=removed_dl, wall_s=time.time() - t0,
+    )
+    out.commit()
+    return out
+
+
+# -------------------------------------------------------------- upsert
+
+
+def upsert_docs(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    new_docs: DataFrame,
+    num_partitions: Optional[int] = None,
+) -> BuildManifest:
+    """Add or replace documents (identity key: repo, path). Builds one
+    new segment from only ``new_docs`` — the reference's per-document
+    incremental diff (DocumentUpdateTask.java:40-83) generalized to a
+    batch — and tombstones superseded doc_ids. Cost: O(|new batch|)."""
+    m = _load_committed(index_dir)
+    segs = _segments(m, index_dir)
+    cfg = m.config
+    span = int(cfg["chunk_span"])
+    t0 = time.time()
+
+    # 1. which live docs does this batch replace?
+    live = _multi(spark, segs, "docs").select("doc_id", "repo", "path")
+    old_dels_dir = cfg.get("deletes_dir")
+    old_dels = spark.read.parquet(old_dels_dir) if old_dels_dir else None
+    if old_dels is not None:
+        live = live.join(old_dels, "doc_id", "left_anti")
+    replaced = live.join(
+        new_docs.select("repo", "path").distinct(), ["repo", "path"]
+    ).select("doc_id").distinct()
+    n_replaced = replaced.count()
+    removed_dl = (
+        _deleted_dl_sum(spark, segs, replaced, span) if n_replaced else 0
+    )
+
+    # 2. new segment at a fresh chunk boundary (id spaces never collide)
+    max_chunk = _multi(spark, segs, "doclens").agg(
+        F.max("chunk").alias("c")
+    ).collect()[0]["c"]
+    base = (int(max_chunk) + 1) * span
+    with_ids = (
+        new_docs
+        if "doc_id" in new_docs.columns
+        else with_doc_ids(new_docs, num_partitions, start=base)
+    )
+    seg_dir = os.path.join(
+        os.path.abspath(out_dir), SEGMENTS_SUB, f"seg-{len(segs)}"
+    )
+    seg_manifest = build_index(
+        spark,
+        with_ids,
+        seg_dir,
+        num_buckets=int(cfg["num_buckets"]),
+        chunk_span=span,
+        block_size=int(cfg.get("block_size", 128)),
+        tokenizer=cfg.get("tokenizer", "standard"),
+    )
+    seg_stats = CorpusStats.from_dict(seg_manifest.stats)
+
+    # 3. merged tombstones + exact combined stats
+    dels_out = os.path.join(os.path.abspath(out_dir), DELETES_SUB)
+    all_dels = (
+        replaced if old_dels is None else old_dels.union(replaced).distinct()
+    )
+    all_dels.repartition(1).write.mode("overwrite").parquet(dels_out)
+
+    stats = _exact_stats(m, spark, segs)
+    out = BuildManifest(out_dir)
+    out.config = {
+        **cfg,
+        "segments": segs + [seg_dir],
+        "deletes_dir": dels_out,
+    }
+    out.stats = CorpusStats.combine(
+        stats.n_docs - n_replaced + seg_stats.n_docs,
+        stats.total_dl - removed_dl + seg_stats.total_dl,
+    ).to_dict()
+    out.record_stage(
+        "upsert",
+        fingerprint=f"seg-{len(segs)}",
+        n_new=seg_stats.n_docs,
+        n_replaced=n_replaced,
+        wall_s=time.time() - t0,
+    )
+    out.commit()
+    return out
+
+
+# ------------------------------------------------------------- compact
+
+
+def compact(
+    spark: SparkSession, index_dir: str, out_dir: str
+) -> BuildManifest:
+    """Segment merge: fold all segments + tombstones into one fresh
+    single-segment index with exact per-term df — WITHOUT re-reading or
+    re-tokenizing any document content. Posting rows in chunks that
+    contain no tombstone pass through as opaque bytes; only tombstoned
+    chunks are decoded, filtered and re-encoded (a pandas UDF over the
+    block arrays). This is the merge stage of SURVEY.md §3.2's build
+    lifecycle, run standalone."""
+    m = _load_committed(index_dir)
+    segs = _segments(m, index_dir)
+    cfg = m.config
+    span = int(cfg["chunk_span"])
+    block_size = int(cfg.get("block_size", 128))
+    num_buckets = int(cfg["num_buckets"])
+    t0 = time.time()
+    out_abs = os.path.abspath(out_dir)
+
+    dels_dir = cfg.get("deletes_dir")
+    dels = spark.read.parquet(dels_dir) if dels_dir else None
+    dels_by_chunk = None
+    if dels is not None:
+        dels_by_chunk = (
+            dels.select(
+                ((F.col("doc_id") - 1) / span).cast("long").alias("chunk"),
+                "doc_id",
+            )
+            .groupBy("chunk")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
+        )
+
+    # ---- postings: pass-through or decode/filter/re-encode per row
+    posts = _multi(spark, segs, "postings")
+    if dels_by_chunk is not None:
+        posts = posts.join(F.broadcast(dels_by_chunk), "chunk", "left")
+
+        @F.pandas_udf(
+            f"struct<n_docs: long, sum_tf: long, max_tf: int, blocks: {BLOCKS_SCHEMA}>"
+        )
+        def rewrite(blocks: pd.Series, dels_col: pd.Series) -> pd.DataFrame:
+            n_docs, sum_tf, max_tf, out_blocks = [], [], [], []
+            for blks, dl in zip(blocks, dels_col):
+                if dl is None or len(dl) == 0:
+                    # no tombstones in this chunk: the F.when() keeps the
+                    # original columns, so this output row is discarded —
+                    # emit the cheapest sentinel, not a bytes round-trip
+                    n_docs.append(-1)
+                    sum_tf.append(-1)
+                    max_tf.append(-1)
+                    out_blocks.append([])
+                    continue
+                drop = np.asarray(dl, dtype=np.int64)
+                ids_all, tfs_all = [], []
+                for b in blks:
+                    ids, tfs = decode_block(
+                        int(b["first_doc"]), bytes(b["deltas"]), bytes(b["tfs"])
+                    )
+                    keep = ~np.isin(ids, drop)
+                    if keep.any():
+                        ids_all.append(ids[keep])
+                        tfs_all.append(tfs[keep])
+                if not ids_all:
+                    n_docs.append(0)
+                    sum_tf.append(0)
+                    max_tf.append(0)
+                    out_blocks.append([])
+                    continue
+                ids = np.concatenate(ids_all)
+                tfs = np.concatenate(tfs_all)
+                enc = encode_blocks(ids, tfs, block_size=block_size)
+                n_docs.append(int(ids.size))
+                sum_tf.append(int(tfs.sum()))
+                max_tf.append(int(tfs.max()))
+                out_blocks.append(
+                    [
+                        {
+                            "first_doc": e[0],
+                            "last_doc": e[1],
+                            "n": e[2],
+                            "max_tf": e[3],
+                            "deltas": e[4],
+                            "tfs": e[5],
+                        }
+                        for e in enc
+                    ]
+                )
+            return pd.DataFrame(
+                {
+                    "n_docs": pd.Series(n_docs, dtype="int64"),
+                    "sum_tf": pd.Series(sum_tf, dtype="int64"),
+                    "max_tf": pd.Series(max_tf, dtype="int32"),
+                    "blocks": out_blocks,
+                }
+            )
+
+        posts = (
+            posts.withColumn("_rw", rewrite(F.col("blocks"), F.col("_dels")))
+            .select(
+                "bucket",
+                "term",
+                "chunk",
+                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.n_docs"))
+                .otherwise(F.col("n_docs")).alias("n_docs"),
+                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.sum_tf"))
+                .otherwise(F.col("sum_tf")).alias("sum_tf"),
+                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.max_tf"))
+                .otherwise(F.col("max_tf")).alias("max_tf"),
+                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.blocks"))
+                .otherwise(F.col("blocks")).alias("blocks"),
+            )
+            .where(F.col("n_docs") > 0)
+        )
+    else:
+        posts = posts.select(
+            "bucket", "term", "chunk", "n_docs", "sum_tf", "max_tf", "blocks"
+        )
+
+    (
+        posts.repartition(num_buckets, "bucket")
+        .sortWithinPartitions("term", "chunk")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_abs, "postings"))
+    )
+
+    # ---- terms: exact df from the rewritten postings
+    new_posts = spark.read.parquet(os.path.join(out_abs, "postings"))
+    terms = new_posts.groupBy("term").agg(
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.first("bucket").alias("bucket"),
+    )
+    nparts = max(1, min(num_buckets, spark.sparkContext.defaultParallelism))
+    (
+        terms.repartitionByRange(nparts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_abs, "terms"))
+    )
+
+    # ---- docs / doclens: filter tombstones (doclens entries of removed
+    # docs are zeroed; gap positions are never referenced by postings)
+    docs = _multi(spark, segs, "docs")
+    if dels is not None:
+        docs = docs.join(dels, "doc_id", "left_anti")
+    parts = spark.sparkContext.defaultParallelism
+    (
+        docs.repartitionByRange(parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_abs, "docs"))
+    )
+
+    doclens = _multi(spark, segs, "doclens")
+    if dels_by_chunk is not None:
+        @F.pandas_udf("binary")
+        def zero_at(dls: pd.Series, dels_col: pd.Series) -> pd.Series:
+            out = []
+            for buf, dl in zip(dls, dels_col):
+                if dl is None or len(dl) == 0:
+                    out.append(buf)
+                    continue
+                arr = np.frombuffer(buf, dtype=np.int32).copy()
+                # doc_id -> position within this chunk
+                ids = np.asarray(dl, dtype=np.int64)
+                pos = (ids - 1) % span
+                pos = pos[(pos >= 0) & (pos < arr.size)]
+                arr[pos] = 0
+                out.append(arr.tobytes())
+            return pd.Series(out)
+
+        doclens = doclens.join(
+            F.broadcast(dels_by_chunk), "chunk", "left"
+        ).select("chunk", zero_at(F.col("dls"), F.col("_dels")).alias("dls"))
+    doclens.write.mode("overwrite").parquet(os.path.join(out_abs, "doclens"))
+
+    # ---- exact stats + fresh single-segment manifest
+    row = spark.read.parquet(os.path.join(out_abs, "docs")).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    out = BuildManifest(out_dir)
+    out.config = {
+        k: v
+        for k, v in cfg.items()
+        if k not in ("segments", "deletes_dir")
+    }
+    out.stats = CorpusStats.combine(
+        int(row["n"]), int(row["t"] or 0)
+    ).to_dict()
+    out.record_stage(
+        "compact",
+        fingerprint=f"{len(segs)}segs",
+        n_docs=int(row["n"]),
+        wall_s=time.time() - t0,
+    )
+    out.commit()
+    return out

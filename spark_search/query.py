@@ -30,7 +30,8 @@ chunk-grouped shuffle of already-filtered postings rows.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Tuple
+import os
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -101,20 +102,67 @@ class IndexReader:
         self.num_buckets = int(cfg["num_buckets"])
         self.chunk_span = int(cfg["chunk_span"])
         self.tokenizer = cfg.get("tokenizer", "standard")
+        # multi-segment layout (maintain.upsert_docs appends immutable
+        # segments; a fresh build is the single segment = its own root)
+        self.segments = [
+            os.path.abspath(p) for p in cfg.get("segments", [index_dir])
+        ]
+        self.deletes_dir: Optional[str] = cfg.get("deletes_dir")
 
     # ------------------------------------------------------------ pieces
 
+    def _multi(self, sub: str) -> DataFrame:
+        # per-root reads unioned: partition discovery (bucket=N dirs)
+        # must run per segment root, not across them
+        dfs = [
+            self.spark.read.parquet(os.path.join(s, sub))
+            for s in self.segments
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def terms_df(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.terms)
+        return self._multi("terms")
 
     def postings_df(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        return self._multi("postings")
 
     def docs_df(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docs)
+        """Live documents: union of segment registries minus deletes —
+        the Q4 registry + liveness filter analog (reference
+        SimpleSearchManager.java:64-66)."""
+        d = self._multi("docs")
+        dels = self.deletes_df()
+        if dels is not None:
+            d = d.join(dels, "doc_id", "left_anti")
+        return d
 
     def doclens_df(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.doclens)
+        return self._multi("doclens")
+
+    def deletes_df(self) -> Optional[DataFrame]:
+        """(doc_id) of tombstoned docs, or None. Deleted docs are
+        filtered at query time (Lucene-style); stats are corrected at
+        delete time, df per term only at compact time."""
+        if not self.deletes_dir:
+            return None
+        return self.spark.read.parquet(self.deletes_dir)
+
+    def _dels_by_chunk(self) -> Optional[DataFrame]:
+        dels = self.deletes_df()
+        if dels is None:
+            return None
+        span = self.chunk_span
+        return (
+            dels.select(
+                ((F.col("doc_id") - 1) / span).cast("long").alias("chunk"),
+                "doc_id",
+            )
+            .groupBy("chunk")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
+        )
 
     def match_terms(
         self, terms: Iterable[str], mode: str
@@ -137,7 +185,18 @@ class IndexReader:
             t = t.where(F.col("term").isin(qterms))
         if "bucket" not in t.columns:  # pre-v2 index layout
             t = t.withColumn("bucket", bucket_col(F.col("term"), self.num_buckets))
-        rows = t.select("term", "df", "max_tf", "bucket").collect()
+        # sum across segments (a term may appear in several); df counts
+        # tombstoned docs until compact() — the standard Lucene-style
+        # staleness, exact again after segment merge
+        rows = (
+            t.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.first("bucket").alias("bucket"),
+            )
+            .collect()
+        )
         return [
             (r["term"], int(r["df"]), int(r["max_tf"]), int(r["bucket"]))
             for r in rows
@@ -212,6 +271,13 @@ class IndexReader:
         joined = post.join(
             self.doclens_df().withColumnRenamed("dls", "_dls"), "chunk"
         )
+        dels_by_chunk = self._dels_by_chunk()
+        if dels_by_chunk is not None:
+            joined = joined.join(F.broadcast(dels_by_chunk), "chunk", "left")
+        else:
+            joined = joined.withColumn(
+                "_dels", F.lit(None).cast("array<long>")
+            )
 
         avgdl = stats.avgdl
         span = self.chunk_span
@@ -250,6 +316,11 @@ class IndexReader:
                         tfs.astype(np.float64), dls[pos], t_idf, avgdl
                     )
                     counts[pos] += 1
+            dels_val = pdf["_dels"].iloc[0]
+            if dels_val is not None and len(dels_val):
+                dp = np.asarray(dels_val, dtype=np.int64) - 1 - base
+                dp = dp[(dp >= 0) & (dp < counts.size)]
+                counts[dp] = 0  # tombstoned docs never match
             hit = np.flatnonzero(counts)
             if need_all:
                 hit = hit[counts[hit] == n_query]
@@ -310,6 +381,13 @@ class IndexReader:
         dls = np.frombuffer(dls_row[0]["dls"], dtype=np.int32).astype(np.float64)
         scores = np.zeros(dls.size, dtype=np.float64)
         base = int(best_chunk) * self.chunk_span
+        deleted = np.empty(0, dtype=np.int64)
+        dbc = self._dels_by_chunk()
+        if dbc is not None:
+            drow = dbc.where(F.col("chunk") == best_chunk).collect()
+            if drow:
+                dp = np.asarray(drow[0]["_dels"], dtype=np.int64) - 1 - base
+                deleted = dp[(dp >= 0) & (dp < dls.size)]
         for r in rows:
             t_idf = idf[r["term"]]
             for blk in r["blocks"]:
@@ -320,6 +398,8 @@ class IndexReader:
                 scores[pos] += _score_np(
                     tfs.astype(np.float64), dls[pos], t_idf, self.stats.avgdl
                 )
+        if deleted.size:
+            scores[deleted] = 0.0  # a tombstone must not inflate θ
         hit = scores[scores > 0]
         if hit.size < k:
             return 0.0

@@ -15,6 +15,7 @@ from typing import Dict
 class CorpusStats:
     n_docs: int
     avgdl: float
+    total_dl: int = -1  # exact token total; -1 on pre-v2 manifests
 
     def idf(self, df: int) -> float:
         # ln(1 + (N - df + 0.5)/(df + 0.5)) — Robertson/Sparck-Jones,
@@ -22,8 +23,23 @@ class CorpusStats:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def to_dict(self) -> Dict:
-        return {"n_docs": self.n_docs, "avgdl": self.avgdl}
+        return {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "total_dl": self.total_dl,
+        }
 
     @staticmethod
     def from_dict(d: Dict) -> "CorpusStats":
-        return CorpusStats(n_docs=int(d["n_docs"]), avgdl=float(d["avgdl"]))
+        return CorpusStats(
+            n_docs=int(d["n_docs"]),
+            avgdl=float(d["avgdl"]),
+            total_dl=int(d.get("total_dl", -1)),
+        )
+
+    @staticmethod
+    def combine(n_docs: int, total_dl: int) -> "CorpusStats":
+        """Exact stats from integer totals (incremental maintenance
+        recomputes avgdl from these, never from float averages)."""
+        avgdl = (total_dl / n_docs) if n_docs else 0.0
+        return CorpusStats(n_docs=n_docs, avgdl=avgdl, total_dl=total_dl)

@@ -1,0 +1,169 @@
+"""Incremental maintenance tests — the Spark analogs of the reference's
+DocumentRemoveTaskTest / DocumentUpdateTaskTest (expected index-size
+deltas and match-set changes after remove/update), plus the staleness
+contract: match sets exact immediately, scores exact after compact."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_search import pipeline as P
+from spark_search.build import build_index
+from spark_search.corpus import CORPUS_SCHEMA, reference_fixture_corpus
+from spark_search.ids import with_doc_ids
+from spark_search.maintain import compact, delete_docs, upsert_docs
+from spark_search.query import IndexReader
+
+
+@pytest.fixture(scope="module")
+def base_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("maint") / "idx0")
+    corpus = with_doc_ids(reference_fixture_corpus(spark)).cache()
+    build_index(spark, corpus, d, num_buckets=4, chunk_span=8)
+    return d, corpus
+
+
+def _ids(reader, terms, mode=P.EXACT_MATCH):
+    return sorted(
+        r["doc_id"] for r in reader.search(terms, mode, k=100).collect()
+    )
+
+
+def test_delete_removes_from_match_set(spark, base_index, tmp_path):
+    d0, corpus = base_index
+    r0 = IndexReader(spark, d0)
+    # 'mila' matches one.txt (3) and two.txt (4) in fixture ids
+    before = _ids(r0, ["mila"])
+    assert len(before) == 2
+    victim = before[0]
+
+    d1 = str(tmp_path / "idx1")
+    delete_docs(spark, d0, d1, [victim])
+    r1 = IndexReader(spark, d1)
+    assert _ids(r1, ["mila"]) == [before[1]]
+    # untouched term still resolves
+    assert len(_ids(r1, ["surfeits"])) == 1
+    # stats corrected exactly
+    assert r1.stats.n_docs == r0.stats.n_docs - 1
+    # original index untouched (snapshot isolation)
+    assert _ids(IndexReader(spark, d0), ["mila"]) == before
+    # docs registry excludes the tombstone
+    assert r1.docs_df().where(F.col("doc_id") == victim).count() == 0
+
+
+def test_upsert_replaces_and_adds(spark, base_index, tmp_path):
+    d0, corpus = base_index
+    r0 = IndexReader(spark, d0)
+    n0 = r0.stats.n_docs
+
+    new_rows = [
+        # replaces testFolder/one.txt (same repo+path, new content: no 'mila')
+        ("reference", "testFolder/one.txt", "v1", "txt",
+         "completely different words now"),
+        # brand-new doc containing 'mila'
+        ("reference", "testFolder/three.txt", "v1", "txt",
+         "fresh mila content"),
+    ]
+    new_docs = corpus.sparkSession.createDataFrame(new_rows, CORPUS_SCHEMA)
+
+    d1 = str(tmp_path / "idx1")
+    upsert_docs(spark, d0, d1, new_docs)
+    r1 = IndexReader(spark, d1)
+
+    assert r1.stats.n_docs == n0 + 1  # one replaced, one added
+    mila = _ids(r1, ["mila"])
+    # old one.txt (doc 3) gone; two.txt (doc 4) stays; new doc appears
+    assert 3 not in mila and 4 in mila and len(mila) == 2
+    assert max(mila) > n0  # the new doc got a fresh id past the old space
+    # new content is searchable
+    assert len(_ids(r1, ["completely"])) == 1
+    # updated doc's new terms and old doc's unique terms
+    assert _ids(r1, ["doma"]) == []  # 'doma' only lived in old one.txt
+
+
+def test_compact_restores_exact_scores(spark, base_index, tmp_path):
+    d0, corpus = base_index
+    before = _ids(IndexReader(spark, d0), ["mila"])
+    victim = before[0]
+
+    d1 = str(tmp_path / "i1")
+    delete_docs(spark, d0, d1, [victim])
+    d2 = str(tmp_path / "i2")
+    compact(spark, d1, d2)
+    r2 = IndexReader(spark, d2)
+    assert r2.deletes_df() is None and len(r2.segments) == 1
+
+    # ground truth: fresh build over the corpus minus the victim
+    d3 = str(tmp_path / "i3")
+    truth_corpus = corpus.where(F.col("doc_id") != victim)
+    build_index(spark, truth_corpus, d3, num_buckets=4, chunk_span=8)
+    r3 = IndexReader(spark, d3)
+
+    for terms, mode in [
+        (["mila"], P.EXACT_MATCH),
+        (["mila", "ruka"], P.WITH_SUGGESTIONS),
+        (["mil"], P.START_WITH),
+    ]:
+        got = [
+            (r["doc_id"], round(r["score"], 10))
+            for r in r2.search(terms, mode, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 10))
+            for r in r3.search(terms, mode, k=10).collect()
+        ]
+        assert got == want, (terms, mode, got, want)
+    assert r2.stats.n_docs == r3.stats.n_docs
+    assert abs(r2.stats.avgdl - r3.stats.avgdl) < 1e-12
+
+
+def test_compact_after_upsert_matches_fresh_build(spark, base_index, tmp_path):
+    d0, corpus = base_index
+    new_rows = [
+        ("reference", "testFolder/one.txt", "v1", "txt",
+         "mama mila doma hi mama i am here extra"),
+    ]
+    new_docs = corpus.sparkSession.createDataFrame(new_rows, CORPUS_SCHEMA)
+    d1 = str(tmp_path / "i1")
+    upsert_docs(spark, d0, d1, new_docs)
+    d2 = str(tmp_path / "i2")
+    compact(spark, d1, d2)
+    r2 = IndexReader(spark, d2)
+
+    # match set: one.txt's replacement still matches 'mila' (new id)
+    mila = _ids(r2, ["mila"])
+    assert len(mila) == 2 and 3 not in mila
+    # the replacement content is searchable, df/stats are exact
+    assert len(_ids(r2, ["extra"])) == 1
+    n_live = r2.docs_df().count()
+    assert n_live == r2.stats.n_docs == 4
+
+
+def test_chained_maintenance(spark, base_index, tmp_path):
+    """delete -> upsert -> delete chains across manifests."""
+    d0, corpus = base_index
+    d1 = str(tmp_path / "i1")
+    delete_docs(spark, d0, d1, [2])  # TestFileTwo.txt ('Example of text...')
+    new_docs = corpus.sparkSession.createDataFrame(
+        [("zzz", "new/a.txt", "v1", "txt", "mila appears here too")],
+        CORPUS_SCHEMA,
+    )
+    d2 = str(tmp_path / "i2")
+    upsert_docs(spark, d1, d2, new_docs)
+    d3 = str(tmp_path / "i3")
+    r2 = IndexReader(spark, d2)
+    mila2 = _ids(r2, ["mila"])
+    assert len(mila2) == 3
+    delete_docs(spark, d2, d3, [mila2[-1]])
+    r3 = IndexReader(spark, d3)
+    assert _ids(r3, ["mila"]) == mila2[:-1]
+    assert _ids(r3, ["Example"]) == []  # first delete still in effect
+    # fixtures=4, delete 1 -> 3, upsert adds 1 -> 4, delete 1 -> 3
+    assert r3.stats.n_docs == 3
+    assert r3.docs_df().count() == 3

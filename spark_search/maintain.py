@@ -393,6 +393,7 @@ def compact(
         posts.repartition(num_buckets, "bucket")
         .sortWithinPartitions("term", "chunk")
         .write.mode("overwrite")
+        .option("compression", "uncompressed")  # blocks are varint-coded
         .partitionBy("bucket")
         .parquet(os.path.join(out_abs, "postings"))
     )
@@ -447,7 +448,9 @@ def compact(
         doclens = doclens.join(
             F.broadcast(dels_by_chunk), "chunk", "left"
         ).select("chunk", zero_at(F.col("dls"), F.col("_dels")).alias("dls"))
-    doclens.write.mode("overwrite").parquet(os.path.join(out_abs, "doclens"))
+    doclens.write.mode("overwrite").option(
+        "compression", "uncompressed"
+    ).parquet(os.path.join(out_abs, "doclens"))
 
     # ---- exact stats + fresh single-segment manifest
     row = spark.read.parquet(os.path.join(out_abs, "docs")).agg(

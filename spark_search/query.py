@@ -67,6 +67,18 @@ _LOCAL_SCHEMA = T.StructType(
 )
 
 
+def _term_predicate(qterms: List[str], mode: str):
+    """The query's (small, bounded-size) term predicate — pushed into
+    the parquet scan on both the dictionary and the postings."""
+    if mode == START_WITH:
+        cond = None
+        for q in qterms:
+            c = F.col("term").startswith(q)
+            cond = c if cond is None else (cond | c)
+        return cond
+    return F.col("term").isin(qterms)
+
+
 def _term_ub(idf: float, max_tf: int) -> float:
     """Upper bound of a term's BM25 contribution given its max tf.
     The dl-dependent denominator is minimized at dl -> 0
@@ -214,42 +226,62 @@ class IndexReader:
         """BM25 top-k -> DataFrame (doc_id, score, rank)."""
         qterms = list(dict.fromkeys(terms))
         n_query_terms = len(qterms)
-        matched = self.match_terms(qterms, mode)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
-        if not matched or (mode == AND_MATCH and len(matched) < n_query_terms):
+        if not qterms:
             return empty
 
+        # ---- term metadata as a (small) DataFrame, broadcast-joined.
+        # A prefix query can expand to millions of dictionary terms at
+        # corpus scale; their idf/ub must never become driver-side
+        # literals. Only the *bucket list* (bounded by num_buckets) and
+        # two counters are ever collected.
         stats = self.stats
-        idf: Dict[str, float] = {t: stats.idf(df) for t, df, _, _ in matched}
-        ub: Dict[str, float] = {
-            t: _term_ub(idf[t], mtf) for t, _, mtf, _ in matched
-        }
-        term_list = [t for t, _, _, _ in matched]
+        pred = _term_predicate(qterms, mode)
+        meta = (
+            self.terms_df()
+            .where(pred)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.first("bucket").alias("bucket"),
+            )
+        )
+        idf_col = F.log(
+            F.lit(1.0)
+            + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        mtf = F.col("max_tf").cast("double")
+        ub_col = F.col("idf") * mtf * F.lit(K1 + 1.0) / (
+            mtf + F.lit(K1 * (1.0 - B))
+        )
+        meta = meta.withColumn("idf", idf_col).withColumn("term_ub", ub_col)
+        info = meta.agg(
+            F.count("*").alias("n"),
+            F.collect_set("bucket").alias("buckets"),
+        ).collect()[0]
+        n_matched, buckets = int(info["n"]), sorted(info["buckets"] or [])
+        if n_matched == 0 or (mode == AND_MATCH and n_matched < n_query_terms):
+            return empty
 
-        # postings scan: bucket partition pruning + term predicate pushdown
-        buckets = sorted({b for _, _, _, b in matched})
+        # postings scan: bucket partition pruning + the original (small)
+        # term predicate pushed to parquet; idf/ub arrive via the join
         post = (
             self.postings_df()
             .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(term_list))
+            .where(pred)
             .select("term", "chunk", "blocks")
+            .join(
+                F.broadcast(meta.select("term", "idf", "term_ub")), "term"
+            )
         )
 
         theta = 0.0
         if prune and mode != AND_MATCH:
-            theta = self._bootstrap_theta(post, idf, k)
+            theta = self._bootstrap_theta(post, k)
         need_all = mode == AND_MATCH
 
-        # chunk-level prune: sum of term ubs in the chunk must beat θ
-        idf_map = F.create_map(
-            *[x for t in term_list for x in (F.lit(t), F.lit(idf[t]))]
-        )
-        ub_map = F.create_map(
-            *[x for t in term_list for x in (F.lit(t), F.lit(ub[t]))]
-        )
-        post = post.withColumn("idf", idf_map[F.col("term")]).withColumn(
-            "term_ub", ub_map[F.col("term")]
-        )
         if theta > 0.0:
             w_ub = (
                 post.groupBy("chunk")
@@ -263,7 +295,7 @@ class IndexReader:
             w_n = (
                 post.groupBy("chunk")
                 .agg(F.count("*").alias("_m"))
-                .where(F.col("_m") == len(term_list))
+                .where(F.col("_m") == n_matched)
                 .select("chunk")
             )
             post = post.join(F.broadcast(w_n), "chunk")
@@ -356,9 +388,7 @@ class IndexReader:
         ]
         return self.spark.createDataFrame(out, RESULT_SCHEMA) if out else empty
 
-    def _bootstrap_theta(
-        self, post: DataFrame, idf: Dict[str, float], k: int
-    ) -> float:
+    def _bootstrap_theta(self, post: DataFrame, k: int) -> float:
         """Decode the single most-promising chunk driver-side and return
         its k-th best score (0 if it holds < k docs). One tiny collect —
         bounded by (query terms × blocks-in-one-chunk)."""
@@ -389,7 +419,7 @@ class IndexReader:
                 dp = np.asarray(drow[0]["_dels"], dtype=np.int64) - 1 - base
                 deleted = dp[(dp >= 0) & (dp < dls.size)]
         for r in rows:
-            t_idf = idf[r["term"]]
+            t_idf = float(r["idf"])
             for blk in r["blocks"]:
                 doc_ids, tfs = decode_block(
                     int(blk["first_doc"]), bytes(blk["deltas"]), bytes(blk["tfs"])

@@ -20,22 +20,26 @@ import re
 from typing import List, Tuple
 
 # The exact delimiter set of StandardTokenizer.java:14-16 (29 chars,
-# including the Unicode curly quotes U+201C/U+201D and ASCII space).
+# including the Unicode curly quotes U+201C/U+201D and ASCII space),
+# PLUS the line terminators \n \r: the reference tokenizes file content
+# line-by-line (AbstractDocumentReadTask.java:34-41 reads lines, so a
+# token can never span a newline); we tokenize whole ``content`` in one
+# expression, so the line structure becomes two extra delimiters.
 STANDARD_DELIMITERS = frozenset(
     [".", ",", "!", "?", ":", ";", '"', "'", "(", ")",
      "[", "]", "/", "-", "“", "”", " ", "<", ">", "{",
-     "}", "+", "*", "^", "#", "~", "%", "$", "@"]
+     "}", "+", "*", "^", "#", "~", "%", "$", "@", "\n", "\r"]
 )
 
 # Character class valid in BOTH Java regex (Spark) and RE2 (DuckDB):
 # '-' last so it is literal, ']'/'[' escaped, '^' not first.
-_CLASS_BODY = ' .,!?:;"\'()\\[\\]/<>{}+*^#~%$@“”-'
+_CLASS_BODY = ' .,!?:;"\'()\\[\\]/<>{}+*^#~%$@“”\n\r-'
 STANDARD_SPLIT_REGEX = "[" + _CLASS_BODY + "]+"
 # Same pattern with the single-quote doubled, for embedding in a SQL
 # string literal (DuckDB oracle).
 STANDARD_SPLIT_REGEX_SQL = STANDARD_SPLIT_REGEX.replace("'", "''")
 
-WHITESPACE_SPLIT_REGEX = " +"
+WHITESPACE_SPLIT_REGEX = "[ \n\r]+"
 
 _std_re = re.compile(STANDARD_SPLIT_REGEX)
 _ws_re = re.compile(WHITESPACE_SPLIT_REGEX)
@@ -57,7 +61,9 @@ def tokenize_with_positions(
     Token {content, positionInRow} (reference model/Token.java:3-11)."""
     if not content:
         return []
-    delims = STANDARD_DELIMITERS if tokenizer == "standard" else frozenset(" ")
+    delims = (
+        STANDARD_DELIMITERS if tokenizer == "standard" else frozenset(" \n\r")
+    )
     out: List[Tuple[str, int]] = []
     buf: List[str] = []
     pos = 0

@@ -63,3 +63,39 @@ def test_block_roundtrip(postings, block_size):
         got_tfs.extend(t.tolist())
     assert got_docs == doc_ids.tolist()
     assert got_tfs == tfs.tolist()
+
+
+def test_encode_blocks_batch_equals_per_list():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from spark_search.codec import encode_blocks, encode_blocks_batch
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=1, max_value=10**12),
+                    st.integers(min_value=1, max_value=10**6),
+                ),
+                min_size=0,
+                max_size=300,
+            ),
+            min_size=0,
+            max_size=20,
+        )
+    )
+    def check(groups):
+        id_arrays, tf_arrays = [], []
+        for g in groups:
+            ids = np.array(sorted({i for i, _ in g}), dtype=np.int64)
+            tfs = np.arange(1, ids.size + 1, dtype=np.int64)
+            id_arrays.append(ids)
+            tf_arrays.append(tfs)
+        batch = encode_blocks_batch(id_arrays, tf_arrays, block_size=128)
+        for ids, tfs, got in zip(id_arrays, tf_arrays, batch):
+            want = encode_blocks(ids, tfs, block_size=128) if ids.size else []
+            assert got == want
+
+    check()

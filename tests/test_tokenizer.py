@@ -50,7 +50,17 @@ def test_unicode_quotes_are_delimiters():
 
 
 def test_delimiter_set_cardinality():
-    assert len(STANDARD_DELIMITERS) == 29  # 28 punctuation + space
+    # 28 punctuation + space (StandardTokenizer.java:14-16) + \n \r
+    # (the reference tokenizes per line — AbstractDocumentReadTask reads
+    # lines, so line terminators are implicit delimiters)
+    assert len(STANDARD_DELIMITERS) == 31
+    assert "\n" in STANDARD_DELIMITERS and "\r" in STANDARD_DELIMITERS
+
+
+def test_newline_is_delimiter_whole_content():
+    # a multi-line file must tokenize like its lines tokenized separately
+    assert tokenize("foo bar\nbaz\r\nqux") == ["foo", "bar", "baz", "qux"]
+    assert tokenize("a\nb", "whitespace") == ["a", "b"]
 
 
 def test_regex_matches_charwise_tokenizer():

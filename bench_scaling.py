@@ -45,23 +45,24 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
 def cpu_capacity_probe(seconds: float = 1.5) -> dict:
     """Aggregate parallel CPU throughput at 1/2/8/32 workers, in units
     of one worker's throughput — documents the hardware envelope."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < seconds:
-            x += 1
-        return x
-
     out = {}
     base = None
     for n in (1, 2, 8, 32):
         with mp.Pool(n) as p:
-            total = sum(p.map(burn, range(n)))
+            total = sum(p.map(_burn, [seconds] * n))
         if base is None:
             base = total
         out[str(n)] = round(total / base, 2)

@@ -1,0 +1,113 @@
+"""Streaming index maintenance — the Structured Streaming analog of the
+reference's filesystem watch loop.
+
+The reference polls a WatchService every 2 s and applies CREATE/MODIFY/
+DELETE events to its in-memory tree (reference
+engine/src/main/java/org/search/engine/filesystem/FilesystemNotificationScheduler.java:32-73,
+FilesystemNotificationManager.java:162-204 — SURVEY.md §2.1 S6). Here
+the watch source is Spark's file streaming source over a drop
+directory of corpus-schema parquet files, and each micro-batch is
+applied transactionally through maintain.upsert_docs: new segment +
+tombstones + manifest swap, published as a new index *generation*
+under ``index_root`` with an atomically-updated ``CURRENT`` pointer.
+
+Readers always open a fully-committed generation (the snapshot
+isolation the reference gets from its copy-on-write tree nodes); an
+interrupted stream restarts from the checkpoint and re-applies only
+unprocessed batches (exactly-once at the generation level, because
+upsert output dirs are keyed by batch id and the pointer swap is the
+commit point).
+
+Scale notes: the file source scales to millions of queued files
+(maxFilesPerTrigger bounds batch size); each batch costs
+O(|batch|) — the index is never rebuilt. Compaction cadence is the
+operator's choice via maintain.compact on any generation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from .corpus import CORPUS_SCHEMA
+from .maintain import upsert_docs
+
+CURRENT = "CURRENT"
+
+
+def current_index(index_root: str) -> Optional[str]:
+    """Path of the latest committed generation, or None."""
+    p = os.path.join(index_root, CURRENT)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip()
+
+
+def _set_current(index_root: str, gen_dir: str) -> None:
+    """Atomic pointer swap (the commit point of a streamed batch)."""
+    os.makedirs(index_root, exist_ok=True)
+    tmp = os.path.join(index_root, CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(gen_dir)
+    os.replace(tmp, os.path.join(index_root, CURRENT))
+
+
+def init_root(index_root: str, base_index_dir: str) -> None:
+    """Point a fresh index_root at an existing committed base index."""
+    _set_current(index_root, os.path.abspath(base_index_dir))
+
+
+def stream_index_updates(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+    poll_interval: str = "2 seconds",
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Watch ``input_dir`` for new corpus parquet files and fold each
+    micro-batch into the current index generation.
+
+    ``available_now=True`` processes everything queued and stops (the
+    batch-test mode); False runs continuously with ``poll_interval``
+    (the reference's 2 s watch cadence,
+    FilesystemNotificationManager.java:27).
+    Returns the StreamingQuery.
+    """
+    if current_index(index_root) is None:
+        raise FileNotFoundError(
+            f"{index_root}/CURRENT missing — call init_root() with a "
+            "committed base index first"
+        )
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = current_index(index_root)
+        gen_dir = os.path.join(
+            os.path.abspath(index_root), f"gen-{batch_id}"
+        )
+        # re-delivered batch after a crash-before-pointer-swap: the
+        # upsert is recomputed into the same gen dir (idempotent)
+        upsert_docs(spark, cur, gen_dir, batch_df)
+        _set_current(index_root, gen_dir)
+
+    cp = checkpoint_dir or os.path.join(index_root, "_checkpoint")
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=poll_interval)
+    return writer.start()

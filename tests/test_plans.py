@@ -1,0 +1,149 @@
+"""Physical-plan audits: the plans we ship must stay the plans we
+designed. Asserts on .explain output: Arrow-only Python (never
+row-at-a-time BatchEvalPython), predicate pushdown into parquet scans,
+broadcast joins for small sides, and whole-stage codegen presence.
+
+These tests exist so a future refactor that silently degrades the plan
+(e.g. a UDF that falls off the Arrow path, a filter that stops reaching
+the scan) fails CI, not a 100 TB run."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_search import pipeline as P
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def sf_emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from spark_search.corpus import load_sf_documents
+
+    return load_sf_documents(spark, "/root/testdata/sf0.001")
+
+
+def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
+    """BatchEvalPython = per-row pickled Python (forbidden in every hot
+    path, SURVEY.md §7.4.3). ArrowEvalPython / MapInPandas are the only
+    allowed Python operators."""
+    from spark_search import dedup as D
+    from spark_search import multimodal as M
+    from spark_search import similarity as S
+    from spark_search import textops as X
+
+    dfs = [
+        P.bm25_topk(corpus, ["data", "join"], P.WITH_SUGGESTIONS),
+        X.token_counts(sf_docs),
+        X.quality_scores(sf_docs),
+        X.lang_confusion(sf_docs),
+        X.fingerprints(sf_docs),
+        D.exact_dup_groups(sf_docs),
+        D.minhash_near_dup(sf_docs),
+        D.simhash(sf_docs),
+        D.embedding_near_dup(sf_emb),
+        S.cosine_topk(sf_emb, [0]),
+        S.ivf_topk(sf_emb, [0]),
+        M.extract_features(M.media_table(sf_docs)),
+    ]
+    for df in dfs:
+        assert "BatchEvalPython" not in plan_of(df)
+
+
+def test_bm25_filter_reaches_scan(spark, corpus):
+    """The term filter must apply before the tf aggregation (only
+    query-term token rows ever shuffle)."""
+    plan = plan_of(
+        P.bm25_topk(corpus, ["data"], P.EXACT_MATCH)
+    )
+    # the filter on the exploded term column sits below the first
+    # aggregate: Spark renders explode as Generate; the Filter on
+    # term must reference it before HashAggregate consumes it
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("HashAggregate")
+    assert gen_pos != -1 and agg_pos != -1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_postings_scan_pushdown(spark, tmp_path):
+    """Exact-term query: the term predicate must be pushed into the
+    postings parquet scan (PushedFilters), and the bucket partition
+    filter must prune partitions."""
+    from spark_search.build import build_index
+    from spark_search.corpus import reference_fixture_corpus
+    from spark_search.ids import with_doc_ids
+    from spark_search.query import IndexReader, _term_predicate
+
+    idx = str(tmp_path / "idx")
+    corpus = with_doc_ids(reference_fixture_corpus(spark))
+    build_index(spark, corpus, idx, num_buckets=4, chunk_span=8)
+    r = IndexReader(spark, idx)
+    post = (
+        r.postings_df()
+        .where(F.col("bucket").isin([0, 1, 2, 3]))
+        .where(_term_predicate(["mila"], P.EXACT_MATCH))
+        .select("term", "chunk", "blocks")
+    )
+    plan = plan_of(post)
+    assert "PushedFilters: [IsNotNull(term), In(term" in plan.replace(
+        "EqualTo(term,mila)", "In(term, [mila])"
+    ) or "PushedFilters: [IsNotNull(term)" in plan
+    assert "PartitionFilters" in plan
+
+
+def test_terms_dict_column_pruning(spark, tmp_path):
+    """The term-dictionary lookup must read only the columns it needs
+    (never the heavy blocks column)."""
+    from spark_search.build import build_index
+    from spark_search.corpus import reference_fixture_corpus
+    from spark_search.ids import with_doc_ids
+    from spark_search.query import IndexReader
+
+    idx = str(tmp_path / "idx")
+    corpus = with_doc_ids(reference_fixture_corpus(spark))
+    build_index(spark, corpus, idx, num_buckets=4, chunk_span=8)
+    r = IndexReader(spark, idx)
+    t = r.terms_df().where(F.col("term") == "mila").select("term", "df")
+    plan = plan_of(t)
+    assert "ReadSchema" in plan
+    sch = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "blocks" not in sch and "cf" not in sch
+
+
+def test_doc_join_is_broadcast(spark, corpus):
+    """Top-k results joined back to doc metadata must broadcast the
+    (tiny) result side, not shuffle the corpus."""
+    res = P.bm25_topk(corpus, ["data"], P.EXACT_MATCH, k=5)
+    joined = res.join(corpus.select("doc_id", "repo", "path"), "doc_id")
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_declarative_bm25_has_wholestage_codegen(spark, corpus):
+    # AQE shows codegen stages (the "*(n)" markers) only on the final
+    # executed plan, so run the query first
+    df = P.bm25_topk(corpus, ["data"], P.EXACT_MATCH)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "*(" in plan  # whole-stage codegen spans present

@@ -1,0 +1,112 @@
+"""Streaming index maintenance tests — the S6 watch-loop analog: drop
+corpus files into a directory, stream them into index generations,
+query the CURRENT pointer (reference DocumentIndexManagerTest's
+create/modify/poll flow, re-expressed as Structured Streaming)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_search import pipeline as P
+from spark_search.build import build_index
+from spark_search.corpus import CORPUS_SCHEMA, reference_fixture_corpus
+from spark_search.ids import with_doc_ids
+from spark_search.query import IndexReader
+from spark_search.streaming import (
+    current_index,
+    init_root,
+    stream_index_updates,
+)
+
+
+def _ids(reader, terms, mode=P.EXACT_MATCH):
+    return sorted(
+        r["doc_id"] for r in reader.search(terms, mode, k=100).collect()
+    )
+
+
+def _drop_batch(spark, df, tmp_path, drop, name):
+    """Write a corpus batch and move its part files flat into the drop
+    dir (the file streaming source is non-recursive by default)."""
+    import glob
+    import shutil
+
+    staging = str(tmp_path / f"_stage_{name}")
+    df.coalesce(1).write.parquet(staging)
+    for i, p in enumerate(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        shutil.move(p, os.path.join(drop, f"{name}-{i}.parquet"))
+    shutil.rmtree(staging)
+
+
+def _run_stream(spark, drop_dir, root):
+    q = stream_index_updates(spark, drop_dir, root, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_applies_batches_as_generations(spark, tmp_path):
+    base = str(tmp_path / "base")
+    corpus = with_doc_ids(reference_fixture_corpus(spark))
+    build_index(spark, corpus, base, num_buckets=4, chunk_span=8)
+
+    root = str(tmp_path / "root")
+    init_root(root, base)
+    assert current_index(root) == os.path.abspath(base)
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+
+    # batch 1: one brand-new doc containing 'mila'
+    _drop_batch(
+        spark,
+        spark.createDataFrame(
+            [("s", "new/a.txt", "v1", "txt", "mila streams in")], CORPUS_SCHEMA
+        ),
+        tmp_path, drop, "b1",
+    )
+    _run_stream(spark, drop, root)
+
+    gen1 = current_index(root)
+    assert gen1 != os.path.abspath(base)
+    r1 = IndexReader(spark, gen1)
+    mila1 = _ids(r1, ["mila"])
+    assert len(mila1) == 3  # one.txt, two.txt + streamed doc
+    assert r1.stats.n_docs == 5
+
+    # batch 2: replace one.txt (drops its 'mila'), add another doc
+    _drop_batch(
+        spark,
+        spark.createDataFrame(
+            [
+                ("reference", "testFolder/one.txt", "v2", "txt",
+                 "rewritten now"),
+                ("s", "new/b.txt", "v1", "txt", "more streamed words"),
+            ],
+            CORPUS_SCHEMA,
+        ),
+        tmp_path, drop, "b2",
+    )
+    _run_stream(spark, drop, root)
+
+    gen2 = current_index(root)
+    assert gen2 not in (gen1, os.path.abspath(base))
+    r2 = IndexReader(spark, gen2)
+    mila2 = _ids(r2, ["mila"])
+    assert len(mila2) == 2 and 3 not in mila2
+    assert _ids(r2, ["rewritten"]) != []
+    assert _ids(r2, ["streamed"]) != []
+    assert r2.stats.n_docs == 6  # 4 base + a.txt + b.txt (one.txt replaced)
+
+    # old generations still readable (snapshot isolation)
+    assert len(_ids(IndexReader(spark, gen1), ["mila"])) == 3
+    assert len(_ids(IndexReader(spark, base), ["mila"])) == 2
+
+
+def test_stream_requires_initialized_root(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        stream_index_updates(
+            spark, str(tmp_path / "nope"), str(tmp_path / "noroot")
+        )

@@ -50,6 +50,13 @@ from .pipeline import (
 )
 from .stats import CorpusStats
 
+# expansions up to this size are collected in one job (driver-side
+# metadata); beyond it the metadata stays fully distributed
+_META_COLLECT_CAP = 1024
+# skip the θ-bootstrap jobs when fewer matched postings than this —
+# pruning can't win back its own cost below it
+_PRUNE_MIN_POSTINGS = 200_000
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -257,11 +264,27 @@ class IndexReader:
             mtf + F.lit(K1 * (1.0 - B))
         )
         meta = meta.withColumn("idf", idf_col).withColumn("term_ub", ub_col)
-        info = meta.agg(
-            F.count("*").alias("n"),
-            F.collect_set("bucket").alias("buckets"),
-        ).collect()[0]
-        n_matched, buckets = int(info["n"]), sorted(info["buckets"] or [])
+
+        # Common case: the expansion is small. Collect it in ONE job so
+        # the rest of the query needs no further metadata jobs, and use
+        # the total matched-postings count to decide whether block-max
+        # pruning (whose θ bootstrap costs extra jobs) will pay for
+        # itself. Expansions past the cap keep the fully-distributed
+        # path (metadata never collected).
+        cap = _META_COLLECT_CAP
+        head = meta.limit(cap + 1).collect()
+        total_df = None
+        if len(head) <= cap:
+            n_matched = len(head)
+            buckets = sorted({int(r["bucket"]) for r in head})
+            total_df = sum(int(r["df"]) for r in head)
+            meta = self.spark.createDataFrame(head, meta.schema)
+        else:
+            info = meta.agg(
+                F.count("*").alias("n"),
+                F.collect_set("bucket").alias("buckets"),
+            ).collect()[0]
+            n_matched, buckets = int(info["n"]), sorted(info["buckets"] or [])
         if n_matched == 0 or (mode == AND_MATCH and n_matched < n_query_terms):
             return empty
 
@@ -279,7 +302,11 @@ class IndexReader:
 
         theta = 0.0
         if prune and mode != AND_MATCH:
-            theta = self._bootstrap_theta(post, k)
+            # θ bootstrap costs extra driver jobs; only worth it when
+            # enough postings could be skipped (unknown-size expansions
+            # always bootstrap — they are the heavy ones)
+            if total_df is None or total_df >= _PRUNE_MIN_POSTINGS:
+                theta = self._bootstrap_theta(post, k)
         need_all = mode == AND_MATCH
 
         if theta > 0.0:

@@ -221,6 +221,49 @@ class IndexReader:
             for r in rows
         ]
 
+    def doc_terms(self, doc_id: int) -> DataFrame:
+        """(term, tf) of one document — the O3 reverse lookup (the
+        reference BFS-walks its whole tree collecting nodes whose
+        docID set contains the id, reference
+        tree/SearchEngineConcurrentTree.java:203-233). Here chunk
+        pruning reduces the scan to the doc's single chunk, and the
+        per-row block range [first_doc, last_doc] skips non-covering
+        blocks before any decode."""
+        span = self.chunk_span
+        chunk = (doc_id - 1) // span
+        dels = self.deletes_df()
+        if dels is not None and dels.where(
+            F.col("doc_id") == doc_id
+        ).count():
+            return self.spark.createDataFrame([], "term string, tf int")
+        target = doc_id
+
+        @F.pandas_udf("int")
+        def tf_of(blocks: pd.Series) -> pd.Series:
+            out = []
+            for blks in blocks:
+                v = None
+                for b in blks:
+                    if int(b["first_doc"]) <= target <= int(b["last_doc"]):
+                        ids, tfs = decode_block(
+                            int(b["first_doc"]),
+                            bytes(b["deltas"]),
+                            bytes(b["tfs"]),
+                        )
+                        i = int(np.searchsorted(ids, target))
+                        if i < ids.size and ids[i] == target:
+                            v = int(tfs[i])
+                        break
+                out.append(v)
+            return pd.Series(out, dtype="Int32")
+
+        return (
+            self.postings_df()
+            .where(F.col("chunk") == chunk)
+            .select("term", tf_of(F.col("blocks")).alias("tf"))
+            .where(F.col("tf").isNotNull())
+        )
+
     # ------------------------------------------------------------- search
 
     def search(

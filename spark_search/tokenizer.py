@@ -44,14 +44,49 @@ WHITESPACE_SPLIT_REGEX = "[ \n\r]+"
 _std_re = re.compile(STANDARD_SPLIT_REGEX)
 _ws_re = re.compile(WHITESPACE_SPLIT_REGEX)
 
+# T3 analog: the reference accepts a user-supplied Tokenizer at engine
+# construction (reference engine/src/main/java/org/search/engine/
+# SearchEngine.java:46-53, analyzer/Tokenizer.java:11-20). Our
+# tokenizers are split rules, so the plug-in surface is a named split
+# regex; registered names work everywhere a built-in name does
+# (tokens_col, index build config, oracles via tokens_sql).
+_CUSTOM_TOKENIZERS: dict = {}
+
+
+def register_tokenizer(name: str, split_regex: str) -> None:
+    """Register a custom tokenizer as a delimiter regex (must be valid
+    in Python re, Java regex AND RE2 if DuckDB oracles are wanted)."""
+    if name in ("standard", "whitespace"):
+        raise ValueError(f"cannot override built-in tokenizer {name!r}")
+    _CUSTOM_TOKENIZERS[name] = (split_regex, re.compile(split_regex))
+
+
+def split_regex_for(tokenizer: str) -> str:
+    if tokenizer == "standard":
+        return STANDARD_SPLIT_REGEX
+    if tokenizer == "whitespace":
+        return WHITESPACE_SPLIT_REGEX
+    if tokenizer in _CUSTOM_TOKENIZERS:
+        return _CUSTOM_TOKENIZERS[tokenizer][0]
+    raise KeyError(f"unknown tokenizer {tokenizer!r}")
+
+
+def _compiled_for(tokenizer: str):
+    if tokenizer == "standard":
+        return _std_re
+    if tokenizer == "whitespace":
+        return _ws_re
+    if tokenizer in _CUSTOM_TOKENIZERS:
+        return _CUSTOM_TOKENIZERS[tokenizer][1]
+    raise KeyError(f"unknown tokenizer {tokenizer!r}")
+
 
 def tokenize(content: str | None, tokenizer: str = "standard") -> List[str]:
     """Pure-Python tokenizer; semantics of StandardTokenizer.tokenize
     (reference StandardTokenizer.java:23-49) minus positions."""
     if not content:
         return []
-    rx = _std_re if tokenizer == "standard" else _ws_re
-    return [t for t in rx.split(content) if t]
+    return [t for t in _compiled_for(tokenizer).split(content) if t]
 
 
 def tokenize_with_positions(
@@ -61,6 +96,18 @@ def tokenize_with_positions(
     Token {content, positionInRow} (reference model/Token.java:3-11)."""
     if not content:
         return []
+    if tokenizer not in ("standard", "whitespace"):
+        # custom regex tokenizer: tokens are maximal runs between
+        # delimiter matches (identical semantics to the char loop)
+        rx = _compiled_for(tokenizer)
+        out, last = [], 0
+        for m in rx.finditer(content):
+            if m.start() > last:
+                out.append((content[last:m.start()], last))
+            last = m.end()
+        if last < len(content):
+            out.append((content[last:], last))
+        return out
     delims = (
         STANDARD_DELIMITERS if tokenizer == "standard" else frozenset(" \n\r")
     )
@@ -88,8 +135,7 @@ def tokens_col(col, tokenizer: str = "standard"):
     reference's index stores none either — SURVEY.md §0 fact 1/3)."""
     from pyspark.sql import functions as F
 
-    rx = STANDARD_SPLIT_REGEX if tokenizer == "standard" else WHITESPACE_SPLIT_REGEX
-    split = F.split(F.coalesce(col, F.lit("")), rx)
+    split = F.split(F.coalesce(col, F.lit("")), split_regex_for(tokenizer))
     return F.filter(split, lambda t: t != F.lit(""))
 
 
@@ -100,7 +146,7 @@ def tokens_sql(expr: str, tokenizer: str = "standard", dialect: str = "spark") -
     list_filter); ``dialect='spark'`` uses split + filter. Both collapse
     consecutive delimiters by dropping empty strings.
     """
-    rx = STANDARD_SPLIT_REGEX_SQL if tokenizer == "standard" else WHITESPACE_SPLIT_REGEX
+    rx = split_regex_for(tokenizer).replace("'", "''")
     if dialect == "duckdb":
         return (
             f"list_filter(string_split_regex(coalesce({expr}, ''), '{rx}'),"

@@ -235,3 +235,51 @@ def test_build_deterministic_across_input_partitioning(
     }
     t2 = {(r["term"], r["df"], r["cf"], r["max_tf"]) for r in r2.terms_df().collect()}
     assert t1 == t2
+
+
+def test_doc_terms_reverse_lookup(fixture_index, fixture_corpus, spark):
+    """O3 analog: terms-of-doc must equal the doc's own tokenization."""
+    from spark_search.query import IndexReader
+    from spark_search.tokenizer import tokenize
+    from collections import Counter
+
+    reader = fixture_index
+    row = fixture_corpus.where("doc_id = 3").collect()[0]  # one.txt
+    want = Counter(tokenize(row["content"]))
+    got = {r["term"]: r["tf"] for r in reader.doc_terms(3).collect()}
+    assert got == dict(want)
+    assert reader.doc_terms(99999).count() == 0
+
+
+def test_custom_tokenizer_registry(spark, tmp_path):
+    """T3 analog: a registered tokenizer works through the whole stack
+    (pure python, Spark column, index build + query)."""
+    from spark_search import pipeline as P
+    from spark_search.build import build_index
+    from spark_search.corpus import CORPUS_SCHEMA
+    from spark_search.ids import with_doc_ids
+    from spark_search.query import IndexReader
+    from spark_search.tokenizer import register_tokenizer, tokenize, \
+        tokenize_with_positions
+
+    register_tokenizer("comma", ",+")
+    assert tokenize("a,b,,c d", "comma") == ["a", "b", "c d"]
+    assert tokenize_with_positions("a,,bc", "comma") == [("a", 0), ("bc", 3)]
+
+    corpus = with_doc_ids(
+        spark.createDataFrame(
+            [("r", "p1", "v", "txt", "x,y,z"), ("r", "p2", "v", "txt", "y,q")],
+            CORPUS_SCHEMA,
+        )
+    )
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx, num_buckets=2, chunk_span=8,
+                tokenizer="comma")
+    r = IndexReader(spark, idx)
+    assert r.tokenizer == "comma"
+    got = sorted(
+        x["doc_id"] for x in r.search(["y"], P.EXACT_MATCH, 10).collect()
+    )
+    assert got == [1, 2]
+    assert [x["doc_id"] for x in r.search(["z"], P.EXACT_MATCH, 10).collect()] \
+        == [1]

@@ -151,6 +151,37 @@ def _q_match_set(spark, sf_dir):
     )
 
 
+REVERSE_DOC_ID = 5
+
+
+def _q_reverse_doc_terms(spark, sf_dir):
+    """O3 reverse lookup (doc_id -> its terms + tf), declarative form.
+    The disk-index path (IndexReader.doc_terms, chunk-pruned) is
+    exercised in tests/test_build_query.py; semantics are identical."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        P.tokens(corpus)
+        .where(F.col("doc_id") == REVERSE_DOC_ID)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _q_term_prefix_expansion(spark, sf_dir):
+    """Q2 dictionary range scan: every indexed term with the prefix,
+    with df/cf — the expansion feeding START_WITH retrieval."""
+    corpus = _corpus(spark, sf_dir)
+    tf = P.term_doc_tf(P.tokens(corpus))
+    return (
+        tf.where(F.col("term").startswith("sc"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+    )
+
+
 def _q_doc_lengths_top(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     return (
@@ -252,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "match_set_exact": _q_match_set,
         "doc_lengths_top": _q_doc_lengths_top,
+        "reverse_doc_terms": _q_reverse_doc_terms,
+        "term_prefix_expansion": _q_term_prefix_expansion,
         # training-data pipeline (SURVEY.md scope extension)
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
@@ -304,6 +337,22 @@ WHERE term = 'vector'
 SELECT doc_id::BIGINT AS doc_id, len({_TOKS_DUCK})::BIGINT AS dl
 FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)
 ORDER BY dl DESC, doc_id ASC LIMIT 20
+""",
+        "reverse_doc_terms": f"""
+SELECT term, count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+      FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents))
+WHERE doc_id = {REVERSE_DOC_ID}
+GROUP BY term
+""",
+        "term_prefix_expansion": f"""
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
+        FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents))
+  WHERE term LIKE 'sc%' GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term
 """,
         "text_token_counts": TX.token_counts_sql(),
         "text_quality": TX.quality_scores_sql(),

@@ -132,15 +132,21 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
     shutil.rmtree(os.path.dirname(warm_dir), ignore_errors=True)
 
     runs = []
+    stage_walls = []
     index_dir = None
     for _ in range(reps):
         if index_dir:
             shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
         index_dir = os.path.join(tempfile.mkdtemp(prefix=f"scal{cpus}_"), "idx")
         t0 = time.time()
-        build_index(spark, corpus, index_dir)
+        m = build_index(spark, corpus, index_dir)
         runs.append(round(time.time() - t0, 3))
-    build_s = min(runs)
+        stage_walls.append(
+            {k: round(v.get("wall_s", 0.0), 3) for k, v in m.stages.items()}
+        )
+    best = min(range(len(runs)), key=lambda i: runs[i])
+    build_s = runs[best]
+    stages = stage_walls[best]
 
     content_hash = _index_content_hash(spark, index_dir)
 
@@ -168,6 +174,7 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
                 "n_files": n_files,
                 "build_sec": build_s,
                 "build_runs_sec": runs,
+                "stage_walls_sec": stages,
                 "files_per_sec": round(n_files / build_s, 1),
                 "queries": queries,
                 "content_hash": content_hash,
@@ -182,7 +189,7 @@ def main() -> None:
         child(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
         return
 
-    n_docs = 500_000
+    n_docs = 1_000_000
     reps = 2
     cpus_pair = (2, 8)
     if "--docs" in sys.argv:
@@ -207,9 +214,12 @@ def main() -> None:
     ).parquet(corpus_dir)
     spark.stop()
 
-    # 2. identical build at each parallelism level, fresh JVM each
-    results = {}
-    for cpus in cpus_pair:
+    # 2. identical build at each parallelism level, fresh JVM each.
+    # Launches are INTERLEAVED (lo, hi, lo, hi) so slow drift in this
+    # shared sandbox (measured ±20-30% over minutes) hits both levels
+    # symmetrically; per level we keep the fastest build across all its
+    # launches and verify every launch produced the same index hash.
+    def _launch(cpus: int) -> dict:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
              str(reps), corpus_dir],
@@ -221,7 +231,24 @@ def main() -> None:
         if not line:
             sys.stderr.write(p.stdout[-4000:] + p.stderr[-4000:])
             raise RuntimeError(f"child local[{cpus}] failed")
-        results[cpus] = json.loads(line[0][len("CHILD_RESULT "):])
+        return json.loads(line[0][len("CHILD_RESULT "):])
+
+    launches: dict = {c: [] for c in cpus_pair}
+    for _round in range(2):
+        for cpus in cpus_pair:
+            launches[cpus].append(_launch(cpus))
+
+    results = {}
+    for cpus in cpus_pair:
+        runs = launches[cpus]
+        best = min(runs, key=lambda r: r["build_sec"])
+        best["build_runs_sec"] = [t for r in runs for t in r["build_runs_sec"]]
+        best["queries"] = {
+            q: min(r["queries"][q] for r in runs) for q in best["queries"]
+        }
+        assert len({r["content_hash"] for r in runs}) == 1
+        best["files_per_sec"] = round(best["n_files"] / best["build_sec"], 1)
+        results[cpus] = best
 
     shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
 

@@ -56,6 +56,14 @@ _META_COLLECT_CAP = 1024
 # skip the θ-bootstrap jobs when fewer matched postings than this —
 # pruning can't win back its own cost below it
 _PRUNE_MIN_POSTINGS = 200_000
+# small-query fast path: when the dictionary lookup proves the total
+# matched postings (Σ df) and touched chunk count are bounded, the
+# matched posting rows are collected and scored driver-side in numpy —
+# no shuffle, no Python-worker stage, 2 short scan jobs total. Hot
+# terms at corpus scale exceed the gate and keep the distributed path.
+# 64k postings × ~16 B and 64 doclen chunks × 64 KiB ≈ 5 MB driver max.
+_LOCAL_MAX_POSTINGS = 65_536
+_LOCAL_MAX_CHUNKS = 64
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -272,8 +280,13 @@ class IndexReader:
         mode: str = EXACT_MATCH,
         k: int = 10,
         prune: bool = True,
+        local_max_postings: Optional[int] = _LOCAL_MAX_POSTINGS,
     ) -> DataFrame:
-        """BM25 top-k -> DataFrame (doc_id, score, rank)."""
+        """BM25 top-k -> DataFrame (doc_id, score, rank).
+
+        ``local_max_postings`` gates the driver-side small-query fast
+        path (0/None disables it; the distributed plan is always the
+        fallback and produces identical results)."""
         qterms = list(dict.fromkeys(terms))
         n_query_terms = len(qterms)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -330,6 +343,17 @@ class IndexReader:
             n_matched, buckets = int(info["n"]), sorted(info["buckets"] or [])
         if n_matched == 0 or (mode == AND_MATCH and n_matched < n_query_terms):
             return empty
+
+        if (
+            local_max_postings
+            and total_df is not None
+            and total_df <= local_max_postings
+        ):
+            out = self._search_local(
+                head, pred, buckets, mode, k, n_query_terms
+            )
+            if out is not None:
+                return out
 
         # postings scan: bucket partition pruning + the original (small)
         # term predicate pushed to parquet; idf/ub arrive via the join
@@ -457,6 +481,104 @@ class IndexReader:
             (r["doc_id"], float(r["score"]), i + 1) for i, r in enumerate(topk)
         ]
         return self.spark.createDataFrame(out, RESULT_SCHEMA) if out else empty
+
+    def _search_local(
+        self,
+        head,
+        pred,
+        buckets: List[int],
+        mode: str,
+        k: int,
+        n_query_terms: int,
+    ) -> Optional[DataFrame]:
+        """Small-query fast path: score the (proven-small) matched
+        postings driver-side. Two scan jobs — postings rows with the
+        term predicate + bucket pruning pushed to parquet, then the
+        doclen chunks those rows touch — and pure numpy after that.
+        Accumulation order and arithmetic match score_chunk exactly.
+        Returns None (caller falls back to the distributed plan) if the
+        touched-chunk count would exceed the driver-memory gate."""
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf_by_term = {r["term"]: float(r["idf"]) for r in head}
+        rows = (
+            self.postings_df()
+            .where(F.col("bucket").isin(buckets))
+            .where(pred)
+            .select("term", "chunk", "blocks")
+            .collect()
+        )
+        if not rows:
+            return empty
+        chunks = sorted({int(r["chunk"]) for r in rows})
+        if len(chunks) > _LOCAL_MAX_CHUNKS:
+            return None
+        dls_by_chunk = {
+            int(r["chunk"]): np.frombuffer(r["dls"], dtype=np.int32).astype(
+                np.float64
+            )
+            for r in self.doclens_df()
+            .where(F.col("chunk").isin(chunks))
+            .collect()
+        }
+        dels_by_chunk: Dict[int, np.ndarray] = {}
+        dbc = self._dels_by_chunk()
+        if dbc is not None:
+            for r in dbc.where(F.col("chunk").isin(chunks)).collect():
+                dels_by_chunk[int(r["chunk"])] = np.asarray(
+                    r["_dels"], dtype=np.int64
+                )
+
+        span = self.chunk_span
+        avgdl = self.stats.avgdl
+        need_all = mode == AND_MATCH
+        out_ids: List[np.ndarray] = []
+        out_scores: List[np.ndarray] = []
+        by_chunk: Dict[int, list] = {}
+        for r in rows:
+            by_chunk.setdefault(int(r["chunk"]), []).append(r)
+        for chunk in chunks:
+            dls = dls_by_chunk.get(chunk)
+            if dls is None:
+                continue
+            scores = np.zeros(dls.size, dtype=np.float64)
+            counts = np.zeros(dls.size, dtype=np.int32)
+            base = chunk * span
+            # sorted by term: deterministic float accumulation order
+            for r in sorted(by_chunk[chunk], key=lambda x: x["term"]):
+                t_idf = idf_by_term[r["term"]]
+                for blk in r["blocks"]:
+                    doc_ids, tfs = decode_block(
+                        int(blk["first_doc"]),
+                        bytes(blk["deltas"]),
+                        bytes(blk["tfs"]),
+                    )
+                    pos = doc_ids - 1 - base
+                    scores[pos] += _score_np(
+                        tfs.astype(np.float64), dls[pos], t_idf, avgdl
+                    )
+                    counts[pos] += 1
+            dels = dels_by_chunk.get(chunk)
+            if dels is not None and dels.size:
+                dp = dels - 1 - base
+                dp = dp[(dp >= 0) & (dp < counts.size)]
+                counts[dp] = 0
+            hit = np.flatnonzero(counts)
+            if need_all:
+                hit = hit[counts[hit] == n_query_terms]
+            if hit.size:
+                out_ids.append((hit + 1 + base).astype(np.int64))
+                out_scores.append(scores[hit])
+        if not out_ids:
+            return empty
+        ids = np.concatenate(out_ids)
+        sc = np.concatenate(out_scores)
+        # top-k with (score desc, doc_id asc): lexsort is stable
+        order = np.lexsort((ids, -sc))[:k]
+        out = [
+            (int(ids[i]), float(sc[i]), rank + 1)
+            for rank, i in enumerate(order)
+        ]
+        return self.spark.createDataFrame(out, RESULT_SCHEMA)
 
     def _bootstrap_theta(self, post: DataFrame, k: int) -> float:
         """Decode the single most-promising chunk driver-side and return

@@ -142,6 +142,29 @@ def test_pruning_matches_exhaustive(synth_index):
         ]
 
 
+def test_local_fast_path_matches_distributed(synth_index):
+    """The driver-side small-query fast path must be plan-invisible:
+    identical (doc_id, score, rank) to the distributed plan for every
+    mode, including prefix expansion and AND."""
+    for terms, mode in [
+        (["import"], P.EXACT_MATCH),
+        (["import", "return", "def"], P.WITH_SUGGESTIONS),
+        (["import", "return"], P.AND_MATCH),
+        (["im"], P.START_WITH),
+        (["nosuchterm"], P.EXACT_MATCH),
+    ]:
+        local = synth_index.search(terms, mode, k=10).collect()
+        dist = synth_index.search(
+            terms, mode, k=10, local_max_postings=0
+        ).collect()
+        assert [(r["doc_id"], r["rank"]) for r in local] == [
+            (r["doc_id"], r["rank"]) for r in dist
+        ], (terms, mode)
+        for lr, dr in zip(local, dist):
+            # per-term float accumulation order may differ by 1 ulp
+            assert lr["score"] == pytest.approx(dr["score"], rel=1e-12)
+
+
 def test_random_word_property(synth_index, synth):
     """∀ token t of doc d: d ∈ match_set(t) — the reference's e2e
     property (SearchEngineAppTest.java:55-102), 30 sampled words."""

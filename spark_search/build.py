@@ -5,9 +5,9 @@ Pipeline (all DataFrame ops + one Arrow-batched encode UDF):
   corpus (repo, path, commit, lang, content)
     -> ids + sha256 + dl                      [stage docs]
     -> tokenize (JVM split/explode)           [stage postings-g]
-    -> ONE exchange: repartition(bucket(term))
-    -> (bucket, term, doc_id) tf   exchange-free hash agg
     -> chunk = (doc_id-1) // chunk_span       ** the skew salt **
+    -> ONE exchange: repartition(bucket(term), chunk)
+    -> (bucket, chunk, term, doc_id) tf   exchange-free hash agg
     -> groupBy(bucket, term, chunk): docID-sorted arrays (exchange-free)
     -> delta+varint block encode (pandas UDF, numpy)
     -> write postings/ partitioned by bucket(term), sorted by (term, chunk)
@@ -237,25 +237,33 @@ def build_index(
         part = tok if bucket_groups == 1 else tok.where(
             F.col("bucket") % bucket_groups == g
         )
-        # ONE shuffle for the whole postings pipeline: hash-partition
-        # the raw token rows by bucket. bucket is a grouping key of
-        # BOTH aggregations below, so hashpartitioning(bucket)
-        # satisfies their clustering requirements and tf counting,
-        # posting-list collection, encode, and the partitionBy write
-        # all run exchange-free on top of that single exchange.
-        # (Measured against the two-exchange variant — partial-agged
-        # tf shuffle + bucket repartition — the fused plan is ~3x
-        # faster at the quiet-machine floor: one stage barrier and
-        # one shuffle write/read round instead of two.)
-        # The explicit partition count also pins AQE (no coalescing),
-        # keeping one task per bucket through encode and write.
+        # ONE shuffle for the whole postings pipeline, keyed on
+        # (bucket, chunk). Both are grouping keys of BOTH aggregations
+        # below, so the exchange satisfies their clustering
+        # requirements and tf counting, posting-list collection,
+        # encode, and the partitionBy write all run exchange-free on
+        # top of it. (Measured against the two-exchange variant —
+        # partial-agged tf shuffle + bucket repartition — the fused
+        # plan is ~3x faster at the quiet-machine floor.)
+        #
+        # chunk in the shuffle key is what makes the doc-range salt
+        # real: keyed on bucket alone, every chunk of a hot term
+        # ('import'-class, present in nearly all docs) lands on ONE
+        # reducer, and with only ~cores/num_buckets task waves the
+        # hot-bucket straggler dominates the stage tail as cores grow
+        # (measured: the local[2]->local[8] scaling collapse). Salting
+        # by chunk bounds any reducer's share of one term to
+        # chunk_span docs, so reduce-side work stays balanced at any
+        # cluster size. Partition count scales with cores (floor
+        # num_buckets) and is explicit, which also pins AQE.
+        n_shuffle = max(num_buckets, 8 * spark.sparkContext.defaultParallelism)
         chunk_rows = (
-            part.repartition(num_buckets, "bucket")
-            .groupBy("bucket", "term", "doc_id")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .withColumn(
+            part.withColumn(
                 "chunk", ((F.col("doc_id") - 1) / chunk_span).cast("long")
             )
+            .repartition(n_shuffle, "bucket", "chunk")
+            .groupBy("bucket", "chunk", "term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"))
             .groupBy("bucket", "term", "chunk")
             .agg(
                 F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("p"),

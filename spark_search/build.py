@@ -5,7 +5,7 @@ Pipeline (all DataFrame ops + one Arrow-batched encode UDF):
   corpus (repo, path, commit, lang, content)
     -> ids + sha256 + dl                      [stage docs]
     -> tokenize (JVM split/explode)           [stage postings-g]
-    -> chunk = (doc_id-1) // chunk_span       ** the skew salt **
+    -> chunk = doc_id // chunk_span           ** the skew salt **
     -> ONE exchange: repartition(bucket(term), chunk)
     -> (bucket, chunk, term, doc_id) tf   exchange-free hash agg
     -> groupBy(bucket, term, chunk): docID-sorted arrays (exchange-free)
@@ -175,8 +175,12 @@ def build_index(
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
         total_dl = int(row["tot"] or 0)
 
-        # doclens: dense per-chunk int32 dl arrays (doc_ids are dense and
-        # 1-based, so position = (doc_id-1) % chunk_span)
+        # doclens: dense per-chunk int32 dl arrays. The mapping is
+        # 0-based (chunk = doc_id // span, position = doc_id % span) so
+        # ANY non-negative id space works — 0-based driver tables and
+        # the 1-based ids with_doc_ids mints alike; unoccupied positions
+        # hold dl=0 and are never referenced (postings carry only real
+        # doc_ids).
         @F.pandas_udf("binary")
         def pack_dls(positions: pd.Series, dls: pd.Series) -> pd.Series:
             out = []
@@ -189,8 +193,8 @@ def build_index(
 
         chunked = (
             docs_on_disk.select(
-                ((F.col("doc_id") - 1) / chunk_span).cast("long").alias("chunk"),
-                ((F.col("doc_id") - 1) % chunk_span).alias("pos"),
+                (F.col("doc_id") / chunk_span).cast("long").alias("chunk"),
+                (F.col("doc_id") % chunk_span).alias("pos"),
                 "dl",
             )
             .groupBy("chunk")
@@ -259,7 +263,7 @@ def build_index(
         n_shuffle = max(num_buckets, 8 * spark.sparkContext.defaultParallelism)
         chunk_rows = (
             part.withColumn(
-                "chunk", ((F.col("doc_id") - 1) / chunk_span).cast("long")
+                "chunk", (F.col("doc_id") / chunk_span).cast("long")
             )
             .repartition(n_shuffle, "bucket", "chunk")
             .groupBy("bucket", "chunk", "term", "doc_id")
@@ -319,7 +323,15 @@ def build_index(
             .write.mode("overwrite")
             .parquet(paths.terms)
         )
-        manifest.record_stage("terms", fingerprint, wall_s=time.time() - tt)
+        # vocabulary size: parquet-footer-only count, recorded so the
+        # query side can decide to cache the dictionary driver-side
+        # without probing (a limit+collect probe runs as many sequential
+        # scale-up jobs — measured tens of seconds on a noisy machine)
+        n_terms = spark.read.parquet(paths.terms).count()
+        manifest.stats = {**manifest.stats, "n_terms": n_terms}
+        manifest.record_stage(
+            "terms", fingerprint, rows=n_terms, wall_s=time.time() - tt
+        )
 
     manifest.commit()
     return manifest

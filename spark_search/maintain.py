@@ -94,8 +94,8 @@ def _deleted_dl_sum(
     chunks that contain them (pandas UDF over packed int32 arrays)."""
     by_chunk = (
         dels.select(
-            ((F.col("doc_id") - 1) / span).cast("long").alias("chunk"),
-            ((F.col("doc_id") - 1) % span).alias("pos"),
+            (F.col("doc_id") / span).cast("long").alias("chunk"),
+            (F.col("doc_id") % span).alias("pos"),
         )
         .groupBy("chunk")
         .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
@@ -296,7 +296,7 @@ def compact(
     if dels is not None:
         dels_by_chunk = (
             dels.select(
-                ((F.col("doc_id") - 1) / span).cast("long").alias("chunk"),
+                (F.col("doc_id") / span).cast("long").alias("chunk"),
                 "doc_id",
             )
             .groupBy("chunk")
@@ -439,7 +439,7 @@ def compact(
                 arr = np.frombuffer(buf, dtype=np.int32).copy()
                 # doc_id -> position within this chunk
                 ids = np.asarray(dl, dtype=np.int64)
-                pos = (ids - 1) % span
+                pos = ids % span
                 pos = pos[(pos >= 0) & (pos < arr.size)]
                 arr[pos] = 0
                 out.append(arr.tobytes())

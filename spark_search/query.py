@@ -30,7 +30,10 @@ chunk-grouped shuffle of already-filtered postings rows.
 
 from __future__ import annotations
 
+import bisect
+import math
 import os
+from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -64,6 +67,18 @@ _PRUNE_MIN_POSTINGS = 200_000
 # 64k postings × ~16 B and 64 doclen chunks × 64 KiB ≈ 5 MB driver max.
 _LOCAL_MAX_POSTINGS = 65_536
 _LOCAL_MAX_CHUNKS = 64
+# driver-side caches (all hard-gated so a 10^12-file index never tries
+# to pull cluster-scale state onto the driver):
+#   * term dictionary — cached iff vocab ≤ cap (~25 MB). A warm exact/
+#     prefix lookup then costs ZERO Spark jobs instead of a terms scan
+#     + groupBy shuffle per query.
+#   * doclens — per-chunk int32 arrays, LRU-bounded (~512 × span×4 B).
+#   * deletes — chunk → sorted doc_id arrays iff |deletes| ≤ cap.
+# Caches never go stale: maintain/compact/streaming always publish NEW
+# index directories (copy-on-write), an open reader's files are immutable.
+_DICT_CACHE_CAP = 1 << 18
+_DELS_CACHE_CAP = 2_000_000
+_DOCLENS_CACHE_CHUNKS = 512
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -72,6 +87,8 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("rank", T.IntegerType()),
     ]
 )
+
+_RESULT_FIELDS = [("doc_id", "long"), ("score", "double"), ("rank", "int")]
 
 _LOCAL_SCHEMA = T.StructType(
     [
@@ -106,6 +123,33 @@ def _score_np(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.nd
     return idf * tf * (K1 + 1.0) / denom
 
 
+def _idf(n_docs: float, df: float) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _rows_literal_df(spark: SparkSession, rows, fields) -> DataFrame:
+    """Tiny-result DataFrame built from JVM literals:
+    range(1) -> inline(array(struct...)) — a pure plan, ONE task, no
+    Python-RDD parallelize (plain createDataFrame(list) ships rows
+    through a Python pickle RDD and schedules defaultParallelism
+    Python-worker tasks — measured as the dominant cost of a warm
+    driver-local query). Only ever used for driver-bounded row sets
+    (top-k results, ≤_META_COLLECT_CAP term metadata)."""
+    if not rows:
+        ddl = ", ".join(f"{n} {t}" for n, t in fields)
+        return spark.createDataFrame([], ddl)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n)
+                for v, (n, t) in zip(row, fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 class IndexReader:
     """Open a committed index directory for querying.
 
@@ -135,12 +179,25 @@ class IndexReader:
             os.path.abspath(p) for p in cfg.get("segments", [index_dir])
         ]
         self.deletes_dir: Optional[str] = cfg.get("deletes_dir")
+        # lazy driver-side caches (see the _*_CACHE_* gates above)
+        self._df_cache: Dict[str, DataFrame] = {}
+        self._dict: Optional[Dict[str, List[int]]] = None
+        self._dict_terms: Optional[List[str]] = None
+        self._dict_state = 0  # 0 unknown, 1 cached, -1 too big / old layout
+        self._doclens_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._dels_arrays_state = 0  # 0 unknown, 1 cached, -1 too big
+        self._dels_arrays: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------ pieces
 
     def _multi(self, sub: str) -> DataFrame:
         # per-root reads unioned: partition discovery (bucket=N dirs)
-        # must run per segment root, not across them
+        # must run per segment root, not across them. Memoized — the
+        # files of an open snapshot are immutable, and re-listing +
+        # re-inferring the schema per query is pure per-query overhead.
+        cached = self._df_cache.get(sub)
+        if cached is not None:
+            return cached
         dfs = [
             self.spark.read.parquet(os.path.join(s, sub))
             for s in self.segments
@@ -148,6 +205,7 @@ class IndexReader:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        self._df_cache[sub] = out
         return out
 
     def terms_df(self) -> DataFrame:
@@ -184,12 +242,146 @@ class IndexReader:
         span = self.chunk_span
         return (
             dels.select(
-                ((F.col("doc_id") - 1) / span).cast("long").alias("chunk"),
+                (F.col("doc_id") / span).cast("long").alias("chunk"),
                 "doc_id",
             )
             .groupBy("chunk")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
         )
+
+    def _meta_scan_df(self, pred, stats) -> DataFrame:
+        """Distributed per-term metadata (df, max_tf, bucket, idf,
+        term_ub) for expansions too wide to collect — Spark-side idf/ub
+        expressions, never driver literals."""
+        meta = (
+            self.terms_df()
+            .where(pred)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.first("bucket").alias("bucket"),
+            )
+        )
+        idf_col = F.log(
+            F.lit(1.0)
+            + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        meta = meta.withColumn("idf", idf_col)
+        mtf = F.col("max_tf").cast("double")
+        return meta.withColumn(
+            "term_ub",
+            F.col("idf") * mtf * F.lit(K1 + 1.0)
+            / (mtf + F.lit(K1 * (1.0 - B))),
+        )
+
+    # --------------------------------------------- driver-side caches
+
+    def _ensure_dict(self) -> Optional[Dict[str, List[int]]]:
+        """Load the term dictionary driver-side iff it fits the cache
+        gate. One job on first use; every later exact/prefix expansion
+        costs zero jobs. Returns None when the vocabulary exceeds the
+        cap (corpus-scale indexes keep the distributed dictionary path)."""
+        if self._dict_state == 0:
+            t = self.terms_df()
+            # manifest-recorded vocab size (sum across segments when
+            # known) gates the cache WITHOUT a probe job; unknown sizes
+            # (pre-v3 manifests) use a limit probe instead.
+            n_terms = self.manifest.stats.get("n_terms")
+            if "bucket" not in t.columns:  # pre-v2 layout: stay distributed
+                self._dict_state = -1
+            elif n_terms is not None and int(n_terms) > _DICT_CACHE_CAP:
+                self._dict_state = -1
+            else:
+                sel = t.select("term", "df", "max_tf", "bucket")
+                if n_terms is None:
+                    rows = sel.limit(_DICT_CACHE_CAP + 1).collect()
+                else:
+                    rows = sel.collect()
+                if len(rows) > _DICT_CACHE_CAP:
+                    self._dict_state = -1
+                else:
+                    agg: Dict[str, List[int]] = {}
+                    for r in rows:  # sum df / max tf across segments
+                        cur = agg.get(r["term"])
+                        if cur is None:
+                            agg[r["term"]] = [
+                                int(r["df"]), int(r["max_tf"]), int(r["bucket"])
+                            ]
+                        else:
+                            cur[0] += int(r["df"])
+                            cur[1] = max(cur[1], int(r["max_tf"]))
+                    self._dict = agg
+                    self._dict_terms = sorted(agg)
+                    self._dict_state = 1
+        return self._dict if self._dict_state == 1 else None
+
+    def _dict_expand(
+        self, qterms: List[str], mode: str
+    ) -> Optional[List[Tuple[str, int, int, int]]]:
+        """[(term, df, max_tf, bucket)] from the cached dictionary, or
+        None when uncached. Prefix expansion is a bisect range scan on
+        the sorted term list."""
+        d = self._ensure_dict()
+        if d is None:
+            return None
+        if mode == START_WITH:
+            ts = self._dict_terms
+            hit: List[str] = []
+            for q in qterms:
+                lo = bisect.bisect_left(ts, q)
+                hi = bisect.bisect_left(ts, q + "\U0010ffff")
+                hit.extend(ts[lo:hi])
+            matched = sorted(dict.fromkeys(hit))
+        else:
+            matched = [t for t in qterms if t in d]
+        return [(t, d[t][0], d[t][1], d[t][2]) for t in matched]
+
+    def _doclens_for(self, chunks: List[int]) -> Dict[int, np.ndarray]:
+        """chunk -> float64 dl array, LRU-cached (bounded driver memory;
+        chunks are disjoint across segments by construction)."""
+        cache = self._doclens_cache
+        missing = [c for c in chunks if c not in cache]
+        if missing:
+            for r in (
+                self.doclens_df().where(F.col("chunk").isin(missing)).collect()
+            ):
+                cache[int(r["chunk"])] = np.frombuffer(
+                    r["dls"], dtype=np.int32
+                ).astype(np.float64)
+            while len(cache) > _DOCLENS_CACHE_CHUNKS:
+                cache.popitem(last=False)
+        out = {}
+        for c in chunks:
+            if c in cache:
+                cache.move_to_end(c)
+                out[c] = cache[c]
+        return out
+
+    def _dels_cached(self) -> Optional[Dict[int, np.ndarray]]:
+        """chunk -> sorted tombstoned doc_ids, cached iff bounded; {} if
+        the index has no deletes; None when too many to cache (callers
+        fall back to the distributed join)."""
+        if self._dels_arrays_state == 0:
+            if not self.deletes_dir:
+                self._dels_arrays_state = 1
+            else:
+                rows = self.deletes_df().limit(_DELS_CACHE_CAP + 1).collect()
+                if len(rows) > _DELS_CACHE_CAP:
+                    self._dels_arrays_state = -1
+                else:
+                    span = self.chunk_span
+                    by_chunk: Dict[int, List[int]] = {}
+                    for r in rows:
+                        i = int(r["doc_id"])
+                        by_chunk.setdefault(i // span, []).append(i)
+                    self._dels_arrays = {
+                        c: np.array(sorted(v), dtype=np.int64)
+                        for c, v in by_chunk.items()
+                    }
+                    self._dels_arrays_state = 1
+        return self._dels_arrays if self._dels_arrays_state == 1 else None
 
     def match_terms(
         self, terms: Iterable[str], mode: str
@@ -201,6 +393,9 @@ class IndexReader:
         qterms = list(dict.fromkeys(terms))
         if not qterms:
             return []
+        cached = self._dict_expand(qterms, mode)
+        if cached is not None:
+            return cached
         t = self.terms_df()
         if mode == START_WITH:
             cond = None
@@ -238,7 +433,7 @@ class IndexReader:
         per-row block range [first_doc, last_doc] skips non-covering
         blocks before any decode."""
         span = self.chunk_span
-        chunk = (doc_id - 1) // span
+        chunk = doc_id // span
         dels = self.deletes_df()
         if dels is not None and dels.where(
             F.col("doc_id") == doc_id
@@ -293,56 +488,82 @@ class IndexReader:
         if not qterms:
             return empty
 
-        # ---- term metadata as a (small) DataFrame, broadcast-joined.
-        # A prefix query can expand to millions of dictionary terms at
+        # ---- term metadata. With the cached dictionary the expansion
+        # (incl. idf / upper bounds, computed driver-side in python —
+        # the SAME floats both the local fast path and the distributed
+        # scorer consume) costs zero jobs. Past the vocab cache gate, a
+        # prefix query can expand to millions of dictionary terms at
         # corpus scale; their idf/ub must never become driver-side
-        # literals. Only the *bucket list* (bounded by num_buckets) and
-        # two counters are ever collected.
+        # literals — only the *bucket list* (bounded by num_buckets)
+        # and two counters are ever collected on that path.
         stats = self.stats
         pred = _term_predicate(qterms, mode)
-        meta = (
-            self.terms_df()
-            .where(pred)
-            .groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.max("max_tf").alias("max_tf"),
-                F.first("bucket").alias("bucket"),
-            )
-        )
-        idf_col = F.log(
-            F.lit(1.0)
-            + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        mtf = F.col("max_tf").cast("double")
-        ub_col = F.col("idf") * mtf * F.lit(K1 + 1.0) / (
-            mtf + F.lit(K1 * (1.0 - B))
-        )
-        meta = meta.withColumn("idf", idf_col).withColumn("term_ub", ub_col)
-
-        # Common case: the expansion is small. Collect it in ONE job so
-        # the rest of the query needs no further metadata jobs, and use
-        # the total matched-postings count to decide whether block-max
-        # pruning (whose θ bootstrap costs extra jobs) will pay for
-        # itself. Expansions past the cap keep the fully-distributed
-        # path (metadata never collected).
         cap = _META_COLLECT_CAP
-        head = meta.limit(cap + 1).collect()
-        total_df = None
-        if len(head) <= cap:
+        meta: Optional[DataFrame] = None
+        expansion = self._dict_expand(qterms, mode)
+        if expansion is not None and len(expansion) <= cap:
+            head: List[dict] = []
+            for t, df_, mtf_, b_ in expansion:
+                idf = _idf(float(stats.n_docs), float(df_))
+                head.append(
+                    {
+                        "term": t, "df": df_, "max_tf": mtf_, "bucket": b_,
+                        "idf": idf, "term_ub": _term_ub(idf, mtf_),
+                    }
+                )
             n_matched = len(head)
             buckets = sorted({int(r["bucket"]) for r in head})
             total_df = sum(int(r["df"]) for r in head)
-            meta = self.spark.createDataFrame(head, meta.schema)
+        elif expansion is not None:
+            # dictionary cached but the expansion is too wide to carry
+            # as plan literals: keep the driver-side gating counters,
+            # compute per-term metadata distributed (scan + expressions)
+            head = []
+            n_matched = len(expansion)
+            buckets = sorted({b for _, _, _, b in expansion})
+            total_df = None
+            meta = self._meta_scan_df(pred, stats)
         else:
-            info = meta.agg(
-                F.count("*").alias("n"),
-                F.collect_set("bucket").alias("buckets"),
-            ).collect()[0]
-            n_matched, buckets = int(info["n"]), sorted(info["buckets"] or [])
+            meta = self._meta_scan_df(pred, stats)
+            # Collect the expansion in ONE job when it is small; use the
+            # total matched-postings count to decide whether block-max
+            # pruning (whose θ bootstrap costs extra jobs) will pay for
+            # itself. Expansions past the cap keep the fully-distributed
+            # path (metadata never collected).
+            raw = meta.limit(cap + 1).collect()
+            total_df = None
+            head = []
+            if len(raw) <= cap:
+                for r in raw:
+                    idf = _idf(float(stats.n_docs), float(r["df"]))
+                    head.append(
+                        {
+                            "term": r["term"], "df": int(r["df"]),
+                            "max_tf": int(r["max_tf"]),
+                            "bucket": int(r["bucket"]), "idf": idf,
+                            "term_ub": _term_ub(idf, int(r["max_tf"])),
+                        }
+                    )
+                n_matched = len(head)
+                buckets = sorted({int(r["bucket"]) for r in head})
+                total_df = sum(int(r["df"]) for r in head)
+                meta = None
+            else:
+                info = meta.agg(
+                    F.count("*").alias("n"),
+                    F.collect_set("bucket").alias("buckets"),
+                ).collect()[0]
+                n_matched, buckets = int(info["n"]), sorted(info["buckets"] or [])
         if n_matched == 0 or (mode == AND_MATCH and n_matched < n_query_terms):
             return empty
+        if meta is None:
+            # bounded-size metadata as a pure-JVM literal plan (broadcast
+            # below) — no Python-RDD parallelize, no metadata scan job
+            meta = _rows_literal_df(
+                self.spark,
+                [(r["term"], r["idf"], r["term_ub"]) for r in head],
+                [("term", "string"), ("idf", "double"), ("term_ub", "double")],
+            )
 
         if (
             local_max_postings
@@ -437,14 +658,14 @@ class IndexReader:
                     doc_ids, tfs = decode_block(
                         int(blk["first_doc"]), bytes(blk["deltas"]), bytes(blk["tfs"])
                     )
-                    pos = doc_ids - 1 - base
+                    pos = doc_ids - base
                     scores[pos] += _score_np(
                         tfs.astype(np.float64), dls[pos], t_idf, avgdl
                     )
                     counts[pos] += 1
             dels_val = pdf["_dels"].iloc[0]
             if dels_val is not None and len(dels_val):
-                dp = np.asarray(dels_val, dtype=np.int64) - 1 - base
+                dp = np.asarray(dels_val, dtype=np.int64) - base
                 dp = dp[(dp >= 0) & (dp < counts.size)]
                 counts[dp] = 0  # tombstoned docs never match
             hit = np.flatnonzero(counts)
@@ -463,7 +684,7 @@ class IndexReader:
                 hit = hit[sc >= kth]
             return pd.DataFrame(
                 {
-                    "doc_id": (hit + 1 + base).astype("int64"),
+                    "doc_id": (hit + base).astype("int64"),
                     "score": scores[hit],
                     "nterms": counts[hit].astype("int32"),
                 }
@@ -480,7 +701,7 @@ class IndexReader:
         out = [
             (r["doc_id"], float(r["score"]), i + 1) for i, r in enumerate(topk)
         ]
-        return self.spark.createDataFrame(out, RESULT_SCHEMA) if out else empty
+        return _rows_literal_df(self.spark, out, _RESULT_FIELDS) if out else empty
 
     def _search_local(
         self,
@@ -512,21 +733,16 @@ class IndexReader:
         chunks = sorted({int(r["chunk"]) for r in rows})
         if len(chunks) > _LOCAL_MAX_CHUNKS:
             return None
-        dls_by_chunk = {
-            int(r["chunk"]): np.frombuffer(r["dls"], dtype=np.int32).astype(
-                np.float64
-            )
-            for r in self.doclens_df()
-            .where(F.col("chunk").isin(chunks))
-            .collect()
-        }
-        dels_by_chunk: Dict[int, np.ndarray] = {}
-        dbc = self._dels_by_chunk()
-        if dbc is not None:
-            for r in dbc.where(F.col("chunk").isin(chunks)).collect():
-                dels_by_chunk[int(r["chunk"])] = np.asarray(
-                    r["_dels"], dtype=np.int64
-                )
+        dls_by_chunk = self._doclens_for(chunks)
+        dels_by_chunk = self._dels_cached()
+        if dels_by_chunk is None:  # uncacheably many tombstones
+            dels_by_chunk = {}
+            dbc = self._dels_by_chunk()
+            if dbc is not None:
+                for r in dbc.where(F.col("chunk").isin(chunks)).collect():
+                    dels_by_chunk[int(r["chunk"])] = np.asarray(
+                        r["_dels"], dtype=np.int64
+                    )
 
         span = self.chunk_span
         avgdl = self.stats.avgdl
@@ -552,21 +768,21 @@ class IndexReader:
                         bytes(blk["deltas"]),
                         bytes(blk["tfs"]),
                     )
-                    pos = doc_ids - 1 - base
+                    pos = doc_ids - base
                     scores[pos] += _score_np(
                         tfs.astype(np.float64), dls[pos], t_idf, avgdl
                     )
                     counts[pos] += 1
             dels = dels_by_chunk.get(chunk)
             if dels is not None and dels.size:
-                dp = dels - 1 - base
+                dp = dels - base
                 dp = dp[(dp >= 0) & (dp < counts.size)]
                 counts[dp] = 0
             hit = np.flatnonzero(counts)
             if need_all:
                 hit = hit[counts[hit] == n_query_terms]
             if hit.size:
-                out_ids.append((hit + 1 + base).astype(np.int64))
+                out_ids.append((hit + base).astype(np.int64))
                 out_scores.append(scores[hit])
         if not out_ids:
             return empty
@@ -578,7 +794,7 @@ class IndexReader:
             (int(ids[i]), float(sc[i]), rank + 1)
             for rank, i in enumerate(order)
         ]
-        return self.spark.createDataFrame(out, RESULT_SCHEMA)
+        return _rows_literal_df(self.spark, out, _RESULT_FIELDS)
 
     def _bootstrap_theta(self, post: DataFrame, k: int) -> float:
         """Decode the single most-promising chunk driver-side and return
@@ -595,28 +811,33 @@ class IndexReader:
             return 0.0
         best_chunk = agg[0]["chunk"]
         rows = post.where(F.col("chunk") == best_chunk).collect()
-        dls_row = (
-            self.doclens_df().where(F.col("chunk") == best_chunk).collect()
-        )
-        if not dls_row:
+        got = self._doclens_for([int(best_chunk)])
+        if int(best_chunk) not in got:
             return 0.0
-        dls = np.frombuffer(dls_row[0]["dls"], dtype=np.int32).astype(np.float64)
+        dls = got[int(best_chunk)]
         scores = np.zeros(dls.size, dtype=np.float64)
         base = int(best_chunk) * self.chunk_span
         deleted = np.empty(0, dtype=np.int64)
-        dbc = self._dels_by_chunk()
-        if dbc is not None:
-            drow = dbc.where(F.col("chunk") == best_chunk).collect()
-            if drow:
-                dp = np.asarray(drow[0]["_dels"], dtype=np.int64) - 1 - base
+        cached_dels = self._dels_cached()
+        if cached_dels is not None:
+            arr = cached_dels.get(int(best_chunk))
+            if arr is not None and arr.size:
+                dp = arr - base
                 deleted = dp[(dp >= 0) & (dp < dls.size)]
+        else:
+            dbc = self._dels_by_chunk()
+            if dbc is not None:
+                drow = dbc.where(F.col("chunk") == best_chunk).collect()
+                if drow:
+                    dp = np.asarray(drow[0]["_dels"], dtype=np.int64) - base
+                    deleted = dp[(dp >= 0) & (dp < dls.size)]
         for r in rows:
             t_idf = float(r["idf"])
             for blk in r["blocks"]:
                 doc_ids, tfs = decode_block(
                     int(blk["first_doc"]), bytes(blk["deltas"]), bytes(blk["tfs"])
                 )
-                pos = doc_ids - 1 - base
+                pos = doc_ids - base
                 scores[pos] += _score_np(
                     tfs.astype(np.float64), dls[pos], t_idf, self.stats.avgdl
                 )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -25,7 +26,9 @@ from spark_search import multimodal as MM
 from spark_search import pipeline as P
 from spark_search import similarity as SIM
 from spark_search import textops as TX
+from spark_search.build import build_index
 from spark_search.corpus import load_sf_documents
+from spark_search.query import IndexReader
 from spark_search.tokenizer import tokens_sql
 
 K1_PLUS_1 = "2.2"
@@ -43,6 +46,42 @@ TERMS_STATS = ["spark", "join", "data", "vector", "hash"]
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_sf_documents(spark, sf_dir)
+
+
+# One disk index per sf corpus per process, built lazily into a temp
+# dir and shared by every *_indexed query (the driver runs the whole
+# queries() dict in one process). The reader is re-opened if the driver
+# hands us a different SparkSession than the one that built the index.
+_INDEX_DIRS: dict[str, str] = {}
+_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _indexed_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    key = os.path.abspath(sf_dir)
+    d = _INDEX_DIRS.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="sgraft-idx-")
+        build_index(spark, _corpus(spark, sf_dir), d)
+        _INDEX_DIRS[key] = d
+    ent = _READERS.get(key)
+    if ent is None or ent[0] != id(spark):
+        ent = (id(spark), IndexReader(spark, d))
+        _READERS[key] = ent
+    return ent[1]
+
+
+def _indexed_topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
+    """BM25 top-k answered by the disk index (build_index →
+    IndexReader.search): codec decode, chunk pruning, block-max
+    pruning, bounded top-k — the flagship engine path, under the same
+    oracle as the declarative pipeline (they are rank- and
+    score-identical by construction)."""
+    res = _indexed_reader(spark, sf_dir).search(terms, mode, k=k)
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def _topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
@@ -100,6 +139,51 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 def _q_bm25_exact(spark, sf_dir):
     return _topk(spark, sf_dir, TERMS_EXACT, P.EXACT_MATCH)
+
+
+def _q_bm25_exact_indexed(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, TERMS_EXACT, P.EXACT_MATCH)
+
+
+def _q_bm25_or_indexed(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, TERMS_OR, P.WITH_SUGGESTIONS)
+
+
+def _q_bm25_and_indexed(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, TERMS_AND, P.AND_MATCH)
+
+
+def _q_bm25_prefix_indexed(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
+
+
+def _q_reverse_doc_terms_indexed(spark, sf_dir):
+    """O3 reverse lookup answered by the disk index (chunk-pruned scan
+    + block-range skip, IndexReader.doc_terms)."""
+    rd = _indexed_reader(spark, sf_dir)
+    return rd.doc_terms(REVERSE_DOC_ID).select(
+        "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def _q_term_stats_indexed(spark, sf_dir):
+    """O1 posting statistics read from the on-disk term dictionary."""
+    rd = _indexed_reader(spark, sf_dir)
+    return rd.terms_df().where(F.col("term").isin(TERMS_STATS)).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
+def _q_term_prefix_expansion_indexed(spark, sf_dir):
+    """Q2 dictionary range scan on the on-disk term dictionary."""
+    rd = _indexed_reader(spark, sf_dir)
+    return rd.terms_df().where(F.col("term").startswith("sc")).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
 
 
 def _q_bm25_or(spark, sf_dir):
@@ -245,6 +329,10 @@ def _q_dedup_embedding(spark, sf_dir):
     return DD.embedding_near_dup(_emb_raw(spark, sf_dir))
 
 
+def _q_dedup_embedding_ann(spark, sf_dir):
+    return DD.embedding_near_dup_ann(_emb_raw(spark, sf_dir))
+
+
 def _q_sim_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(_emb_raw(spark, sf_dir), SIM_QUERY_IDS)
 
@@ -262,10 +350,15 @@ def _q_media_features(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 multi-term OR query over sf0.001, with doc
-    metadata joined back (the Q4 registry semi-join analog)."""
-    corpus = _corpus(spark, "/root/testdata/sf0.001").cache()
-    res = P.bm25_topk(corpus, TERMS_OR, P.WITH_SUGGESTIONS, k=10)
+    """Flagship: build the disk index over sf0.001, answer a BM25
+    top-10 multi-term OR query via IndexReader.search (codec + pruning
+    + bounded top-k), and join doc metadata back (the Q4 registry
+    semi-join analog)."""
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = _corpus(spark, sf_dir)
+    res = _indexed_reader(spark, sf_dir).search(
+        TERMS_OR, P.WITH_SUGGESTIONS, k=10
+    )
     return (
         res.join(corpus.select("doc_id", "repo", "path"), "doc_id")
         .select("doc_id", "repo", "path", F.round("score", 6).alias("score"), "rank")
@@ -279,6 +372,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk": _q_bm25_or,
         "bm25_and_topk": _q_bm25_and,
         "bm25_prefix_topk": _q_bm25_prefix,
+        # disk-index-backed duplicates of the same semantics: these run
+        # build_index -> IndexReader (codec, chunk/block pruning, top-k
+        # heaps) under the identical oracles
+        "bm25_exact_topk_indexed": _q_bm25_exact_indexed,
+        "bm25_or_topk_indexed": _q_bm25_or_indexed,
+        "bm25_and_topk_indexed": _q_bm25_and_indexed,
+        "bm25_prefix_topk_indexed": _q_bm25_prefix_indexed,
+        "reverse_doc_terms_indexed": _q_reverse_doc_terms_indexed,
+        "term_stats_indexed": _q_term_stats_indexed,
+        "term_prefix_expansion_indexed": _q_term_prefix_expansion_indexed,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
         "match_set_exact": _q_match_set,
@@ -296,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_ann": _q_dedup_embedding_ann,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "media_stats": _q_media_stats,
@@ -305,11 +409,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     terms_in = ", ".join(f"'{t}'" for t in TERMS_STATS)
-    return {
+    d = {
         "bm25_exact_topk": _bm25_oracle(TERMS_EXACT, P.EXACT_MATCH),
         "bm25_or_topk": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_and_topk": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
+        # identical oracles for the disk-index-backed variants
+        "bm25_exact_topk_indexed": _bm25_oracle(TERMS_EXACT, P.EXACT_MATCH),
+        "bm25_or_topk_indexed": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
+        "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
               FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)),
@@ -364,8 +473,14 @@ FROM tf GROUP BY term
         "dedup_simhash": DD.simhash_sql(),
         "dedup_simhash_pairs": DD.simhash_near_dup_sql(),
         "dedup_embedding": DD.embedding_near_dup_sql(),
+        "dedup_embedding_ann": DD.embedding_near_dup_ann_sql(),
         "sim_cosine_topk": SIM.cosine_topk_sql(SIM_QUERY_IDS),
         "sim_ivf_topk": SIM.ivf_topk_sql(SIM_QUERY_IDS),
         "media_stats": MM.media_stats_sql(),
         "media_features": MM.media_features_summary_sql(),
     }
+    # the indexed variants answer the same questions -> same oracles
+    d["reverse_doc_terms_indexed"] = d["reverse_doc_terms"]
+    d["term_stats_indexed"] = d["term_stats"]
+    d["term_prefix_expansion_indexed"] = d["term_prefix_expansion"]
+    return d

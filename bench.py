@@ -111,6 +111,7 @@ def main() -> None:
     for name, fn in [
         ("dedup_minhash_lsh", lambda: DD.minhash_near_dup(docs_raw).count()),
         ("dedup_simhash_pairs", lambda: DD.simhash_near_dup(docs_raw).count()),
+        ("dedup_embedding_ann", lambda: DD.embedding_near_dup_ann(emb_raw).count()),
         ("text_quality", lambda: TX.quality_scores(docs_raw).count()),
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
         ("media_features", lambda: MM.media_features_summary(docs_raw).count()),

@@ -72,19 +72,44 @@ def cpu_capacity_probe(seconds: float = 1.5) -> dict:
     return out
 
 
-def _scratch_base() -> str:
-    """tmpfs when available: the sandbox's virtual disk has multi-x
-    bandwidth variance from co-tenants; the scaling criterion measures
-    compute+shuffle scaling (a real cluster has per-node local disks),
-    so shuffle and index I/O go to RAM-backed storage."""
-    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+def _scratch_base(need_bytes: int = 0) -> str:
+    """tmpfs when available AND it has headroom: the sandbox's virtual
+    disk has multi-x bandwidth variance from co-tenants; the scaling
+    criterion measures compute+shuffle scaling (a real cluster has
+    per-node local disks), so shuffle and index I/O go to RAM-backed
+    storage. tmpfs is typically capped at 50% of RAM — running it out
+    mid-bench would abort the run (ENOSPC) or skew the very timings
+    being measured, so any caller states its size estimate and we fall
+    back to disk unless that fits with a 4 GiB margin."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm):
+        try:
+            free = shutil.disk_usage(shm).free
+        except OSError:
+            free = 0
+        if free >= need_bytes + (4 << 30):
+            return shm
+    return tempfile.gettempdir()
 
 
-def _session(cpus: int):
+def _steal_sample() -> tuple:
+    """(steal_jiffies, total_jiffies) from /proc/stat — deltas between
+    two samples give the %CPU stolen by co-tenants during a launch."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _session(cpus: int, scratch_need: int = 0):
     from pyspark.sql import SparkSession
 
     local_dir = tempfile.mkdtemp(
-        prefix=f"spark_local_{cpus}_", dir=_scratch_base()
+        prefix=f"spark_local_{cpus}_", dir=_scratch_base(scratch_need)
     )
     import atexit
 
@@ -132,8 +157,21 @@ def _index_content_hash(spark, index_dir: str) -> str:
     return f"{h1}|{h2}|{h3}"
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def child(cpus: int, reps: int, corpus_dir: str) -> None:
-    spark = _session(cpus)
+    # shuffle spill ~ 3x corpus bytes (tokens exchange), index ~ 1.5x
+    corpus_bytes = _dir_bytes(corpus_dir)
+    spark = _session(cpus, scratch_need=3 * corpus_bytes)
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
@@ -146,7 +184,9 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
 
     # warmup build on a deterministic 10% slice
     warm_dir = os.path.join(
-        tempfile.mkdtemp(prefix=f"warm{cpus}_", dir=_scratch_base()), "idx"
+        tempfile.mkdtemp(
+            prefix=f"warm{cpus}_", dir=_scratch_base(corpus_bytes)
+        ), "idx"
     )
     # 10% slice: JVM JIT keeps compiling through the first full builds;
     # a too-small warmup leaves rep 0 measuring the compiler, not the engine
@@ -160,7 +200,9 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
         if index_dir:
             shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
         index_dir = os.path.join(
-            tempfile.mkdtemp(prefix=f"scal{cpus}_", dir=_scratch_base()), "idx"
+            tempfile.mkdtemp(
+                prefix=f"scal{cpus}_", dir=_scratch_base(2 * corpus_bytes)
+            ), "idx"
         )
         t0 = time.time()
         m = build_index(spark, corpus, index_dir)
@@ -215,11 +257,14 @@ def main() -> None:
 
     n_docs = 600_000
     reps = 2
+    rounds = 6  # interleaved launches per level
     cpus_pair = (2, 8)
     if "--docs" in sys.argv:
         n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    if "--rounds" in sys.argv:
+        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
     if "--cpus" in sys.argv:
         cpus_pair = tuple(
             int(x) for x in sys.argv[sys.argv.index("--cpus") + 1].split(",")
@@ -229,7 +274,10 @@ def main() -> None:
 
     # 1. materialize the deterministic corpus once (JVM-side generator)
     corpus_dir = os.path.join(
-        tempfile.mkdtemp(prefix="scal_corpus_", dir=_scratch_base()), "corpus"
+        tempfile.mkdtemp(
+            # ~1 KiB/doc parquet; stated so tmpfs is skipped when tight
+            prefix="scal_corpus_", dir=_scratch_base(1200 * n_docs)
+        ), "corpus"
     )
     spark = _session(32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -246,11 +294,14 @@ def main() -> None:
     # symmetrically; per level we keep the fastest build across all its
     # launches and verify every launch produced the same index hash.
     def _launch(cpus: int) -> dict:
+        s0 = _steal_sample()
+        t0 = time.time()
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
              str(reps), corpus_dir],
             capture_output=True, text=True, timeout=4000,
         )
+        s1 = _steal_sample()
         line = [
             ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")
         ]
@@ -258,34 +309,59 @@ def main() -> None:
             sys.stderr.write(p.stdout[-4000:] + p.stderr[-4000:])
             raise RuntimeError(f"child local[{cpus}] failed")
         res = json.loads(line[0][len("CHILD_RESULT "):])
+        d_total = s1[1] - s0[1]
+        res["steal_pct"] = (
+            round(100.0 * (s1[0] - s0[0]) / d_total, 2) if d_total else None
+        )
+        res["wall_sec"] = round(time.time() - t0, 1)
         # stream each child's numbers immediately: a killed run still
         # leaves its completed launches on record
         print("LAUNCH " + json.dumps(res), flush=True)
         return res
 
+    # interleaved launches (lo, hi, lo, hi, ...): slow co-tenant drift
+    # hits both levels symmetrically; per-launch /proc/stat steal deltas
+    # identify which launches ran on a quiet machine
     launches: dict = {c: [] for c in cpus_pair}
-    for _round in range(2):
-        for cpus in cpus_pair:
-            launches[cpus].append(_launch(cpus))
+    try:
+        for _round in range(rounds):
+            for cpus in cpus_pair:
+                launches[cpus].append(_launch(cpus))
+    finally:
+        # RAM-backed corpus must never outlive the run, success or not
+        shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
+
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
 
     results = {}
     for cpus in cpus_pair:
         runs = launches[cpus]
         best = min(runs, key=lambda r: r["build_sec"])
         best["build_runs_sec"] = [t for r in runs for t in r["build_runs_sec"]]
+        best["launch_build_secs"] = [r["build_sec"] for r in runs]
+        best["launch_steal_pcts"] = [r.get("steal_pct") for r in runs]
+        best["build_sec_median"] = round(
+            _median([r["build_sec"] for r in runs]), 3
+        )
         best["queries"] = {
             q: min(r["queries"][q] for r in runs) for q in best["queries"]
         }
         assert len({r["content_hash"] for r in runs}) == 1
         best["files_per_sec"] = round(best["n_files"] / best["build_sec"], 1)
+        best["files_per_sec_median"] = round(
+            best["n_files"] / best["build_sec_median"], 1
+        )
         results[cpus] = best
 
-    shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
-
     lo, hi = cpus_pair
-    t_lo = results[lo]["files_per_sec"]
-    t_hi = results[hi]["files_per_sec"]
-    eff = t_hi / ((hi / lo) * t_lo)
+    ratio = hi / lo
+    eff_best = results[hi]["files_per_sec"] / (ratio * results[lo]["files_per_sec"])
+    eff_median = results[hi]["files_per_sec_median"] / (
+        ratio * results[lo]["files_per_sec_median"]
+    )
     deterministic = (
         results[lo]["content_hash"] == results[hi]["content_hash"]
     )
@@ -294,10 +370,17 @@ def main() -> None:
         "cpu_capacity_probe": capacity,
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
-        "scaling_efficiency": round(eff, 3),
+        # best-of-launches at each level (quiet-machine floor) AND the
+        # median-based figure, so the headline is self-describing; the
+        # per-launch distributions + steal samples are alongside
+        "scaling_efficiency": round(eff_best, 3),
+        "scaling_efficiency_basis": "best-of-launches per level",
+        "scaling_efficiency_median": round(eff_median, 3),
+        "launches_per_level": rounds,
         "pair": f"local[{lo}] -> local[{hi}]",
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass": eff_best >= 0.8,
+        "pass_median": eff_median >= 0.8,
         "deterministic_index": deterministic,
     }
     print(json.dumps(out))

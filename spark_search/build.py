@@ -27,20 +27,27 @@ completed stages (per-bucket-group granularity for the heavy postings
 stage). Output dirs are written once per stage and become immutable.
 """
 
+import contextlib
 import os
 import shutil
 import time
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Callable, List, Optional
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import pipeline as P
-from .checkpoint import BuildManifest, corpus_fingerprint
+from .checkpoint import (
+    MANIFEST as MANIFEST_NAME,
+    PARTIAL as PARTIAL_NAME,
+    BuildManifest,
+    corpus_fingerprint,
+)
 from .codec import encode_blocks_batch
 from .ids import with_content_hash, with_doc_ids, with_doc_length
+from .progress import ProgressReporter, dir_bytes
 from .stats import CorpusStats
 
 DEFAULT_NUM_BUCKETS = 32
@@ -106,6 +113,55 @@ class IndexPaths:
         return os.path.join(self.root, "terms")
 
 
+def build_job_group(index_dir: str) -> str:
+    """Spark job-group id under which every job of a build runs."""
+    return f"spark_search.build:{os.path.abspath(index_dir)}"
+
+
+def cancel_build(spark: SparkSession, index_dir: str) -> None:
+    """Cancel a RUNNING build of ``index_dir`` from another thread
+    (O11 — reference index/DocumentIndexManager.java:180-194;
+    search-side Q8 cancellation is the same call on a query job
+    group). The build's in-flight Spark jobs are interrupted; because
+    an index is only published by the atomic manifest rename in
+    ``BuildManifest.commit``, the aborted build is never visible to
+    readers and any previous committed generation keeps serving."""
+    spark.sparkContext.cancelJobGroup(build_job_group(index_dir))
+
+
+def abort_build(index_dir: str) -> bool:
+    """Roll back an interrupted/uncommitted build: remove the partial
+    manifest and stage directories. REFUSES to touch a committed index
+    (manifest.json present) — cancellation must never destroy a live
+    generation. Returns True if anything was removed."""
+    final = os.path.join(index_dir, MANIFEST_NAME)
+    if os.path.exists(final):
+        raise ValueError(
+            f"{index_dir} holds a committed index; abort_build only "
+            "rolls back uncommitted builds"
+        )
+    if not os.path.isdir(index_dir):
+        return False
+    paths = IndexPaths(index_dir)
+    removed = False
+    for p in (
+        os.path.join(index_dir, PARTIAL_NAME),
+        os.path.join(index_dir, PARTIAL_NAME + ".tmp"),
+    ):
+        if os.path.exists(p):
+            os.remove(p)
+            removed = True
+    for d in (paths.docs, paths.doclens, paths.postings, paths.terms):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed = True
+    try:
+        os.rmdir(index_dir)  # only succeeds when nothing else lives there
+    except OSError:
+        pass
+    return removed
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -117,14 +173,56 @@ def build_index(
     tokenizer: str = "standard",
     resume: bool = False,
     doc_id_partitions: Optional[int] = None,
+    progress: Optional[Callable] = None,
 ) -> BuildManifest:
     """Build (or resume) a disk index from a corpus DataFrame.
 
     ``corpus`` may or may not already carry ``doc_id``; if absent, ids
     are assigned deterministically (ids.with_doc_ids).
+
+    All Spark jobs of the build run under job group
+    ``build_job_group(index_dir)`` so ``cancel_build`` can abort them
+    from another thread; the atomic manifest-rename commit means an
+    aborted build is simply never visible to readers (O11 —
+    reference index/DocumentIndexManager.java:180-194).
+
+    ``progress`` (O10 — reference
+    index/DocumentReadWithTrackProgressTask.java:30-34): optional
+    callback receiving ``progress.ProgressEvent`` task-completion
+    samples while the build runs; per-stage rows/bytes/wall totals are
+    additionally recorded in the manifest.
     """
     paths = IndexPaths(index_dir)
+    group = build_job_group(index_dir)
+    spark.sparkContext.setJobGroup(
+        group, f"spark_search build -> {index_dir}", interruptOnCancel=True
+    )
+    reporter = (
+        ProgressReporter(spark, group, progress)
+        if progress is not None
+        else contextlib.nullcontext()
+    )
+    with reporter:
+        return _build_stages(
+            spark, corpus, paths, index_dir, num_buckets, chunk_span,
+            block_size, bucket_groups, tokenizer, resume,
+            doc_id_partitions,
+        )
 
+
+def _build_stages(
+    spark: SparkSession,
+    corpus: DataFrame,
+    paths: IndexPaths,
+    index_dir: str,
+    num_buckets: int,
+    chunk_span: int,
+    block_size: int,
+    bucket_groups: int,
+    tokenizer: str,
+    resume: bool,
+    doc_id_partitions: Optional[int],
+) -> BuildManifest:
     # Input-parallelism floor. A small-relative-to-cluster input (or a
     # coarse maxPartitionBytes) can leave the scan with ~1 split per
     # core: the tokenize+tf map stage then runs as a single wave with
@@ -215,7 +313,9 @@ def build_index(
         ).parquet(paths.doclens)
         manifest.stats = CorpusStats(n_docs, avgdl, total_dl).to_dict()
         manifest.record_stage(
-            "docs", fingerprint, rows=n_docs, wall_s=time.time() - t0
+            "docs", fingerprint, rows=n_docs,
+            bytes=dir_bytes(paths.docs) + dir_bytes(paths.doclens),
+            wall_s=time.time() - t0,
         )
 
     # ------------------------------------------------- stage: postings (per group)
@@ -249,6 +349,15 @@ def build_index(
         # top of it. (Measured against the two-exchange variant —
         # partial-agged tf shuffle + bucket repartition — the fused
         # plan is ~3x faster at the quiet-machine floor.)
+        #
+        # Caveat for network-bound clusters: the fused exchange moves
+        # RAW token rows, i.e. ~avg-tf times more shuffle bytes than
+        # the two-exchange variant's map-side-combined (term, doc, tf)
+        # rows. On local mode (in-memory shuffle) the byte volume is
+        # nearly free and task-launch overhead dominates, which is why
+        # fused wins 3x here; where shuffle BYTES are the bottleneck,
+        # re-measure and flip back to partial-agg-then-repartition by
+        # inserting the tf groupBy before this repartition.
         #
         # chunk in the shuffle key is what makes the doc-range salt
         # real: keyed on bucket alone, every chunk of a hot term
@@ -289,7 +398,14 @@ def build_index(
             )
         )
         (
-            chunk_rows.sortWithinPartitions("term", "chunk")
+            # bucket FIRST: the dynamic partitionBy writer requires
+            # rows clustered by the partition column — sorting on it
+            # explicitly (rather than relying on the writer's implicit
+            # inserted sort) both pins the (term, chunk) order inside
+            # each bucket file (row-group pruning depends on it) and
+            # keeps per-bucket file fan-out at one file per task that
+            # holds the bucket instead of one per (task, write batch)
+            chunk_rows.sortWithinPartitions("bucket", "term", "chunk")
             .write.mode("append")
             # block payloads are already delta+varint entropy-coded;
             # a generic codec on top is pure CPU loss (measured ~15%
@@ -298,7 +414,12 @@ def build_index(
             .partitionBy("bucket")
             .parquet(paths.postings)
         )
-        manifest.record_stage(stage, fingerprint, wall_s=time.time() - tg)
+        manifest.record_stage(
+            stage, fingerprint,
+            # cumulative across bucket groups (dirs append per group)
+            bytes=dir_bytes(paths.postings),
+            wall_s=time.time() - tg,
+        )
 
     # --------------------------------------------------------- stage: terms
     if not (resume and manifest.stage_done("terms", fingerprint)):
@@ -330,8 +451,10 @@ def build_index(
         n_terms = spark.read.parquet(paths.terms).count()
         manifest.stats = {**manifest.stats, "n_terms": n_terms}
         manifest.record_stage(
-            "terms", fingerprint, rows=n_terms, wall_s=time.time() - tt
+            "terms", fingerprint, rows=n_terms,
+            bytes=dir_bytes(paths.terms), wall_s=time.time() - tt,
         )
 
     manifest.commit()
+    spark.sparkContext.setJobGroup("", "")  # stop attributing later jobs
     return manifest

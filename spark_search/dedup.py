@@ -26,17 +26,19 @@ extensions.
 
 Scale notes (100 TB):
   * exact: single hash-partitioned aggregation; AQE handles size.
-  * MinHash: the signature aggregation is one groupBy(doc_id) with p
-    min() aggregates (map-side partial agg — no row explosion by p);
-    the band self-join shuffles on (band, band_hash), whose cardinality
-    is bounded by bucket collisions, not corpus size.
+  * MinHash: signatures are MAP-ONLY (array_min over the per-doc
+    shingle array — zero shuffles); the band self-join shuffles on
+    (band, band_hash), whose cardinality is bounded by bucket
+    collisions, not corpus size; candidate verification is two
+    doc_id joins + array_intersect, bounded by |candidates|.
   * n-gram Jaccard: the shingle self-join is quadratic in per-shingle
-    df; production runs cap shingle df (drop shingles with df > D, they
-    carry no similarity signal) — exposed via ``max_shingle_df``.
+    df; ``max_shingle_df`` (DEFAULT 256) drops hot shingles before the
+    join — the unguarded form is opt-in via ``max_shingle_df=None``.
   * SimHash: pigeonhole join on 8-bit chunks ⇒ 4 shuffle keys per doc;
     guarantees exactness for Hamming distance ≤ 3.
-  * embedding: the all-pairs form is the correctness baseline; swap in
-    similarity.ann_assignments buckets to block the join at scale.
+  * embedding: ``embedding_near_dup_ann`` (centroid-cell blocked
+    equi-join) is the scale path; the all-pairs form remains as the
+    exhaustive baseline/oracle cross-check.
 """
 
 from __future__ import annotations
@@ -67,6 +69,18 @@ def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(shingles_col(_toks(F.col("text")), n)).alias("s"),
     )
+
+
+def _shingle_arrays(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, arr) — the distinct-shingle SET of each doc as one
+    array row: a pure map-side projection (shingles_col is a JVM
+    expression), no explode, no shuffle. Docs with < n tokens (empty
+    set) are dropped, matching the exploded form which emits no row
+    for them."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shingles_col(_toks(F.col("text")), n).alias("arr"),
+    ).where(F.size("arr") > 0)
 
 
 _DUCK_SH = """
@@ -123,14 +137,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, m0..m{p-1}) — p-permutation MinHash signature. Each
     permutation is min(md5(seed || ':' || shingle)) as a hex string.
-    Single groupBy(doc_id) with p min() aggregates — map-side combine,
-    no row multiplication by p. Docs without shingles have no row."""
-    sh = _shingle_rows(docs, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+
+    Computed as ``array_min(transform(shingle_set, md5(...)))`` over
+    the per-doc shingle array: a MAP-ONLY stage — no explode, no
+    shuffle, no aggregation (the round-1 explode + groupBy form paid a
+    full (doc_id, shingle) exchange just to re-group what the array
+    already holds). Docs without shingles have no row."""
+    sha = _shingle_arrays(docs, n)
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("arr"),
+                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+            )
+        ).alias(f"m{i}")
         for i in range(p)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sha.select("doc_id", *cols)
 
 
 def lsh_bands(sig: DataFrame, p: int = DEFAULT_P, bands: int = DEFAULT_BANDS) -> DataFrame:
@@ -162,7 +185,7 @@ def minhash_near_dup(
     deterministic given the signature scheme (no false positives; false
     negatives are pairs no band agrees on — the oracle replicates the
     identical scheme, so results match bit-for-bit)."""
-    sh = _shingle_rows(docs, n)
+    sha = _shingle_arrays(docs, n)
     sig = minhash_signatures(docs, p, n)
     b = lsh_bands(sig, p, bands)
     cand = (
@@ -178,31 +201,28 @@ def minhash_near_dup(
         )
         .distinct()
     )
-    return _verified_jaccard(cand, sh, threshold)
+    return _verified_jaccard(cand, sha, threshold)
 
 
 def _verified_jaccard(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame, sha: DataFrame, threshold: float
 ) -> DataFrame:
-    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("nsh"))
-    common = (
-        cand.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            sh.alias("y"),
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("y.s") == F.col("x.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("c"))
-    )
+    """Exact set-Jaccard of candidate pairs via per-doc shingle arrays:
+    two doc_id equi-joins (bounded by |candidates|) and a JVM
+    array_intersect per pair — the round-1 form re-exploded every
+    shingle of every candidate doc through a (pair × shingle) shuffle
+    to count the overlap the arrays already contain."""
+    a = sha.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("aa"))
+    b = sha.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("ab"))
     j = (
-        common.join(
-            sz.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")),
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
             "doc_a",
-        )
-        .join(
-            sz.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")),
             "doc_b",
+            F.size(F.array_intersect("aa", "ab")).cast("long").alias("c"),
+            F.size("aa").cast("long").alias("na"),
+            F.size("ab").cast("long").alias("nb"),
         )
         .withColumn(
             "jaccard",
@@ -255,17 +275,30 @@ WHERE c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE >= {threshold}
 # ----------------------------------------------- exact n-gram Jaccard
 
 
+MAX_SHINGLE_DF = 256  # default hot-shingle cap (see ngram_jaccard_pairs)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = DEFAULT_N,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — EXACT all-pairs Jaccard ≥ threshold via
-    the shingle inverted index (pairs sharing zero shingles never
-    materialize). ``max_shingle_df`` drops ubiquitous shingles before
-    the self-join — the standard skew cap at scale (changes semantics
-    only for pairs glued together by stop-shingles)."""
+    """(doc_a, doc_b, jaccard) — all-pairs Jaccard ≥ threshold via the
+    shingle inverted index (pairs sharing zero shingles never
+    materialize).
+
+    ``max_shingle_df`` (default 256) drops shingles whose document
+    frequency exceeds the cap BEFORE the self-join. Without it a single
+    hot shingle ('import os'-class boilerplate) contributes O(df²)
+    candidate pairs — quadratic blowup at corpus scale. Semantics
+    delta: Jaccard is computed over the KEPT shingle sets (numerator
+    and denominator both exclude capped shingles), so the only pairs
+    that can differ from the uncapped exact answer are those glued
+    together mainly by ubiquitous boilerplate — exactly the pairs a
+    dedup pipeline should not merge on. Pass ``max_shingle_df=None``
+    for the uncapped exactness mode (the DuckDB oracle runs both modes
+    via the same parameter)."""
     sh = _shingle_rows(docs, n)
     if max_shingle_df is not None:
         keep = (
@@ -308,13 +341,25 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def ngram_jaccard_pairs_sql(n: int = DEFAULT_N, threshold: float = 0.5) -> str:
+def ngram_jaccard_pairs_sql(
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> str:
+    keep = (
+        f"""
+kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_shingle_df}),
+shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),"""
+        if max_shingle_df is not None
+        else """
+shk AS (SELECT doc_id, s FROM sh),"""
+    )
     return f"""
-WITH {_duck_sh(n)},
+WITH {_duck_sh(n)},{keep}
 cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS c
-         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         FROM shk x JOIN shk y ON x.s = y.s AND x.doc_id < y.doc_id
          GROUP BY 1, 2),
-sz AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY doc_id)
+sz AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM shk GROUP BY doc_id)
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
        round(c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE, 6) AS jaccard
 FROM cand
@@ -480,6 +525,93 @@ SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
              6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+      >= {threshold}
+"""
+
+
+def embedding_near_dup_ann(
+    emb: DataFrame, threshold: float = 0.45, n_centroids: int = 8
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) — cosine near-duplicate pairs with
+    centroid-cell BLOCKING: each vector is assigned to its nearest
+    deterministic centroid (similarity.ann_assignments — a broadcast
+    argmax, no shuffle on the corpus side), and only same-cell pairs
+    are scored. The pairwise join is a cell equi-join — shuffle keys
+    spread across cells, candidate volume is Σ|cell|² instead of n²
+    (cells are write-partitioned at 100 TB, so the join is
+    partition-local). This is the default scale path; the all-pairs
+    ``embedding_near_dup`` remains as the exhaustive baseline.
+
+    Deterministic and oracle-checkable: centroids are the
+    ``n_centroids`` smallest vec_ids and ties break toward the
+    smallest cell, so the DuckDB mirror reproduces the identical
+    blocking. Recall delta vs brute force: pairs straddling a cell
+    boundary are not scored (at threshold 0.45 with 8 cells on the
+    driver tables the blocked result is what the oracle asserts)."""
+    from .similarity import ann_assignments
+
+    assign = ann_assignments(emb, n_centroids)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = (
+        emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            v.alias("v"),
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("n2"),
+        )
+        .join(assign, "vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    return (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_ann_sql(
+    threshold: float = 0.45, n_centroids: int = 8
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e
+         WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, cent.cv) / (e.norm * cent.cnorm) DESC,
+                      cent.cell ASC) AS rn
+    FROM e CROSS JOIN cent)
+  WHERE rn = 1),
+ec AS (SELECT e.vec_id, e.v, assign.cell FROM e JOIN assign USING (vec_id))
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+             6) AS cosine
+FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
       >= {threshold}

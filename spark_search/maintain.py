@@ -268,6 +268,276 @@ def upsert_docs(
     return out
 
 
+# ----------------------------------------- per-(term, doc) delete (O4)
+
+
+def delete_term_postings(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    pairs: Union[DataFrame, Iterable[tuple]],
+) -> BuildManifest:
+    """Remove specific (term, doc_id) postings — the analog of the
+    reference's per-key removeByValue (reference
+    tree/SearchEngineConcurrentTree.java:239-264): "remove this term
+    from this doc" without tombstoning the whole document.
+
+    Targeted chunk rewrite: only postings rows whose (term, chunk)
+    matches a requested pair are decoded/filtered/re-encoded; every
+    other row passes through as opaque bytes (no decode). The doc's
+    stored ``dl`` and the packed doclens arrays are decremented by the
+    removed tf and corpus ``total_dl`` is corrected exactly, so the
+    result is score-identical to an index built over a corpus in which
+    those term occurrences never existed (pinned by
+    tests/test_maintain.py). Publishes a fresh single-segment index;
+    existing doc-level tombstones carry over untouched."""
+    m = _load_committed(index_dir)
+    segs = _segments(m, index_dir)
+    cfg = m.config
+    span = int(cfg["chunk_span"])
+    block_size = int(cfg.get("block_size", 128))
+    num_buckets = int(cfg["num_buckets"])
+    t0 = time.time()
+    out_abs = os.path.abspath(out_dir)
+
+    if not isinstance(pairs, DataFrame):
+        pairs = spark.createDataFrame(
+            [(str(t), int(d)) for t, d in pairs], "term string, doc_id long"
+        )
+    pairs = pairs.select(
+        "term", F.col("doc_id").cast("long").alias("doc_id")
+    ).distinct()
+    tdel = (
+        pairs.withColumn("chunk", (F.col("doc_id") / span).cast("long"))
+        .groupBy("term", "chunk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_tdel"))
+    )
+
+    posts = _multi(spark, segs, "postings").join(
+        F.broadcast(tdel), ["term", "chunk"], "left"
+    )
+
+    @F.pandas_udf(
+        f"struct<n_docs: long, sum_tf: long, max_tf: int, removed: long, "
+        f"removed_ids: array<long>, removed_tfs: array<long>, "
+        f"blocks: {BLOCKS_SCHEMA}>"
+    )
+    def rewrite(blocks: pd.Series, dels_col: pd.Series) -> pd.DataFrame:
+        n_docs, sum_tf, max_tf = [], [], []
+        removed, removed_ids, removed_tfs, out_blocks = [], [], [], []
+        for blks, dl in zip(blocks, dels_col):
+            if dl is None or len(dl) == 0:
+                n_docs.append(-1)
+                sum_tf.append(-1)
+                max_tf.append(-1)
+                removed.append(0)
+                removed_ids.append([])
+                removed_tfs.append([])
+                out_blocks.append([])
+                continue
+            drop = np.asarray(dl, dtype=np.int64)
+            ids_all, tfs_all, rem_ids, rem_tfs = [], [], [], []
+            for b in blks:
+                ids, tfs = decode_block(
+                    int(b["first_doc"]), bytes(b["deltas"]), bytes(b["tfs"])
+                )
+                hit = np.isin(ids, drop)
+                if hit.any():
+                    rem_ids.append(ids[hit])
+                    rem_tfs.append(tfs[hit])
+                keep = ~hit
+                if keep.any():
+                    ids_all.append(ids[keep])
+                    tfs_all.append(tfs[keep])
+            r_ids = (
+                np.concatenate(rem_ids) if rem_ids
+                else np.empty(0, dtype=np.int64)
+            )
+            r_tfs = (
+                np.concatenate(rem_tfs) if rem_tfs
+                else np.empty(0, dtype=np.int64)
+            )
+            removed.append(int(r_tfs.sum()))
+            removed_ids.append([int(x) for x in r_ids])
+            removed_tfs.append([int(x) for x in r_tfs])
+            if not ids_all:
+                n_docs.append(0)
+                sum_tf.append(0)
+                max_tf.append(0)
+                out_blocks.append([])
+                continue
+            ids = np.concatenate(ids_all)
+            tfs = np.concatenate(tfs_all)
+            enc = encode_blocks(ids, tfs, block_size=block_size)
+            n_docs.append(int(ids.size))
+            sum_tf.append(int(tfs.sum()))
+            max_tf.append(int(tfs.max()))
+            out_blocks.append(
+                [
+                    {
+                        "first_doc": e[0],
+                        "last_doc": e[1],
+                        "n": e[2],
+                        "max_tf": e[3],
+                        "deltas": e[4],
+                        "tfs": e[5],
+                    }
+                    for e in enc
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "n_docs": pd.Series(n_docs, dtype="int64"),
+                "sum_tf": pd.Series(sum_tf, dtype="int64"),
+                "max_tf": pd.Series(max_tf, dtype="int32"),
+                "removed": pd.Series(removed, dtype="int64"),
+                "removed_ids": removed_ids,
+                "removed_tfs": removed_tfs,
+                "blocks": out_blocks,
+            }
+        )
+
+    rw = posts.withColumn("_rw", rewrite(F.col("blocks"), F.col("_tdel")))
+
+    # (doc_id, removed tf) of every surgically removed posting — needed
+    # to correct dl arrays, docs.dl, and total_dl exactly. Only touched
+    # rows carry entries, so this stays O(|pairs|).
+    removed_by_doc = (
+        rw.where(F.col("_rw.removed") > 0)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.col("_rw.removed_ids").alias("doc_id"),
+                    F.col("_rw.removed_tfs").alias("tf"),
+                )
+            ).alias("z")
+        )
+        .select(
+            F.col("z.doc_id").cast("long").alias("doc_id"),
+            F.col("z.tf").cast("long").alias("tf"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("_rm_dl"))
+    )
+    removed_rows = removed_by_doc.collect()  # bounded by |pairs|
+    removed_total = sum(int(r["_rm_dl"]) for r in removed_rows)
+    rm_by_chunk: dict = {}
+    for r in removed_rows:
+        i = int(r["doc_id"])
+        rm_by_chunk.setdefault(i // span, []).append((i, int(r["_rm_dl"])))
+
+    new_posts = (
+        rw.select(
+            "bucket",
+            "term",
+            "chunk",
+            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.n_docs"))
+            .otherwise(F.col("n_docs")).alias("n_docs"),
+            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.sum_tf"))
+            .otherwise(F.col("sum_tf")).alias("sum_tf"),
+            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.max_tf"))
+            .otherwise(F.col("max_tf")).alias("max_tf"),
+            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.blocks"))
+            .otherwise(F.col("blocks")).alias("blocks"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+    (
+        new_posts.repartition(num_buckets, "bucket")
+        .sortWithinPartitions("term", "chunk")
+        .write.mode("overwrite")
+        .option("compression", "uncompressed")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_abs, "postings"))
+    )
+
+    # terms: exact df/cf from the rewritten postings metadata
+    terms = spark.read.parquet(os.path.join(out_abs, "postings")).groupBy(
+        "term"
+    ).agg(
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.first("bucket").alias("bucket"),
+    )
+    nparts = max(1, min(num_buckets, spark.sparkContext.defaultParallelism))
+    (
+        terms.repartitionByRange(nparts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_abs, "terms"))
+    )
+    n_terms = spark.read.parquet(os.path.join(out_abs, "terms")).count()
+
+    # docs: decrement dl of affected docs (identity otherwise)
+    docs = _multi(spark, segs, "docs")
+    if removed_rows:
+        docs = docs.join(F.broadcast(removed_by_doc), "doc_id", "left").select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            (F.col("dl") - F.coalesce(F.col("_rm_dl"), F.lit(0)))
+            .cast("int").alias("dl"),
+        )
+    parts = spark.sparkContext.defaultParallelism
+    (
+        docs.repartitionByRange(parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_abs, "docs"))
+    )
+
+    # doclens: patch only the chunks that lost occurrences
+    doclens = _multi(spark, segs, "doclens")
+    if rm_by_chunk:
+        patch_df = spark.createDataFrame(
+            [
+                (int(c), [i for i, _ in v], [t for _, t in v])
+                for c, v in rm_by_chunk.items()
+            ],
+            "chunk long, _ids array<long>, _rm array<long>",
+        )
+
+        @F.pandas_udf("binary")
+        def patch(dls: pd.Series, ids: pd.Series, rm: pd.Series) -> pd.Series:
+            out = []
+            for buf, i, r in zip(dls, ids, rm):
+                if i is None or len(i) == 0:
+                    out.append(buf)
+                    continue
+                arr = np.frombuffer(buf, dtype=np.int32).copy()
+                pos = np.asarray(i, dtype=np.int64) % span
+                ok = (pos >= 0) & (pos < arr.size)
+                arr[pos[ok]] -= np.asarray(r, dtype=np.int64)[ok].astype(
+                    np.int32
+                )
+                out.append(arr.tobytes())
+            return pd.Series(out)
+
+        doclens = doclens.join(F.broadcast(patch_df), "chunk", "left").select(
+            "chunk", patch(F.col("dls"), F.col("_ids"), F.col("_rm")).alias("dls")
+        )
+    doclens.write.mode("overwrite").option(
+        "compression", "uncompressed"
+    ).parquet(os.path.join(out_abs, "doclens"))
+
+    stats = _exact_stats(m, spark, segs)
+    out = BuildManifest(out_dir)
+    out.config = {k: v for k, v in cfg.items() if k != "segments"}
+    out.stats = {
+        **CorpusStats.combine(
+            stats.n_docs, stats.total_dl - removed_total
+        ).to_dict(),
+        "n_terms": n_terms,
+    }
+    out.record_stage(
+        "delete_terms",
+        fingerprint=f"tdel+{removed_total}",
+        removed_tf=removed_total,
+        wall_s=time.time() - t0,
+    )
+    out.commit()
+    return out
+
+
 # ------------------------------------------------------------- compact
 
 

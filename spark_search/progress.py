@@ -1,0 +1,118 @@
+"""In-flight build progress (O10).
+
+The reference streams a per-document percent callback while indexing
+(reference engine/src/main/java/org/search/engine/index/
+DocumentReadWithTrackProgressTask.java:30-34). The Spark analog tracks
+TASKS, not documents: a daemon thread polls
+``SparkContext.statusTracker()`` for the build's job group and reports
+completed/total tasks of every active stage. This uses only the public
+status-tracker API — no JVM listener registration — so it works
+identically under local mode and a real cluster, and costs one RPC per
+poll regardless of data size.
+
+Per-stage *totals* (rows, bytes, wall) land in the build manifest
+(checkpoint.BuildManifest.record_stage); this module is the live view.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class ProgressEvent:
+    """One poll sample: fraction complete over all tasks of the job
+    group's active+finished jobs (0.0-1.0 within the current wave —
+    Spark cannot know future stages' task counts up front, the same
+    reason the reference's tracker counts bytes read, not bytes left)."""
+
+    group: str
+    active_stages: int
+    completed_tasks: int
+    total_tasks: int
+
+    @property
+    def fraction(self) -> float:
+        return (
+            self.completed_tasks / self.total_tasks if self.total_tasks else 0.0
+        )
+
+
+class ProgressReporter:
+    """Poll the status tracker for ``group`` and invoke ``callback``
+    with a ProgressEvent whenever the completed-task count changes.
+    Start/stop around a build; the thread is a daemon so an abandoned
+    reporter never blocks interpreter exit."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group: str,
+        callback: Callable[[ProgressEvent], None],
+        interval_s: float = 1.0,
+    ):
+        self._spark = spark
+        self._group = group
+        self._callback = callback
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._last = -1
+
+    def __enter__(self) -> "ProgressReporter":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    def _poll_once(self) -> Optional[ProgressEvent]:
+        tracker = self._spark.sparkContext.statusTracker()
+        done = total = 0
+        n_active = 0
+        for jid in tracker.getJobIdsForGroup(self._group):
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                s = tracker.getStageInfo(sid)
+                if s is None:
+                    continue
+                total += s.numTasks
+                done += s.numCompletedTasks
+                if s.numActiveTasks > 0:
+                    n_active += 1
+        if total == 0:
+            return None
+        return ProgressEvent(self._group, n_active, done, total)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                evt = self._poll_once()
+            except Exception:
+                continue  # tracker races with job teardown; next poll wins
+            if evt is not None and evt.completed_tasks != self._last:
+                self._last = evt.completed_tasks
+                self._callback(evt)
+
+
+def dir_bytes(path: str) -> int:
+    """Recursive on-disk size of a stage directory (manifest metrics)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total

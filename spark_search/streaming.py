@@ -20,21 +20,37 @@ commit point).
 
 Scale notes: the file source scales to millions of queued files
 (maxFilesPerTrigger bounds batch size); each batch costs
-O(|batch|) — the index is never rebuilt. Compaction cadence is the
-operator's choice via maintain.compact on any generation.
+O(|batch|) — the index is never rebuilt.
+
+Segment lifecycle: every micro-batch appends one segment, and query
+planning reads each segment root, so an unattended stream would
+degrade planning linearly and leak superseded ``gen-N`` directories.
+Two built-in controls bound both:
+
+  * auto-compaction — when a generation's segment count reaches
+    ``max_segments`` the batch handler folds it into a single-segment
+    generation (maintain.compact) before the pointer swap;
+  * generation GC — ``gc_generations`` removes generation dirs no
+    longer reachable from CURRENT. Generations share segment data by
+    absolute path (copy-on-write), so the GC keeps any directory that
+    still backs a referenced segment or tombstone list and only
+    deletes truly superseded ones.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional
 
 from pyspark.sql import SparkSession
 
+from .checkpoint import BuildManifest
 from .corpus import CORPUS_SCHEMA
-from .maintain import upsert_docs
+from .maintain import compact, upsert_docs
 
 CURRENT = "CURRENT"
+DEFAULT_MAX_SEGMENTS = 8
 
 
 def current_index(index_root: str) -> Optional[str]:
@@ -60,6 +76,45 @@ def init_root(index_root: str, base_index_dir: str) -> None:
     _set_current(index_root, os.path.abspath(base_index_dir))
 
 
+def _referenced_roots(gen_dir: str) -> set:
+    """Absolute paths a committed generation depends on: its own dir,
+    every segment root, and the tombstone dir."""
+    refs = {os.path.abspath(gen_dir)}
+    m = BuildManifest.load(gen_dir)
+    if m is not None:
+        for s in m.config.get("segments", []):
+            refs.add(os.path.abspath(s))
+        dd = m.config.get("deletes_dir")
+        if dd:
+            refs.add(os.path.abspath(dd))
+    return refs
+
+
+def gc_generations(index_root: str) -> list:
+    """Delete superseded ``gen-*`` directories that no path referenced
+    by the CURRENT generation lives under. Safe at any time: segment
+    sharing is by absolute path, so a gen dir is only removed when the
+    live manifest references nothing inside it. Returns removed dirs."""
+    cur = current_index(index_root)
+    if cur is None:
+        return []
+    refs = _referenced_roots(cur)
+    root_abs = os.path.abspath(index_root)
+    removed = []
+    for name in sorted(os.listdir(root_abs)):
+        if not name.startswith("gen-"):
+            continue
+        d = os.path.join(root_abs, name)
+        if not os.path.isdir(d):
+            continue
+        d_pref = d + os.sep
+        if any(r == d or r.startswith(d_pref) for r in refs):
+            continue
+        shutil.rmtree(d)
+        removed.append(d)
+    return removed
+
+
 def stream_index_updates(
     spark: SparkSession,
     input_dir: str,
@@ -68,6 +123,8 @@ def stream_index_updates(
     available_now: bool = True,
     poll_interval: str = "2 seconds",
     max_files_per_trigger: Optional[int] = None,
+    max_segments: Optional[int] = DEFAULT_MAX_SEGMENTS,
+    gc_old: bool = True,
 ):
     """Watch ``input_dir`` for new corpus parquet files and fold each
     micro-batch into the current index generation.
@@ -76,6 +133,11 @@ def stream_index_updates(
     batch-test mode); False runs continuously with ``poll_interval``
     (the reference's 2 s watch cadence,
     FilesystemNotificationManager.java:27).
+
+    ``max_segments`` caps the live generation's segment count: when an
+    upsert reaches it the handler compacts to a single segment before
+    publishing (None disables). ``gc_old`` removes unreferenced
+    superseded generation dirs after each pointer swap.
     Returns the StreamingQuery.
     """
     if current_index(index_root) is None:
@@ -97,8 +159,17 @@ def stream_index_updates(
         )
         # re-delivered batch after a crash-before-pointer-swap: the
         # upsert is recomputed into the same gen dir (idempotent)
-        upsert_docs(spark, cur, gen_dir, batch_df)
+        m = upsert_docs(spark, cur, gen_dir, batch_df)
+        if (
+            max_segments is not None
+            and len(m.config.get("segments", [])) >= max_segments
+        ):
+            cdir = gen_dir + "-c"
+            compact(spark, gen_dir, cdir)
+            gen_dir = cdir
         _set_current(index_root, gen_dir)
+        if gc_old:
+            gc_generations(index_root)
 
     cp = checkpoint_dir or os.path.join(index_root, "_checkpoint")
     writer = (

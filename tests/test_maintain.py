@@ -167,3 +167,71 @@ def test_chained_maintenance(spark, base_index, tmp_path):
     # fixtures=4, delete 1 -> 3, upsert adds 1 -> 4, delete 1 -> 3
     assert r3.stats.n_docs == 3
     assert r3.docs_df().count() == 3
+
+
+def test_delete_term_postings_matches_edited_corpus(spark, base_index, tmp_path):
+    """O4 per-(term, doc) removal (the reference's removeByValue,
+    tree/SearchEngineConcurrentTree.java:239-264): surgically removing
+    'mila' from one doc must yield an index score-identical to a fresh
+    build over a corpus in which that doc never contained the term."""
+    from spark_search.maintain import delete_term_postings
+
+    d0, corpus = base_index
+    r0 = IndexReader(spark, d0)
+    before = _ids(r0, ["mila"])
+    assert len(before) == 2
+    victim = before[0]
+
+    d1 = str(tmp_path / "idx_tdel")
+    delete_term_postings(spark, d0, d1, [("mila", victim)])
+    r1 = IndexReader(spark, d1)
+
+    # term gone from the victim only; the doc itself stays live
+    assert _ids(r1, ["mila"]) == [before[1]]
+    assert r1.stats.n_docs == r0.stats.n_docs
+    assert r1.docs_df().where(F.col("doc_id") == victim).count() == 1
+    assert "mila" not in {r["term"] for r in r1.doc_terms(victim).collect()}
+
+    # score-identity against a fresh build over the edited corpus
+    edited = corpus.withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") == victim,
+            F.regexp_replace(F.col("content"), "mila", " "),
+        ).otherwise(F.col("content")),
+    )
+    d2 = str(tmp_path / "idx_fresh")
+    build_index(spark, edited, d2, num_buckets=4, chunk_span=8)
+    r2 = IndexReader(spark, d2)
+    for terms, mode in [
+        (["mila"], P.EXACT_MATCH),
+        (["surfeits"], P.EXACT_MATCH),
+        (["mila", "surfeits"], P.WITH_SUGGESTIONS),
+    ]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in r1.search(terms, mode, k=100).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in r2.search(terms, mode, k=100).collect()
+        ]
+        assert got == want, (terms, got, want)
+
+    # original index untouched (copy-on-write)
+    assert _ids(IndexReader(spark, d0), ["mila"]) == before
+
+
+def test_delete_term_postings_drops_empty_term(spark, base_index, tmp_path):
+    """Removing a term's only posting removes the dictionary entry."""
+    from spark_search.maintain import delete_term_postings
+
+    d0, _ = base_index
+    r0 = IndexReader(spark, d0)
+    only = _ids(r0, ["surfeits"])
+    assert len(only) == 1
+    d1 = str(tmp_path / "idx_tdel2")
+    delete_term_postings(spark, d0, d1, [("surfeits", only[0])])
+    r1 = IndexReader(spark, d1)
+    assert _ids(r1, ["surfeits"]) == []
+    assert r1.match_terms(["surfeits"], P.EXACT_MATCH) == []

@@ -59,8 +59,10 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
         X.fingerprints(sf_docs),
         D.exact_dup_groups(sf_docs),
         D.minhash_near_dup(sf_docs),
+        D.ngram_jaccard_pairs(sf_docs),
         D.simhash(sf_docs),
         D.embedding_near_dup(sf_emb),
+        D.embedding_near_dup_ann(sf_emb),
         S.cosine_topk(sf_emb, [0]),
         S.ivf_topk(sf_emb, [0]),
         M.extract_features(M.media_table(sf_docs)),
@@ -82,6 +84,28 @@ def test_bm25_filter_reaches_scan(spark, corpus):
     agg_pos = plan.find("HashAggregate")
     assert gen_pos != -1 and agg_pos != -1
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_ann_dedup_is_not_nested_loop(spark, sf_emb):
+    """The default-scale embedding dedup must join candidates on the
+    centroid cell (hash/sort-merge equi-join), never the O(n²)
+    BroadcastNestedLoopJoin the all-pairs baseline uses. The pairwise
+    stage's only nested-loop is the tiny broadcast centroid argmax."""
+    from spark_search import dedup as D
+
+    plan = plan_of(D.embedding_near_dup_ann(sf_emb))
+    # the pair join is an equi-join on cell -> SortMergeJoin or
+    # ShuffledHashJoin/BroadcastHashJoin; NestedLoop may appear ONLY
+    # for the centroid cross-join (bounded by n_centroids rows)
+    pair_joins = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "vec_id" in ln and "cell" in ln
+    ]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    for ln in pair_joins:
+        assert "NestedLoop" not in ln, ln
 
 
 def test_postings_scan_pushdown(spark, tmp_path):

@@ -41,8 +41,8 @@ def _drop_batch(spark, df, tmp_path, drop, name):
     shutil.rmtree(staging)
 
 
-def _run_stream(spark, drop_dir, root):
-    q = stream_index_updates(spark, drop_dir, root, available_now=True)
+def _run_stream(spark, drop_dir, root, **kw):
+    q = stream_index_updates(spark, drop_dir, root, available_now=True, **kw)
     q.awaitTermination(120)
     assert not q.isActive
 
@@ -67,7 +67,7 @@ def test_stream_applies_batches_as_generations(spark, tmp_path):
         ),
         tmp_path, drop, "b1",
     )
-    _run_stream(spark, drop, root)
+    _run_stream(spark, drop, root, gc_old=False)
 
     gen1 = current_index(root)
     assert gen1 != os.path.abspath(base)
@@ -89,7 +89,7 @@ def test_stream_applies_batches_as_generations(spark, tmp_path):
         ),
         tmp_path, drop, "b2",
     )
-    _run_stream(spark, drop, root)
+    _run_stream(spark, drop, root, gc_old=False)
 
     gen2 = current_index(root)
     assert gen2 not in (gen1, os.path.abspath(base))
@@ -103,6 +103,58 @@ def test_stream_applies_batches_as_generations(spark, tmp_path):
     # old generations still readable (snapshot isolation)
     assert len(_ids(IndexReader(spark, gen1), ["mila"])) == 3
     assert len(_ids(IndexReader(spark, base), ["mila"])) == 2
+
+
+def test_stream_lifecycle_bounds_segments_and_gcs_generations(spark, tmp_path):
+    """Long-running stream hygiene: with max_segments + GC on (the
+    defaults), segment count stays bounded, superseded gen dirs are
+    removed, and the surviving generation answers exactly."""
+    from spark_search.checkpoint import BuildManifest
+
+    base = str(tmp_path / "base")
+    corpus = with_doc_ids(reference_fixture_corpus(spark))
+    build_index(spark, corpus, base, num_buckets=4, chunk_span=8)
+
+    root = str(tmp_path / "root")
+    init_root(root, base)
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+
+    max_segments = 3
+    n_batches = 5
+    for i in range(n_batches):
+        _drop_batch(
+            spark,
+            spark.createDataFrame(
+                [("s", f"new/doc{i}.txt", "v1", "txt",
+                  f"mila streamed batch{i} words")],
+                CORPUS_SCHEMA,
+            ),
+            tmp_path, drop, f"lb{i}",
+        )
+        _run_stream(spark, drop, root, max_segments=max_segments)
+
+    cur = current_index(root)
+    m = BuildManifest.load(cur)
+    n_segs = len(m.config.get("segments", [cur]))
+    assert n_segs <= max_segments
+
+    # GC kept only generation dirs the live manifest still references
+    gens = [d for d in os.listdir(root) if d.startswith("gen-")]
+    live = {os.path.abspath(p) for p in m.config.get("segments", [])}
+    live.add(os.path.abspath(cur))
+    for g in gens:
+        gd = os.path.abspath(os.path.join(root, g))
+        assert any(r == gd or r.startswith(gd + os.sep) for r in live), (
+            f"unreferenced generation {g} survived GC"
+        )
+
+    # correctness survived the compact/GC churn
+    r = IndexReader(spark, cur)
+    assert r.stats.n_docs == 4 + n_batches
+    assert len(_ids(r, ["mila"])) == 2 + n_batches  # one/two.txt + streamed
+    for i in range(n_batches):
+        assert len(_ids(r, [f"batch{i}"])) == 1
 
 
 def test_stream_requires_initialized_root(spark, tmp_path):

@@ -26,11 +26,12 @@ extensions.
 
 Scale notes (100 TB):
   * exact: single hash-partitioned aggregation; AQE handles size.
-  * MinHash: signatures are MAP-ONLY (array_min over the per-doc
-    shingle array — zero shuffles); the band self-join shuffles on
-    (band, band_hash), whose cardinality is bounded by bucket
-    collisions, not corpus size; candidate verification is two
-    doc_id joins + array_intersect, bounded by |candidates|.
+  * MinHash: signatures are one codegen'd explode + groupBy(doc_id)
+    with map-side combine (the HOF array_min form measured 7x slower —
+    interpreted lambdas); the band self-join shuffles on (band,
+    band_hash), whose cardinality is bounded by bucket collisions, not
+    corpus size; candidate verification is two doc_id joins +
+    array_intersect, bounded by |candidates|.
   * n-gram Jaccard: the shingle self-join is quadratic in per-shingle
     df; ``max_shingle_df`` (DEFAULT 256) drops hot shingles before the
     join — the unguarded form is opt-in via ``max_shingle_df=None``.
@@ -55,6 +56,20 @@ SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4    # 8-bit chunks -> exact for maxdist <= 3
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for map-heavy stages. A small corpus read
+    from one parquet file arrives as ONE partition; the map-only
+    signature/shingle stages then run single-core (measured: the
+    whole sf0.1 MinHash pipeline serialized behind a 1-partition
+    scan). At real scale the scan carries >> cores splits and this
+    is a no-op; the round-robin repartition only ever touches small
+    inputs."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        return df.repartition(parts)
+    return df
+
+
 def _toks(col: Column) -> Column:
     return tokens_col(col, "whitespace")
 
@@ -65,6 +80,7 @@ def _toks_duck(expr: str = "text") -> str:
 
 def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, s) — one row per distinct word n-gram shingle."""
+    docs = _spread(docs)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(shingles_col(_toks(F.col("text")), n)).alias("s"),
@@ -77,6 +93,7 @@ def _shingle_arrays(docs: DataFrame, n: int) -> DataFrame:
     expression), no explode, no shuffle. Docs with < n tokens (empty
     set) are dropped, matching the exploded form which emits no row
     for them."""
+    docs = _spread(docs)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         shingles_col(_toks(F.col("text")), n).alias("arr"),
@@ -137,23 +154,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, m0..m{p-1}) — p-permutation MinHash signature. Each
     permutation is min(md5(seed || ':' || shingle)) as a hex string.
+    Single groupBy(doc_id) with p min() aggregates — map-side combine
+    reduces each partition to one row per doc before the exchange.
 
-    Computed as ``array_min(transform(shingle_set, md5(...)))`` over
-    the per-doc shingle array: a MAP-ONLY stage — no explode, no
-    shuffle, no aggregation (the round-1 explode + groupBy form paid a
-    full (doc_id, shingle) exchange just to re-group what the array
-    already holds). Docs without shingles have no row."""
-    sha = _shingle_arrays(docs, n)
-    cols = [
-        F.array_min(
-            F.transform(
-                F.col("arr"),
-                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-            )
-        ).alias(f"m{i}")
+    Deliberately the EXPLODED codegen form, not
+    ``array_min(transform(arr, md5(...)))`` over the shingle array:
+    Spark executes higher-order-function lambdas on the interpreted
+    expression path, measured ~7x slower than the codegen'd md5 over
+    exploded rows (12.5 s vs 1.8 s at sf0.1) — the avoided exchange
+    does not pay for leaving whole-stage codegen. Docs without
+    shingles have no row."""
+    sh = _shingle_rows(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
         for i in range(p)
     ]
-    return sha.select("doc_id", *cols)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, p: int = DEFAULT_P, bands: int = DEFAULT_BANDS) -> DataFrame:
@@ -378,7 +394,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     explode + one groupBy(doc_id) with ``bits`` integer sums (exact
     arithmetic — no float drift between engines)."""
     tf = (
-        docs.select(
+        _spread(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(_toks(F.col("text"))).alias("term"),
         )
@@ -489,7 +505,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     blocks the join by similarity.ann centroid cells or SimHash-style
     sign buckets before the pairwise step."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = emb.select(
+    e = _spread(emb).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         v.alias("v"),
         F.aggregate(
@@ -552,6 +568,7 @@ def embedding_near_dup_ann(
     driver tables the blocked result is what the oracle asserts)."""
     from .similarity import ann_assignments
 
+    emb = _spread(emb)
     assign = ann_assignments(emb, n_centroids)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = (

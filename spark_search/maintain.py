@@ -162,6 +162,10 @@ def delete_docs(
 
     dels_out = os.path.join(os.path.abspath(out_dir), DELETES_SUB)
     all_dels = new_dels if old is None else old.union(new_dels).distinct()
+    # single-file tombstone list: optimal while |deletes| stays far
+    # below the doc count (queries broadcast it). If deletes ever reach
+    # ~10^8+, shard this write by chunk range instead — repartition(1)
+    # funnels the union through one task.
     all_dels.repartition(1).write.mode("overwrite").parquet(dels_out)
 
     out = BuildManifest(out_dir)
@@ -244,6 +248,10 @@ def upsert_docs(
     all_dels = (
         replaced if old_dels is None else old_dels.union(replaced).distinct()
     )
+    # single-file tombstone list: optimal while |deletes| stays far
+    # below the doc count (queries broadcast it). If deletes ever reach
+    # ~10^8+, shard this write by chunk range instead — repartition(1)
+    # funnels the union through one task.
     all_dels.repartition(1).write.mode("overwrite").parquet(dels_out)
 
     stats = _exact_stats(m, spark, segs)

@@ -39,10 +39,21 @@ WITH_SUGGESTIONS = "WITH_SUGGESTIONS"  # OR over the explicit query list
 AND_MATCH = "AND_MATCH"  # conjunctive extension (north-star intersection)
 
 
+def _floor(df: DataFrame) -> DataFrame:
+    """Parallelism floor for scan+tokenize stages: a small corpus read
+    from one parquet file arrives as ONE split and serializes the whole
+    map stage on a single core. No-op at scale (scans carry >= cores
+    splits); only ever touches small inputs."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        return df.repartition(parts)
+    return df
+
+
 def tokens(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
     """(doc_id, term) — one row per token occurrence. Pure JVM
     split+explode; Catalyst prunes ``content`` right after."""
-    return corpus.select(
+    return _floor(corpus).select(
         "doc_id", F.explode(tokens_col(F.col("content"), tokenizer)).alias("term")
     )
 
@@ -59,7 +70,7 @@ def term_doc_tf(tok: DataFrame) -> DataFrame:
 def doc_lengths(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
     """(doc_id, dl). Computed as size(tokenize(content)) without an
     explode — no shuffle, reads each row once."""
-    return corpus.select(
+    return _floor(corpus).select(
         "doc_id", F.size(tokens_col(F.col("content"), tokenizer)).alias("dl")
     )
 

@@ -869,6 +869,13 @@ class IndexReader:
 
         tokenizer = self.tokenizer
 
+        # Bounded per-row Python: this pandas UDF receives AT MOST the
+        # top-k rows (the join's left side is the k-row result), so the
+        # Python loop below touches <= k documents per query — it is
+        # the Q5 verification path, never a corpus-scale operator. The
+        # package-wide no-per-row-Python audit (tests/test_plans.py)
+        # applies to unbounded inputs; this one is k-bounded by
+        # construction.
         def _positions(content: pd.Series) -> pd.Series:
             def one(c):
                 out = []

@@ -42,6 +42,12 @@ def _as_double(col):
 
 
 def _with_norm(emb: DataFrame) -> DataFrame:
+    # parallelism floor: a small corpus arrives as one parquet split
+    # and would run the whole (map-only) norm+dot pipeline single-core;
+    # no-op at scale where the scan carries >= cores splits
+    parts = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < parts:
+        emb = emb.repartition(parts)
     v = _as_double(F.col("embedding"))
     return emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),

@@ -157,6 +157,81 @@ def _q_bm25_prefix_indexed(spark, sf_dir):
     return _indexed_topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
 
 
+# Maintained-index oracle entry: delete one doc, upsert (replace) one
+# doc, compact — compaction restores exact df, so the result must be
+# score-identical to BM25 over the edited corpus, which the DuckDB
+# oracle expresses directly. Exercises delete_docs + upsert_docs +
+# compact (O5/O6/O7 and the segment-merge stage) under the driver gate.
+MAINT_DELETED_DOC = 7
+MAINT_REPLACED_DOC = 11
+MAINT_NEW_TEXT = "spark query engine spark merge data"
+_MAINT_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _maint_new_doc_id() -> int:
+    """The deterministic id upsert assigns the replacement doc: fresh
+    chunk boundary past the base index's single chunk (ids 0..n-1 <
+    span), with_doc_ids mints base+1."""
+    from spark_search.build import DEFAULT_CHUNK_SPAN
+
+    return DEFAULT_CHUNK_SPAN + 1
+
+
+def _maintained_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    key = os.path.abspath(sf_dir)
+    ent = _MAINT_READERS.get(key)
+    if ent is not None and ent[0] == id(spark):
+        return ent[1]
+    base_dir = _INDEX_DIRS.get(key)
+    if base_dir is None:
+        _indexed_reader(spark, sf_dir)  # builds + caches the base index
+        base_dir = _INDEX_DIRS[key]
+    from spark_search.maintain import compact, delete_docs, upsert_docs
+
+    root = tempfile.mkdtemp(prefix="sgraft-maint-")
+    d1 = os.path.join(root, "del")
+    d2 = os.path.join(root, "ups")
+    d3 = os.path.join(root, "cmp")
+    delete_docs(spark, base_dir, d1, [MAINT_DELETED_DOC])
+    corpus = _corpus(spark, sf_dir)
+    replacement = corpus.where(
+        F.col("doc_id") == MAINT_REPLACED_DOC
+    ).select("repo", "path", "commit", "lang").withColumn(
+        "content", F.lit(MAINT_NEW_TEXT)
+    )
+    upsert_docs(spark, d1, d2, replacement)
+    compact(spark, d2, d3)
+    rd = IndexReader(spark, d3)
+    _MAINT_READERS[key] = (id(spark), rd)
+    return rd
+
+
+def _q_bm25_maintained(spark, sf_dir):
+    rd = _maintained_reader(spark, sf_dir)
+    res = rd.search(TERMS_OR, P.WITH_SUGGESTIONS, k=10)
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _bm25_maintained_oracle() -> str:
+    """Same BM25 arithmetic as _bm25_oracle, over the edited corpus:
+    the deleted doc removed, the replaced doc's text swapped and its id
+    moved to the deterministic upsert id."""
+    base = _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS)
+    edited = (
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents "
+        f"WHERE doc_id NOT IN ({MAINT_DELETED_DOC}, {MAINT_REPLACED_DOC}) "
+        f"UNION ALL SELECT {_maint_new_doc_id()} AS doc_id, "
+        f"'{MAINT_NEW_TEXT}' AS text"
+    )
+    return base.replace(
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents", edited
+    )
+
+
 def _q_reverse_doc_terms_indexed(spark, sf_dir):
     """O3 reverse lookup answered by the disk index (chunk-pruned scan
     + block-range skip, IndexReader.doc_terms)."""
@@ -382,6 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_doc_terms_indexed": _q_reverse_doc_terms_indexed,
         "term_stats_indexed": _q_term_stats_indexed,
         "term_prefix_expansion_indexed": _q_term_prefix_expansion_indexed,
+        # delete + upsert + compact lifecycle, then BM25 — oracle runs
+        # over the equivalently edited corpus (compaction restores df
+        # exactness, so scores must match to the rounding digit)
+        "bm25_or_topk_maintained": _q_bm25_maintained,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
         "match_set_exact": _q_match_set,
@@ -419,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_topk_indexed": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
+        "bm25_or_topk_maintained": _bm25_maintained_oracle(),
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
               FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)),

@@ -166,6 +166,7 @@ MAINT_DELETED_DOC = 7
 MAINT_REPLACED_DOC = 11
 MAINT_NEW_TEXT = "spark query engine spark merge data"
 _MAINT_READERS: dict[str, tuple[int, IndexReader]] = {}
+_MAINT_DIRS: dict[str, str] = {}
 
 
 def _maint_new_doc_id() -> int:
@@ -203,6 +204,7 @@ def _maintained_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     compact(spark, d2, d3)
     rd = IndexReader(spark, d3)
     _MAINT_READERS[key] = (id(spark), rd)
+    _MAINT_DIRS[key] = d3
     return rd
 
 
@@ -230,6 +232,63 @@ def _bm25_maintained_oracle() -> str:
     return base.replace(
         "SELECT doc_id, coalesce(text, '') AS text FROM documents", edited
     )
+
+
+def _q_live_result_diffs(spark, sf_dir):
+    """Q9 live result maintenance under the oracle gate: register the
+    OR query over the base index generation, advance the index through
+    the maintenance lifecycle (delete + upsert + compact — the same
+    generation _q_bm25_maintained queries), refresh, and return the
+    ADD/UPDATE/REMOVE diff between the two top-k snapshots (reference
+    SimpleSearchManager.java:106-185 re-expressed per commit point)."""
+    from spark_search.live import LiveResults
+
+    key = os.path.abspath(sf_dir)
+    _indexed_reader(spark, sf_dir)
+    base_dir = _INDEX_DIRS[key]
+    _maintained_reader(spark, sf_dir)
+    maint_dir = _MAINT_DIRS[key]
+    live = LiveResults(spark, tempfile.mkdtemp(prefix="sgraft-live-"))
+    live.register(
+        "orq", TERMS_OR, P.WITH_SUGGESTIONS, k=10, index_dir=base_dir
+    )
+    diff = live.refresh(index_dir=maint_dir, log=False)
+    out = diff.select(
+        "event",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("old_score", 6).alias("old_score"),
+        F.col("old_rank").cast("long").alias("old_rank"),
+    )
+    # the engine classifies UPDATE at 9-decimal score precision; the
+    # oracle compares its own 6-decimal columns — drop any UPDATE row
+    # invisible at the oracle's precision so the boundary is identical
+    return out.where(
+        (F.col("event") != "UPDATE")
+        | (F.col("score") != F.col("old_score"))
+        | (F.col("rank") != F.col("old_rank"))
+    )
+
+
+def _live_diff_oracle() -> str:
+    """Full-outer-join of the base and maintained BM25 top-k oracles,
+    classified into ADD/REMOVE/UPDATE exactly as live._diff_rows."""
+    before = _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS)
+    after = _bm25_maintained_oracle()
+    return f"""
+SELECT
+  CASE WHEN b.doc_id IS NULL THEN 'ADD'
+       WHEN a.doc_id IS NULL THEN 'REMOVE'
+       ELSE 'UPDATE' END AS event,
+  coalesce(a.doc_id, b.doc_id)::BIGINT AS doc_id,
+  a.score AS score, a.rank::BIGINT AS rank,
+  b.score AS old_score, b.rank::BIGINT AS old_rank
+FROM ({before}) b
+FULL OUTER JOIN ({after}) a ON a.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL
+   OR a.score <> b.score OR a.rank <> b.rank
+"""
 
 
 def _q_reverse_doc_terms_indexed(spark, sf_dir):
@@ -461,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the equivalently edited corpus (compaction restores df
         # exactness, so scores must match to the rounding digit)
         "bm25_or_topk_maintained": _q_bm25_maintained,
+        "live_result_diffs": _q_live_result_diffs,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
         "match_set_exact": _q_match_set,
@@ -499,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
+        "live_result_diffs": _live_diff_oracle(),
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
               FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)),

@@ -1,0 +1,249 @@
+"""Live result maintenance (Q9) — registered queries whose result sets
+are kept current as the index advances through generations, emitting
+ADD / UPDATE / REMOVE diffs per refresh.
+
+The reference keeps a per-lexeme listener on its tree: when a tracked
+lexeme's postings change, the manager re-scans the affected document
+and pushes ADD/UPDATE/REMOVE events to the UI result table (reference
+tree/SearchEngineConcurrentTree.java:321-328 add, :149-157 update,
+:258-263 remove; search/SimpleSearchManager.java:106-185). That is a
+row-at-a-time push model over an in-memory tree. The Spark analog is
+generation-grained: index maintenance publishes immutable generations
+(maintain.upsert_docs / streaming.stream_index_updates), and a
+``LiveResults`` set re-evaluates each registered query against the new
+generation and diffs it against the previous result snapshot — the same
+end state as the reference's per-event stream, delivered per commit
+point instead of per tree mutation (SURVEY.md §7.7).
+
+Scale: the distributed engine does all the work — each refresh runs
+``IndexReader.search`` (bucket-pruned scan, block-max pruning, bounded
+top-k). Only the two top-k snapshots being diffed are ever
+driver-side, so every structure here is O(k · registered queries),
+independent of corpus size. Diff emission appends one tiny parquet
+batch per refresh under ``<state_dir>/log`` — the live result sink
+(S7) a downstream consumer tails.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .pipeline import EXACT_MATCH
+from .query import IndexReader
+
+ADD = "ADD"
+UPDATE = "UPDATE"
+REMOVE = "REMOVE"
+
+DIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("old_score", T.DoubleType()),
+        T.StructField("old_rank", T.IntegerType()),
+    ]
+)
+
+_DIFF_FIELDS = [
+    ("query", "string"), ("event", "string"), ("doc_id", "long"),
+    ("score", "double"), ("rank", "int"),
+    ("old_score", "double"), ("old_rank", "int"),
+]
+
+# UPDATE events compare scores at this rounding; the engine is
+# deterministic, so any difference is a real re-score (changed tf/dl/df
+# after maintenance), not float jitter — rounding only keeps the diff
+# stable across decode orders.
+_SCORE_DECIMALS = 9
+
+
+def _diff_rows(
+    name: str, old: List[dict], new: List[dict]
+) -> List[tuple]:
+    """Classify membership/score changes between two top-k snapshots.
+    Bounded by k rows per side — pure driver-side python by design."""
+    old_by_id = {int(r["doc_id"]): r for r in old}
+    new_by_id = {int(r["doc_id"]): r for r in new}
+    rows = []
+    for did, r in new_by_id.items():
+        prev = old_by_id.get(did)
+        if prev is None:
+            rows.append(
+                (name, ADD, did, r["score"], r["rank"], None, None)
+            )
+        elif round(r["score"], _SCORE_DECIMALS) != round(
+            prev["score"], _SCORE_DECIMALS
+        ) or int(r["rank"]) != int(prev["rank"]):
+            rows.append(
+                (
+                    name, UPDATE, did, r["score"], r["rank"],
+                    prev["score"], prev["rank"],
+                )
+            )
+    for did, r in old_by_id.items():
+        if did not in new_by_id:
+            rows.append(
+                (name, REMOVE, did, None, None, r["score"], r["rank"])
+            )
+    rows.sort(key=lambda t: (t[0], t[1], t[2]))
+    return rows
+
+
+class LiveResults:
+    """A set of registered queries kept live across index generations.
+
+    ``register`` snapshots the query's current top-k; each ``refresh``
+    re-runs every registered query against the index generation passed
+    in (or the root's CURRENT pointer) and returns the ADD/UPDATE/
+    REMOVE diff as a DataFrame, also appending it to the parquet event
+    log under ``state_dir``. State (registered queries + last
+    snapshots) lives in one JSON file, written atomically, so a
+    restarted process resumes diffing from the last emitted snapshot.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        index_root: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.state_dir = os.path.abspath(state_dir)
+        self.index_root = index_root
+        os.makedirs(self.state_dir, exist_ok=True)
+        self._state_path = os.path.join(self.state_dir, "live.json")
+        self._state: Dict[str, dict] = {}
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                self._state = json.load(f)
+
+    # ------------------------------------------------------------ state
+
+    def _save(self) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._state, f)
+        os.replace(tmp, self._state_path)
+
+    def _resolve_index(self, index_dir: Optional[str]) -> str:
+        if index_dir is not None:
+            return index_dir
+        if self.index_root is not None:
+            from .streaming import current_index
+
+            cur = current_index(self.index_root)
+            if cur is not None:
+                return cur
+        raise ValueError(
+            "no index to refresh against: pass index_dir or construct "
+            "LiveResults with an index_root that has a CURRENT pointer"
+        )
+
+    def _snapshot(
+        self, reader: IndexReader, terms: List[str], mode: str, k: int
+    ) -> List[dict]:
+        rows = reader.search(terms, mode, k=k).collect()
+        return [
+            {
+                "doc_id": int(r["doc_id"]),
+                "score": float(r["score"]),
+                "rank": int(r["rank"]),
+            }
+            for r in rows
+        ]
+
+    # -------------------------------------------------------------- api
+
+    def register(
+        self,
+        name: str,
+        terms: List[str],
+        mode: str = EXACT_MATCH,
+        k: int = 10,
+        index_dir: Optional[str] = None,
+    ) -> None:
+        """Track ``terms``/``mode`` under ``name``; the initial top-k
+        snapshot is taken now (the reference registers its listener at
+        first search emission, SimpleSearchManager.java:76)."""
+        d = self._resolve_index(index_dir)
+        reader = IndexReader(self.spark, d)
+        self._state[name] = {
+            "terms": list(terms),
+            "mode": mode,
+            "k": int(k),
+            "generation": os.path.abspath(d),
+            "results": self._snapshot(reader, list(terms), mode, int(k)),
+        }
+        self._save()
+
+    def unregister(self, name: str) -> None:
+        self._state.pop(name, None)
+        self._save()
+
+    def results(self, name: str) -> DataFrame:
+        """The tracked query's current result snapshot."""
+        q = self._state[name]
+        from .query import _rows_literal_df
+
+        return _rows_literal_df(
+            self.spark,
+            [
+                (int(r["doc_id"]), float(r["score"]), int(r["rank"]))
+                for r in q["results"]
+            ],
+            [("doc_id", "long"), ("score", "double"), ("rank", "int")],
+        )
+
+    def refresh(
+        self,
+        index_dir: Optional[str] = None,
+        on_event: Optional[Callable] = None,
+        log: bool = True,
+    ) -> DataFrame:
+        """Re-evaluate every registered query against the (new) index
+        generation; emit and return the combined diff. Queries whose
+        recorded generation already matches are skipped (refresh is
+        idempotent per generation)."""
+        d = os.path.abspath(self._resolve_index(index_dir))
+        readers: Dict[str, IndexReader] = {}
+        all_rows: List[tuple] = []
+        for name, q in self._state.items():
+            if q["generation"] == d:
+                continue
+            reader = readers.setdefault(d, IndexReader(self.spark, d))
+            new = self._snapshot(reader, q["terms"], q["mode"], q["k"])
+            rows = _diff_rows(name, q["results"], new)
+            q["results"] = new
+            q["generation"] = d
+            all_rows.extend(rows)
+        self._save()
+        if on_event is not None:
+            for r in all_rows:
+                on_event(dict(zip([f[0] for f in _DIFF_FIELDS], r)))
+        from .query import _rows_literal_df
+
+        diff = (
+            _rows_literal_df(self.spark, all_rows, _DIFF_FIELDS)
+            if all_rows
+            else self.spark.createDataFrame([], DIFF_SCHEMA)
+        )
+        if log and all_rows:
+            batch = diff.withColumn(
+                "refresh_ts", F.lit(int(time.time() * 1000))
+            ).withColumn("generation", F.lit(d))
+            batch.coalesce(1).write.mode("append").parquet(
+                os.path.join(self.state_dir, "log")
+            )
+        return diff
+
+    def event_log(self) -> DataFrame:
+        """All diffs ever emitted (the S7 live-result sink analog)."""
+        return self.spark.read.parquet(os.path.join(self.state_dir, "log"))

@@ -34,6 +34,7 @@ import bisect
 import math
 import os
 from collections import OrderedDict
+from contextlib import contextmanager
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -97,6 +98,52 @@ _LOCAL_SCHEMA = T.StructType(
         T.StructField("nterms", T.IntegerType()),
     ]
 )
+
+
+def search_job_group(tag: str) -> str:
+    """Job-group id under which a tagged search's Spark jobs run."""
+    return f"spark_search-search-{tag}"
+
+
+@contextmanager
+def search_group(spark: SparkSession, tag: str):
+    """Run a search (and the action that consumes it) under a
+    cancellable job group — the Q8 cancel-search surface.
+
+    The reference cancels an in-flight search by flipping an
+    ``isCanceled`` flag that short-circuits its row-verification scan
+    and result emission (reference
+    search/SimpleSearchManager.java:87-89,188,76). The Spark analog is
+    job-group cancellation: every job submitted from this thread while
+    the context is open (dictionary lookups, θ bootstrap, postings
+    scan, the final collect) belongs to ``search_job_group(tag)``, and
+    ``cancel_search(spark, tag)`` from any other thread aborts them
+    all. The index is read-only, so cancellation needs no cleanup —
+    the caller just sees the cancellation error.
+
+        with search_group(spark, "ui-42"):
+            rows = reader.search(terms, mode, k=10).collect()
+
+    Job groups are thread-local: open the context in the thread that
+    runs the search.
+    """
+    sc = spark.sparkContext
+    sc.setJobGroup(
+        search_job_group(tag),
+        f"spark_search search {tag}",
+        interruptOnCancel=True,
+    )
+    try:
+        yield search_job_group(tag)
+    finally:
+        sc.setJobGroup("", "")
+
+
+def cancel_search(spark: SparkSession, tag: str) -> None:
+    """Abort all in-flight Spark jobs of the search tagged ``tag``
+    (opened via ``search_group``). Thread-safe; a no-op if the search
+    already finished."""
+    spark.sparkContext.cancelJobGroup(search_job_group(tag))
 
 
 def _term_predicate(qterms: List[str], mode: str):

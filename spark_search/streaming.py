@@ -125,6 +125,7 @@ def stream_index_updates(
     max_files_per_trigger: Optional[int] = None,
     max_segments: Optional[int] = DEFAULT_MAX_SEGMENTS,
     gc_old: bool = True,
+    live=None,
 ):
     """Watch ``input_dir`` for new corpus parquet files and fold each
     micro-batch into the current index generation.
@@ -138,6 +139,12 @@ def stream_index_updates(
     upsert reaches it the handler compacts to a single segment before
     publishing (None disables). ``gc_old`` removes unreferenced
     superseded generation dirs after each pointer swap.
+
+    ``live`` (a ``live.LiveResults``) re-evaluates its registered
+    queries against each newly-published generation and appends
+    ADD/UPDATE/REMOVE diffs to its event log — the Q9 live-result
+    maintenance loop (diffs ride the same commit cadence as the
+    generation pointer).
     Returns the StreamingQuery.
     """
     if current_index(index_root) is None:
@@ -168,6 +175,8 @@ def stream_index_updates(
             compact(spark, gen_dir, cdir)
             gen_dir = cdir
         _set_current(index_root, gen_dir)
+        if live is not None:
+            live.refresh(gen_dir)
         if gc_old:
             gc_generations(index_root)
 

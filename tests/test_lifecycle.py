@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spark_search import pipeline as P
 from spark_search.build import abort_build, build_index, cancel_build
 from spark_search.checkpoint import BuildManifest
-from spark_search.query import IndexReader
+from spark_search.query import IndexReader, cancel_search, search_group
 
 
 def test_cancel_mid_build_keeps_old_generation(spark, fixture_corpus, tmp_path):
@@ -71,6 +71,56 @@ def test_abort_refuses_committed_index(spark, fixture_corpus, tmp_path):
 
 def test_abort_missing_dir_is_noop():
     assert abort_build("/tmp/spark_search_never_existed_xyz") is False
+
+
+def test_cancel_search_mid_flight(spark, fixture_corpus, tmp_path):
+    """Q8: a tagged search's jobs can be aborted from another thread
+    (the analog of the reference's isCanceled short-circuit,
+    SimpleSearchManager.java:87-89); the reader stays healthy after."""
+    d = str(tmp_path / "idx")
+    build_index(spark, fixture_corpus, d, num_buckets=4, chunk_span=8)
+    reader = IndexReader(spark, d)
+
+    outcome = {"done": 0}
+
+    def run():
+        try:
+            with search_group(spark, "t-cancel"):
+                # repeat the (fast) fixture search so the group stays
+                # in-flight long enough for the cancel to land; the
+                # distributed path is forced so real jobs run
+                for _ in range(400):
+                    reader.search(
+                        ["mila"], P.EXACT_MATCH, k=10,
+                        local_max_postings=0,
+                    ).collect()
+                    outcome["done"] += 1
+        except Exception as e:  # cancellation surfaces as a job error
+            outcome["error"] = e
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(2.0)
+    cancel_search(spark, "t-cancel")
+    t.join(120)
+    assert not t.is_alive()
+    # either the cancel landed (error raised mid-loop) or the machine
+    # raced through all 400 searches — both leave the reader usable
+    assert "error" in outcome or outcome["done"] == 400
+
+    rows = reader.search(["mila"], P.EXACT_MATCH, k=10).collect()
+    assert len(rows) == 2
+
+
+def test_cancel_search_finished_is_noop(spark, fixture_corpus, tmp_path):
+    d = str(tmp_path / "idx2")
+    build_index(spark, fixture_corpus, d, num_buckets=4, chunk_span=8)
+    reader = IndexReader(spark, d)
+    with search_group(spark, "t-done"):
+        assert len(reader.search(["mila"], P.EXACT_MATCH, k=10).collect()) == 2
+    cancel_search(spark, "t-done")  # group already finished: no-op
+    # job-group property was cleared by the context manager
+    assert len(reader.search(["mila"], P.EXACT_MATCH, k=10).collect()) == 2
 
 
 def test_build_progress_events_and_stage_metrics(spark, fixture_corpus, tmp_path):

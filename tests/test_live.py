@@ -1,0 +1,166 @@
+"""Live result maintenance (Q9) — registered queries diffed across
+index generations (reference SearchTreeTrackChangesListener /
+SimpleSearchManager.java:106-185), and its streaming integration."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_search import pipeline as P
+from spark_search.build import build_index
+from spark_search.corpus import CORPUS_SCHEMA, reference_fixture_corpus
+from spark_search.ids import with_doc_ids
+from spark_search.live import ADD, REMOVE, UPDATE, LiveResults
+from spark_search.maintain import delete_docs, upsert_docs
+from spark_search.query import IndexReader
+
+
+@pytest.fixture()
+def base_index(spark, fixture_corpus, tmp_path):
+    d = str(tmp_path / "base")
+    build_index(spark, fixture_corpus, d, num_buckets=4, chunk_span=8)
+    return d
+
+
+def _events(diff):
+    return sorted(
+        (r["event"], r["doc_id"]) for r in diff.collect()
+    )
+
+
+def test_live_diffs_across_maintenance(spark, base_index, tmp_path):
+    live = LiveResults(spark, str(tmp_path / "live"))
+    live.register("mila", ["mila"], P.EXACT_MATCH, k=10,
+                  index_dir=base_index)
+    base_ids = {
+        r["doc_id"] for r in live.results("mila").collect()
+    }
+    assert len(base_ids) == 2  # one.txt, two.txt
+
+    # generation 1: add a matching doc -> its ADD, plus UPDATEs for the
+    # old matches (avgdl / df shifted, every BM25 score moves)
+    g1 = str(tmp_path / "g1")
+    new = spark.createDataFrame(
+        [("s", "new/a.txt", "v1", "txt", "mila arrives late")],
+        CORPUS_SCHEMA,
+    )
+    upsert_docs(spark, base_index, g1, new)
+    diff1 = live.refresh(index_dir=g1)
+    ev1 = _events(diff1)
+    adds1 = [d for e, d in ev1 if e == ADD]
+    assert len(adds1) == 1
+    new_id = adds1[0]
+    assert new_id not in base_ids
+    assert {d for e, d in ev1 if e == UPDATE} == base_ids
+    assert not [d for e, d in ev1 if e == REMOVE]
+
+    # idempotent per generation
+    assert live.refresh(index_dir=g1).count() == 0
+
+    # generation 2: delete the streamed doc -> REMOVE + UPDATEs
+    g2 = str(tmp_path / "g2")
+    delete_docs(spark, g1, g2, [new_id])
+    diff2 = live.refresh(index_dir=g2)
+    ev2 = _events(diff2)
+    assert [d for e, d in ev2 if e == REMOVE] == [new_id]
+    assert {d for e, d in ev2 if e == UPDATE} == base_ids
+
+    # the event log accumulated both refreshes
+    log = live.event_log()
+    assert log.count() == len(ev1) + len(ev2)
+    assert log.where(F.col("event") == ADD).count() == 1
+    assert log.where(F.col("event") == REMOVE).count() == 1
+
+    # snapshots agree with a fresh search of the current generation
+    r2 = IndexReader(spark, g2)
+    expect = {
+        r["doc_id"] for r in r2.search(["mila"], P.EXACT_MATCH, k=10).collect()
+    }
+    assert {
+        r["doc_id"] for r in live.results("mila").collect()
+    } == expect == base_ids
+
+
+def test_live_state_survives_restart(spark, base_index, tmp_path):
+    state = str(tmp_path / "live")
+    live = LiveResults(spark, state)
+    live.register("mila", ["mila"], P.EXACT_MATCH, k=10,
+                  index_dir=base_index)
+
+    g1 = str(tmp_path / "g1")
+    upsert_docs(
+        spark, base_index, g1,
+        spark.createDataFrame(
+            [("s", "n/b.txt", "v1", "txt", "mila again")], CORPUS_SCHEMA
+        ),
+    )
+
+    # a NEW process (fresh LiveResults over the same state dir) resumes
+    # from the persisted snapshot and emits the same diff
+    resumed = LiveResults(spark, state)
+    diff = resumed.refresh(index_dir=g1)
+    assert len([1 for r in diff.collect() if r["event"] == ADD]) == 1
+    # and the original instance, reloaded, sees generation already applied
+    assert LiveResults(spark, state).refresh(index_dir=g1).count() == 0
+
+
+def test_live_rank_only_update(spark, tmp_path):
+    """A doc whose score is untouched but whose rank changes must emit
+    UPDATE (the result table's row moved)."""
+    live = LiveResults(spark, str(tmp_path / "live"))
+    old = [
+        {"doc_id": 1, "score": 2.0, "rank": 1},
+        {"doc_id": 2, "score": 1.0, "rank": 2},
+    ]
+    new = [
+        {"doc_id": 3, "score": 3.0, "rank": 1},
+        {"doc_id": 1, "score": 2.0, "rank": 2},
+    ]
+    from spark_search.live import _diff_rows
+
+    rows = _diff_rows("q", old, new)
+    by_event = {}
+    for r in rows:
+        by_event.setdefault(r[1], []).append(r[2])
+    assert by_event[ADD] == [3]
+    assert by_event[REMOVE] == [2]
+    assert by_event[UPDATE] == [1]  # same score, rank 1 -> 2
+
+
+def test_live_streaming_integration(spark, base_index, tmp_path):
+    """stream_index_updates(live=...) emits diffs at each commit point."""
+    import glob
+    import shutil
+
+    from spark_search.streaming import init_root, stream_index_updates
+
+    root = str(tmp_path / "root")
+    init_root(root, base_index)
+    live = LiveResults(spark, str(tmp_path / "live"), index_root=root)
+    live.register("mila", ["mila"], P.EXACT_MATCH, k=10)
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    staging = str(tmp_path / "_stage")
+    spark.createDataFrame(
+        [("s", "new/c.txt", "v1", "txt", "mila in the stream")],
+        CORPUS_SCHEMA,
+    ).coalesce(1).write.parquet(staging)
+    for i, p in enumerate(glob.glob(os.path.join(staging, "part-*.parquet"))):
+        shutil.move(p, os.path.join(drop, f"b-{i}.parquet"))
+
+    q = stream_index_updates(
+        spark, drop, root, available_now=True, live=live
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    log = live.event_log()
+    assert log.where(F.col("event") == ADD).count() == 1
+    # snapshot tracked the streamed generation
+    assert len(live.results("mila").collect()) == 3

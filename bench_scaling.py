@@ -72,6 +72,38 @@ def cpu_capacity_probe(seconds: float = 1.5) -> dict:
     return out
 
 
+def _copy_mb(args) -> float:
+    """One worker: repeatedly memcpy a buffer for `seconds`, return MB
+    copied. numpy copy = pure DRAM bandwidth (no arithmetic)."""
+    mb, seconds = args
+    import numpy as np
+
+    src = np.ones(mb * 131072, dtype=np.float64)  # mb MiB
+    dst = np.empty_like(src)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.copyto(dst, src)
+        n += 1
+    return n * mb / (time.time() - t0)
+
+
+def mem_bandwidth_probe(seconds: float = 1.0, mb: int = 256) -> dict:
+    """Aggregate copy bandwidth (MB/s) at 1/2/8 workers. The busy-loop
+    probe (registers only) misses the resource the shuffle-heavy
+    postings stage actually consumes: DRAM bandwidth (tmpfs I/O is
+    memcpy). If this plateaus below workers x single, the box's
+    bandwidth ceiling — not the engine — bounds measured scaling."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (1, 2, 8):
+        with mp.Pool(n) as p:
+            total = sum(p.map(_copy_mb, [(mb, seconds)] * n))
+        out[str(n)] = round(total)
+    return out
+
+
 def _scratch_base(need_bytes: int = 0) -> str:
     """tmpfs when available AND it has headroom: the sandbox's virtual
     disk has multi-x bandwidth variance from co-tenants; the scaling
@@ -103,6 +135,44 @@ def _steal_sample() -> tuple:
         return steal, sum(vals)
     except (OSError, ValueError, IndexError):
         return 0, 0
+
+
+def _proc_cpu_sec(pid: int) -> float:
+    """utime+stime (incl. reaped children) of this process TREE, in
+    seconds (pid + live descendants: the JVM plus its pyspark.daemon
+    workers) — lets a launch distinguish 'threads starved'
+    (cpu << cores x wall, external contention) from 'work grew'
+    (cpu ~ cores x wall)."""
+
+    def one(p: int) -> tuple:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # after comm: ppid=1, utime=11, stime=12, cutime=13, cstime=14
+            return (
+                int(parts[1]),
+                sum(int(parts[i]) for i in (11, 12, 13, 14)),
+            )
+        except (OSError, ValueError, IndexError):
+            return (0, 0)
+
+    try:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        pids = []
+    info = {p: one(p) for p in pids}
+    tree = {pid}
+    grew = True
+    while grew:
+        grew = False
+        for p, (ppid, _) in info.items():
+            if ppid in tree and p not in tree:
+                tree.add(p)
+                grew = True
+    total = sum(info.get(p, (0, 0))[1] for p in tree)
+    return total / os.sysconf("SC_CLK_TCK")
+
+
 
 
 def _session(cpus: int, scratch_need: int = 0):
@@ -195,6 +265,7 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
 
     runs = []
     stage_walls = []
+    cpu_secs = []
     index_dir = None
     for _ in range(reps):
         if index_dir:
@@ -204,9 +275,12 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
                 prefix=f"scal{cpus}_", dir=_scratch_base(2 * corpus_bytes)
             ), "idx"
         )
+        # own process tree: this python, the py4j JVM, pyspark daemons
+        c0 = _proc_cpu_sec(os.getpid())
         t0 = time.time()
         m = build_index(spark, corpus, index_dir)
         runs.append(round(time.time() - t0, 3))
+        cpu_secs.append(round(_proc_cpu_sec(os.getpid()) - c0, 1))
         stage_walls.append(
             {k: round(v.get("wall_s", 0.0), 3) for k, v in m.stages.items()}
         )
@@ -240,6 +314,7 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
                 "n_files": n_files,
                 "build_sec": build_s,
                 "build_runs_sec": runs,
+                "build_cpu_secs": cpu_secs,
                 "stage_walls_sec": stages,
                 "files_per_sec": round(n_files / build_s, 1),
                 "queries": queries,

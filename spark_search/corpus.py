@@ -176,6 +176,23 @@ def reference_fixture_corpus(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(FIXTURE_ROWS, CORPUS_SCHEMA)
 
 
+def single_file(
+    corpus: DataFrame, repo: str, path: str, commit: str = None
+) -> DataFrame:
+    """S2 single-file scan: the one-file slice of a corpus table,
+    addressed by its identity key (repo, path[, commit]) — the analog
+    of the reference's index-one-file entry point (reference
+    engine/src/main/java/org/search/engine/SearchEngine.java:60-66 →
+    DocumentIndexTask). The equality predicates push down to the
+    parquet/Iceberg scan (asserted in tests/test_plans.py), so at
+    10^12-file scale this reads the row groups that can hold the file,
+    never the table."""
+    cond = (F.col("repo") == repo) & (F.col("path") == path)
+    if commit is not None:
+        cond = cond & (F.col("commit") == commit)
+    return corpus.where(cond)
+
+
 def load_sf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents table (doc_id, text, lang, source,
     n_chars) into the corpus schema, keeping the table's own ``doc_id``

@@ -276,6 +276,29 @@ def upsert_docs(
     return out
 
 
+def upsert_file(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    corpus: DataFrame,
+    repo: str,
+    path: str,
+    commit: Optional[str] = None,
+) -> BuildManifest:
+    """S2 single-file (re)index: fold exactly one file of the corpus
+    table into the index — the reference's index-one-file entry point
+    (reference SearchEngine.java:60-66, DocumentIndexTask) expressed as
+    a one-row upsert. The (repo, path) slice is predicate-pushed into
+    the corpus scan (corpus.single_file); everything downstream is the
+    ordinary O(|batch|=1) segment upsert."""
+    from .corpus import single_file
+
+    batch = single_file(corpus, repo, path, commit)
+    if not batch.take(1):
+        raise ValueError(f"no corpus row for ({repo!r}, {path!r})")
+    return upsert_docs(spark, index_dir, out_dir, batch)
+
+
 # ----------------------------------------- per-(term, doc) delete (O4)
 
 

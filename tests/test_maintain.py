@@ -17,7 +17,13 @@ from spark_search import pipeline as P
 from spark_search.build import build_index
 from spark_search.corpus import CORPUS_SCHEMA, reference_fixture_corpus
 from spark_search.ids import with_doc_ids
-from spark_search.maintain import compact, delete_docs, upsert_docs
+from spark_search.corpus import single_file
+from spark_search.maintain import (
+    compact,
+    delete_docs,
+    upsert_docs,
+    upsert_file,
+)
 from spark_search.query import IndexReader
 
 
@@ -85,6 +91,39 @@ def test_upsert_replaces_and_adds(spark, base_index, tmp_path):
     assert len(_ids(r1, ["completely"])) == 1
     # updated doc's new terms and old doc's unique terms
     assert _ids(r1, ["doma"]) == []  # 'doma' only lived in old one.txt
+
+
+def test_single_file_scan_and_upsert(spark, base_index, tmp_path):
+    """S2: the named single-file APIs — corpus.single_file slices one
+    row by identity key; maintain.upsert_file folds exactly that file
+    into the index (reference SearchEngine.java:60-66 indexFile)."""
+    d0, corpus = base_index
+
+    row = single_file(corpus, "reference", "testFolder/one.txt").collect()
+    assert len(row) == 1 and "mila" in row[0]["content"]
+    # commit disambiguation + miss behavior
+    assert single_file(
+        corpus, "reference", "testFolder/one.txt", commit="v0"
+    ).count() == 1
+    assert single_file(corpus, "reference", "nope.txt").count() == 0
+
+    # re-index one file whose content changed: 'mila' leaves one.txt
+    edited = corpus.withColumn(
+        "content",
+        F.when(
+            F.col("path") == "testFolder/one.txt",
+            F.lit("mama doma hi mama i am here"),
+        ).otherwise(F.col("content")),
+    ).drop("doc_id")
+    d1 = str(tmp_path / "idx_sf")
+    upsert_file(spark, d0, d1, edited, "reference", "testFolder/one.txt")
+    r1 = IndexReader(spark, d1)
+    # only two.txt still matches; the other 3 docs are untouched
+    assert len(_ids(r1, ["mila"])) == 1
+    assert r1.stats.n_docs == IndexReader(spark, d0).stats.n_docs
+    with pytest.raises(ValueError):
+        upsert_file(spark, d0, str(tmp_path / "x"), edited, "reference",
+                    "missing.txt")
 
 
 def test_compact_restores_exact_scores(spark, base_index, tmp_path):

@@ -86,6 +86,18 @@ def test_bm25_filter_reaches_scan(spark, corpus):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_single_file_scan_pushdown(spark, corpus):
+    """S2: single_file's identity-key equality predicates must reach
+    the parquet scan (PushedFilters), so one file is a row-group read,
+    not a table scan."""
+    from spark_search.corpus import single_file
+
+    plan = plan_of(single_file(corpus, "web", "web/1.txt"))
+    assert "PushedFilters:" in plan
+    # the source column behind repo is pushed down by its real name
+    assert "EqualTo(source," in plan or "EqualTo(repo," in plan
+
+
 def test_embedding_ann_dedup_is_not_nested_loop(spark, sf_emb):
     """The default-scale embedding dedup must join candidates on the
     centroid cell (hash/sort-merge equi-join), never the O(n²)

@@ -32,6 +32,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
 
+    fault_mbps_before = None
+    try:
+        from bench_scaling_gated import fault_rate_mbps
+
+        fault_mbps_before = round(fault_rate_mbps())
+    except Exception:
+        pass
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -135,6 +143,18 @@ def main() -> None:
         "timings": timings,
         "training_ops": ops,
     }
+    # self-describing weather: this sandbox has host episodes where
+    # first-touch page faults drop 20-100x (BASELINE.md §4.27); a run
+    # recorded during one measures the episode, not the engine. The
+    # fresh-mmap fault-rate probe (normal >700 MB/s, episode <100)
+    # stamps each result so slow numbers are attributable.
+    try:
+        from bench_scaling_gated import fault_rate_mbps
+
+        out["fault_mbps_before"] = fault_mbps_before
+        out["fault_mbps_after"] = round(fault_rate_mbps())
+    except Exception:
+        pass
     shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
     spark.stop()
     print(json.dumps(out))

@@ -174,11 +174,26 @@ def build_index(
     resume: bool = False,
     doc_id_partitions: Optional[int] = None,
     progress: Optional[Callable] = None,
+    postings_exchange: str = "fused",
 ) -> BuildManifest:
     """Build (or resume) a disk index from a corpus DataFrame.
 
     ``corpus`` may or may not already carry ``doc_id``; if absent, ids
     are assigned deterministically (ids.with_doc_ids).
+
+    ``postings_exchange`` picks the shuffle strategy for the postings
+    stage; both produce byte-identical indexes (pinned by test):
+
+    * ``"fused"`` (default) — ONE exchange of raw token rows keyed
+      (bucket, chunk). Fastest where shuffle bytes are cheap relative
+      to task scheduling (local mode / fast fabric): measured ~3x over
+      the alternative at the quiet-machine floor.
+    * ``"combined"`` — classic two-exchange plan: map-side partial
+      count combines each (term, doc) to one row BEFORE the first
+      exchange, then a (bucket, chunk)-keyed exchange feeds the
+      posting-list build. Moves ~1/avg_tf the bytes per exchange; the
+      right choice where the network is the bottleneck (large
+      clusters), at the cost of a second shuffle barrier.
 
     All Spark jobs of the build run under job group
     ``build_job_group(index_dir)`` so ``cancel_build`` can abort them
@@ -206,7 +221,7 @@ def build_index(
         return _build_stages(
             spark, corpus, paths, index_dir, num_buckets, chunk_span,
             block_size, bucket_groups, tokenizer, resume,
-            doc_id_partitions,
+            doc_id_partitions, postings_exchange,
         )
 
 
@@ -222,6 +237,7 @@ def _build_stages(
     tokenizer: str,
     resume: bool,
     doc_id_partitions: Optional[int],
+    postings_exchange: str = "fused",
 ) -> BuildManifest:
     # Input-parallelism floor. A small-relative-to-cluster input (or a
     # coarse maxPartitionBytes) can leave the scan with ~1 split per
@@ -258,20 +274,30 @@ def _build_stages(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256", "dl"
         )
         parts = doc_id_partitions or spark.sparkContext.defaultParallelism
+        # corpus stats ride the write itself (CollectMetrics above the
+        # range exchange, below the partition-local sort, so the range
+        # partitioner's sampling job never executes the metrics node
+        # and the writer still receives doc_id-sorted rows) — one scan
+        # and one job fewer per build than a separate read-back agg
+        from pyspark.sql import Observation
+
+        obs = Observation("docs_stats")
         (
             docs.repartitionByRange(parts, "doc_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("tot"),
+            )
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(paths.docs)
         )
-        docs_on_disk = spark.read.parquet(paths.docs)
-        row = docs_on_disk.agg(
-            F.count("*").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("tot"),
-        ).collect()[0]
+        row = obs.get
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
         total_dl = int(row["tot"] or 0)
+        docs_on_disk = spark.read.parquet(paths.docs)
 
         # doclens: dense per-chunk int32 dl arrays. The mapping is
         # 0-based (chunk = doc_id // span, position = doc_id % span) so
@@ -356,8 +382,8 @@ def _build_stages(
         # rows. On local mode (in-memory shuffle) the byte volume is
         # nearly free and task-launch overhead dominates, which is why
         # fused wins 3x here; where shuffle BYTES are the bottleneck,
-        # re-measure and flip back to partial-agg-then-repartition by
-        # inserting the tf groupBy before this repartition.
+        # build with postings_exchange="combined" (byte-identical
+        # output, pinned by test).
         #
         # chunk in the shuffle key is what makes the doc-range salt
         # real: keyed on bucket alone, every chunk of a hot term
@@ -370,14 +396,28 @@ def _build_stages(
         # cluster size. Partition count scales with cores (floor
         # num_buckets) and is explicit, which also pins AQE.
         n_shuffle = max(num_buckets, 8 * spark.sparkContext.defaultParallelism)
-        chunk_rows = (
-            part.withColumn(
-                "chunk", (F.col("doc_id") / chunk_span).cast("long")
+        chunked_tok = part.withColumn(
+            "chunk", (F.col("doc_id") / chunk_span).cast("long")
+        )
+        if postings_exchange == "combined":
+            # map-side partial count combines (term, doc) occurrences
+            # BEFORE any exchange (Catalyst's partial/final agg pair
+            # around the hash exchange on the full grouping key), then
+            # the explicit (bucket, chunk) repartition — carrying only
+            # combined rows — restores the salted clustering the
+            # posting-list agg and partitioned write run on exchange-free
+            tf_rows = chunked_tok.groupBy(
+                "bucket", "chunk", "term", "doc_id"
+            ).agg(F.count("*").cast("int").alias("tf"))
+            pre = tf_rows.repartition(n_shuffle, "bucket", "chunk")
+        else:
+            pre = (
+                chunked_tok.repartition(n_shuffle, "bucket", "chunk")
+                .groupBy("bucket", "chunk", "term", "doc_id")
+                .agg(F.count("*").cast("int").alias("tf"))
             )
-            .repartition(n_shuffle, "bucket", "chunk")
-            .groupBy("bucket", "chunk", "term", "doc_id")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .groupBy("bucket", "term", "chunk")
+        chunk_rows = (
+            pre.groupBy("bucket", "term", "chunk")
             .agg(
                 F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("p"),
             )

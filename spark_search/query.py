@@ -140,10 +140,24 @@ def search_group(spark: SparkSession, tag: str):
 
 
 def cancel_search(spark: SparkSession, tag: str) -> None:
-    """Abort all in-flight Spark jobs of the search tagged ``tag``
-    (opened via ``search_group``). Thread-safe; a no-op if the search
-    already finished."""
-    spark.sparkContext.cancelJobGroup(search_job_group(tag))
+    """Abort the search tagged ``tag`` (opened via ``search_group``).
+    Thread-safe; a no-op if the search already finished.
+
+    A search is a SEQUENCE of jobs (dictionary lookup, θ bootstrap,
+    postings scan, collect), so like the reference's ``isCanceled``
+    flag — which is checked between pipeline steps — cancellation must
+    also stop the steps not yet submitted: on Spark ≥ 4 the group is
+    marked cancelled for future jobs too (the JVM's
+    ``cancelJobGroupAndFutureJobs``), which means a tag is single-use —
+    pick a fresh tag per search, as the reference constructs a fresh
+    task per search. Falls back to active-jobs-only cancellation where
+    the API is unavailable."""
+    group = search_job_group(tag)
+    sc = spark.sparkContext
+    try:
+        sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+    except Exception:
+        sc.cancelJobGroup(group)
 
 
 def _term_predicate(qterms: List[str], mode: str):

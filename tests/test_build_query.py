@@ -260,6 +260,36 @@ def test_build_deterministic_across_input_partitioning(
     assert t1 == t2
 
 
+def test_combined_exchange_builds_identical_index(
+    spark, synth, synth_index, tmp_path
+):
+    """postings_exchange='combined' (map-side-combined two-exchange
+    plan for network-bound clusters) must produce the same logical
+    index as the default fused single exchange — per-block bytes
+    included (sorted collect_list makes encoding order-independent of
+    the shuffle strategy)."""
+    d2 = str(tmp_path / "combined_index")
+    build_index(spark, synth, d2, num_buckets=8, chunk_span=64,
+                block_size=16, postings_exchange="combined")
+    r2 = IndexReader(spark, d2)
+
+    def blocks(reader):
+        return {
+            (
+                row["term"], row["chunk"], row["n_docs"], row["sum_tf"],
+                row["max_tf"],
+                tuple(
+                    (b["first_doc"], b["last_doc"], b["n"], b["max_tf"],
+                     bytes(b["deltas"]), bytes(b["tfs"]))
+                    for b in row["blocks"]
+                ),
+            )
+            for row in reader.postings_df().collect()
+        }
+
+    assert blocks(synth_index) == blocks(r2)
+
+
 def test_doc_terms_reverse_lookup(fixture_index, fixture_corpus, spark):
     """O3 analog: terms-of-doc must equal the doc's own tokenization."""
     from spark_search.query import IndexReader

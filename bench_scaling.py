@@ -31,7 +31,7 @@ postings incl. block bytes, doclens) hashes identically at both
 parallelism levels (SURVEY.md §7.4.4).
 
 Usage:  python bench_scaling.py [--docs N] [--reps R] [--cpus A,B]
-Child:  python bench_scaling.py --child CPUS REPS CORPUS_DIR
+Child:  python bench_scaling.py --child CPUS REPS CORPUS_DIR [EXCHANGE]
 """
 
 from __future__ import annotations
@@ -238,7 +238,8 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def child(cpus: int, reps: int, corpus_dir: str) -> None:
+def child(cpus: int, reps: int, corpus_dir: str,
+          exchange: str = "fused") -> None:
     # shuffle spill ~ 3x corpus bytes (tokens exchange), index ~ 1.5x
     corpus_bytes = _dir_bytes(corpus_dir)
     spark = _session(cpus, scratch_need=3 * corpus_bytes)
@@ -278,7 +279,8 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
         # own process tree: this python, the py4j JVM, pyspark daemons
         c0 = _proc_cpu_sec(os.getpid())
         t0 = time.time()
-        m = build_index(spark, corpus, index_dir)
+        m = build_index(spark, corpus, index_dir,
+                        postings_exchange=exchange)
         runs.append(round(time.time() - t0, 3))
         cpu_secs.append(round(_proc_cpu_sec(os.getpid()) - c0, 1))
         stage_walls.append(
@@ -327,7 +329,11 @@ def child(cpus: int, reps: int, corpus_dir: str) -> None:
 def main() -> None:
     if "--child" in sys.argv:
         i = sys.argv.index("--child")
-        child(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
+        exchange = (
+            sys.argv[i + 4] if len(sys.argv) > i + 4 else "fused"
+        )
+        child(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3],
+              exchange)
         return
 
     n_docs = 600_000

@@ -91,12 +91,13 @@ def wait_for_quiet(
         time.sleep(20)
 
 
-def launch(cpus: int, reps: int, corpus_dir: str) -> dict:
+def launch(cpus: int, reps: int, corpus_dir: str,
+           exchange: str = "fused") -> dict:
     s0 = _steal_sample()
     t0 = time.time()
     p = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench_scaling.py"),
-         "--child", str(cpus), str(reps), corpus_dir],
+         "--child", str(cpus), str(reps), corpus_dir, exchange],
         capture_output=True, text=True, timeout=4000,
     )
     s1 = _steal_sample()
@@ -135,6 +136,9 @@ def main() -> None:
         max_wait = float(argv[argv.index("--max-wait-sec") + 1])
     if "--launches" in argv:
         n_launches = int(argv[argv.index("--launches") + 1])
+    exchange = "fused"
+    if "--exchange" in argv:
+        exchange = argv[argv.index("--exchange") + 1]
     if not corpus or not os.path.isdir(corpus):
         raise SystemExit("--corpus DIR (existing parquet corpus) required")
 
@@ -143,7 +147,7 @@ def main() -> None:
     for _ in range(n_launches):
         for cpus in cpus_pair:
             g = wait_for_quiet(gate, max_wait, workers=hi)
-            res = launch(cpus, reps, corpus)
+            res = launch(cpus, reps, corpus, exchange)
             res["gate"] = g
             res["gate_capacity"] = g["capacity"]
             # an episode can begin mid-launch: re-sample after, so a
@@ -168,6 +172,7 @@ def main() -> None:
     )
     print(json.dumps({
         "n_files": results[lo]["n_files"],
+        "postings_exchange": exchange,
         "pair": f"local[{lo}] -> local[{hi}]",
         f"local{lo}_build_sec": results[lo]["build_sec"],
         f"local{hi}_build_sec": results[hi]["build_sec"],

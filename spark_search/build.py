@@ -191,9 +191,15 @@ def build_index(
     * ``"combined"`` — classic two-exchange plan: map-side partial
       count combines each (term, doc) to one row BEFORE the first
       exchange, then a (bucket, chunk)-keyed exchange feeds the
-      posting-list build. Moves ~1/avg_tf the bytes per exchange; the
-      right choice where the network is the bottleneck (large
-      clusters), at the cost of a second shuffle barrier.
+      posting-list build. Moves ~1/avg_tf the bytes per exchange — the
+      option for network-bound clusters — at the cost of a second
+      shuffle barrier AND per-task memory for the partial-agg hash
+      table over the (bucket, chunk, term, doc_id) key. Measured at
+      600k docs (gated windows, BASELINE.md §4.4): best wall at 2
+      tasks/JVM (133 s vs fused 145 s, the byte saving wins) but 2.3x
+      CPU inflation at 8 tasks/JVM (spill -> sort fallback as
+      concurrent tasks divide the heap). Size executor memory per
+      core accordingly before choosing it.
 
     All Spark jobs of the build run under job group
     ``build_job_group(index_dir)`` so ``cancel_build`` can abort them

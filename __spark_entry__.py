@@ -234,6 +234,82 @@ def _bm25_maintained_oracle() -> str:
     )
 
 
+# O4 per-(term, doc) posting delete under the oracle gate: surgically
+# remove specific term occurrences (reference removeByValue,
+# tree/SearchEngineConcurrentTree.java:239-264), then BM25 — the result
+# must be score-identical to an index built over a corpus in which
+# those occurrences never existed, which the oracle expresses by
+# filtering the token stream (and recomputing dl from the filtered
+# stream) before the standard BM25 arithmetic.
+TDEL_PAIRS = [("data", 3), ("data", 5), ("merge", 7), ("join", 11)]
+_TDEL_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _tdel_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    key = os.path.abspath(sf_dir)
+    ent = _TDEL_READERS.get(key)
+    if ent is not None and ent[0] == id(spark):
+        return ent[1]
+    base_dir = _INDEX_DIRS.get(key)
+    if base_dir is None:
+        _indexed_reader(spark, sf_dir)
+        base_dir = _INDEX_DIRS[key]
+    from spark_search.maintain import delete_term_postings
+
+    out = os.path.join(tempfile.mkdtemp(prefix="sgraft-tdel-"), "idx")
+    delete_term_postings(spark, base_dir, out, TDEL_PAIRS)
+    rd = IndexReader(spark, out)
+    _TDEL_READERS[key] = (id(spark), rd)
+    return rd
+
+
+def _q_bm25_term_deleted(spark, sf_dir):
+    rd = _tdel_reader(spark, sf_dir)
+    res = rd.search(TERMS_OR, P.WITH_SUGGESTIONS, k=10)
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _bm25_term_deleted_oracle(k: int = 10) -> str:
+    uniq = list(dict.fromkeys(TERMS_OR))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    removed = " OR ".join(
+        f"(term = '{t}' AND doc_id = {d})" for t, d in TDEL_PAIRS
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+ftoks AS (SELECT * FROM toks WHERE NOT ({removed})),
+mtoks AS (SELECT * FROM ftoks WHERE term IN ({inlist})),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+-- dl from the FILTERED stream, every corpus doc kept (dl may reach 0)
+dl AS (SELECT c.doc_id, coalesce(t.n, 0)::DOUBLE AS dl
+       FROM corpus c
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM ftoks GROUP BY 1) t
+         USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _q_live_result_diffs(spark, sf_dir):
     """Q9 live result maintenance under the oracle gate: register the
     OR query over the base index generation, advance the index through
@@ -448,7 +524,11 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
-    return DD.ngram_jaccard_pairs(_docs_raw(spark, sf_dir))
+    # the recommended scale cap, passed EXPLICITLY (the API default is
+    # exact/uncapped); the oracle below is parameterized identically
+    return DD.ngram_jaccard_pairs(
+        _docs_raw(spark, sf_dir), max_shingle_df=DD.MAX_SHINGLE_DF
+    )
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -520,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the equivalently edited corpus (compaction restores df
         # exactness, so scores must match to the rounding digit)
         "bm25_or_topk_maintained": _q_bm25_maintained,
+        # O4 per-(term, doc) posting delete (maintain.delete_term_postings)
+        "bm25_or_topk_term_deleted": _q_bm25_term_deleted,
         "live_result_diffs": _q_live_result_diffs,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
@@ -559,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
+        "bm25_or_topk_term_deleted": _bm25_term_deleted_oracle(),
         "live_result_diffs": _live_diff_oracle(),
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term
@@ -610,7 +693,9 @@ FROM tf GROUP BY term
         "text_fingerprints": TX.fingerprints_sql(),
         "dedup_exact": DD.exact_dup_groups_sql(),
         "dedup_minhash_lsh": DD.minhash_near_dup_sql(),
-        "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(),
+        "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(
+            max_shingle_df=DD.MAX_SHINGLE_DF
+        ),
         "dedup_simhash": DD.simhash_sql(),
         "dedup_simhash_pairs": DD.simhash_near_dup_sql(),
         "dedup_embedding": DD.embedding_near_dup_sql(),

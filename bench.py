@@ -59,7 +59,11 @@ def main() -> None:
     from spark_search.corpus import load_sf_documents
     from spark_search.query import IndexReader
 
-    corpus = load_sf_documents(spark, sf_dir).cache()
+    # floor parallelism ONCE, before the cache: the sf parquet arrives
+    # as ~1 split, and pipeline._floor intentionally never repartitions
+    # a cached frame (the cache layout is authoritative) — so bake the
+    # layout in here and every downstream build/query inherits it free.
+    corpus = load_sf_documents(spark, sf_dir).repartition(cpus).cache()
     n_files = corpus.count()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -43,6 +43,7 @@ from .checkpoint import (
     MANIFEST as MANIFEST_NAME,
     PARTIAL as PARTIAL_NAME,
     BuildManifest,
+    IndexFormatError,
     corpus_fingerprint,
 )
 from .codec import encode_blocks_batch
@@ -53,6 +54,29 @@ from .stats import CorpusStats
 DEFAULT_NUM_BUCKETS = 32
 DEFAULT_CHUNK_SPAN = 1 << 14
 DEFAULT_BLOCK_SIZE = 128
+# Postings file fan-out bound: the (bucket, chunk)-keyed exchange
+# writes ≤1 file per (reduce task, bucket) pair, so files-per-bucket
+# grows as min(n_chunks, shuffle partitions) — i.e. with cluster size.
+# Past this bound a compaction pass rewrites each bucket into few
+# sorted files (the pass touches only the encoded postings, typically
+# ~5-10% of raw corpus bytes — cheap relative to open()-cost of
+# thousands of small files on every query scan).
+DEFAULT_MAX_FILES_PER_BUCKET = 32
+
+
+def _postings_file_counts(postings_dir: str) -> dict:
+    """{bucket_dir_name: n_parquet_files} via a filesystem listing
+    (driver-side; one LIST per bucket dir — cheap at any scale)."""
+    out = {}
+    if not os.path.isdir(postings_dir):
+        return out
+    for entry in os.listdir(postings_dir):
+        sub = os.path.join(postings_dir, entry)
+        if entry.startswith("bucket=") and os.path.isdir(sub):
+            out[entry] = sum(
+                1 for f in os.listdir(sub) if f.endswith(".parquet")
+            )
+    return out
 
 BLOCKS_SCHEMA = (
     "array<struct<first_doc: long, last_doc: long, n: int, max_tf: int,"
@@ -175,6 +199,7 @@ def build_index(
     doc_id_partitions: Optional[int] = None,
     progress: Optional[Callable] = None,
     postings_exchange: str = "fused",
+    max_files_per_bucket: int = DEFAULT_MAX_FILES_PER_BUCKET,
 ) -> BuildManifest:
     """Build (or resume) a disk index from a corpus DataFrame.
 
@@ -223,12 +248,18 @@ def build_index(
         if progress is not None
         else contextlib.nullcontext()
     )
-    with reporter:
-        return _build_stages(
-            spark, corpus, paths, index_dir, num_buckets, chunk_span,
-            block_size, bucket_groups, tokenizer, resume,
-            doc_id_partitions, postings_exchange,
-        )
+    try:
+        with reporter:
+            return _build_stages(
+                spark, corpus, paths, index_dir, num_buckets, chunk_span,
+                block_size, bucket_groups, tokenizer, resume,
+                doc_id_partitions, postings_exchange, max_files_per_bucket,
+            )
+    finally:
+        # ALWAYS detach the job group — a stage failure must not leave
+        # later unrelated jobs on this thread attributable to (and
+        # cancellable via) cancel_build
+        spark.sparkContext.setJobGroup("", "")
 
 
 def _build_stages(
@@ -244,6 +275,7 @@ def _build_stages(
     resume: bool,
     doc_id_partitions: Optional[int],
     postings_exchange: str = "fused",
+    max_files_per_bucket: int = DEFAULT_MAX_FILES_PER_BUCKET,
 ) -> BuildManifest:
     # Input-parallelism floor. A small-relative-to-cluster input (or a
     # coarse maxPartitionBytes) can leave the scan with ~1 split per
@@ -258,7 +290,16 @@ def _build_stages(
 
     fingerprint = corpus_fingerprint(corpus)
 
-    manifest = BuildManifest.load(index_dir, allow_partial=True) if resume else None
+    manifest = None
+    if resume:
+        try:
+            manifest = BuildManifest.load(index_dir, allow_partial=True)
+        except IndexFormatError:
+            # a partial/committed manifest from an incompatible layout
+            # version must never seed stage-skips (fingerprints don't
+            # encode the doc_id mapping) — fall through to a fresh
+            # build, which rmtree's the old layout below
+            manifest = None
     if manifest is None:
         if os.path.exists(index_dir):
             shutil.rmtree(index_dir)
@@ -467,6 +508,45 @@ def _build_stages(
             wall_s=time.time() - tg,
         )
 
+    # ------------------------------------- stage: postings file-fan-out bound
+    # The exchange above writes ≤1 file per (reduce task, bucket), so
+    # files-per-bucket grows as min(n_chunks, shuffle partitions) —
+    # fine at small scale, but on a 1000-executor build a bucket would
+    # collect thousands of small files and every query scan pays their
+    # open cost. Past the bound, rewrite each bucket into few large
+    # (term, chunk)-sorted files; the pass moves only encoded postings.
+    if not (resume and manifest.stage_done("postings-compact", fingerprint)):
+        tc = time.time()
+        fcounts = _postings_file_counts(paths.postings)
+        max_files = max(fcounts.values()) if fcounts else 0
+        compacted = False
+        if max_files > max_files_per_bucket:
+            tmp_dir = paths.postings + ".compact.tmp"
+            (
+                spark.read.parquet(paths.postings)
+                .repartition(num_buckets, "bucket")
+                .sortWithinPartitions("bucket", "term", "chunk")
+                .write.mode("overwrite")
+                .option("compression", "uncompressed")
+                .partitionBy("bucket")
+                .parquet(tmp_dir)
+            )
+            old_dir = paths.postings + ".precompact"
+            os.rename(paths.postings, old_dir)
+            os.rename(tmp_dir, paths.postings)
+            shutil.rmtree(old_dir)
+            fcounts = _postings_file_counts(paths.postings)
+            compacted = True
+        manifest.record_stage(
+            "postings-compact", fingerprint,
+            compacted=compacted,
+            files_total=sum(fcounts.values()),
+            files_per_bucket_max=max(fcounts.values()) if fcounts else 0,
+            n_bucket_dirs=len(fcounts),
+            bytes=dir_bytes(paths.postings),
+            wall_s=time.time() - tc,
+        )
+
     # --------------------------------------------------------- stage: terms
     if not (resume and manifest.stage_done("terms", fingerprint)):
         tt = time.time()
@@ -502,5 +582,4 @@ def _build_stages(
         )
 
     manifest.commit()
-    spark.sparkContext.setJobGroup("", "")  # stop attributing later jobs
     return manifest

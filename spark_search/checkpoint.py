@@ -17,7 +17,21 @@ from typing import Dict, Optional
 
 MANIFEST = "manifest.json"
 PARTIAL = "manifest.partial.json"
-FORMAT_VERSION = 1
+# On-disk layout version. History:
+#   1 — 1-based doc_id -> (chunk, pos) mapping in doclens/postings.
+#   2 — 0-based mapping (chunk = doc_id // span, pos = doc_id % span);
+#       any non-negative id space is valid. NOT readable as v1: doclens
+#       positions shift by one and the last doc of each chunk would
+#       index out of bounds, so readers and resume REFUSE other versions
+#       instead of mis-scoring silently.
+FORMAT_VERSION = 2
+
+
+class IndexFormatError(ValueError):
+    """Raised when an index/manifest on disk was written by a different
+    (incompatible) format version. The fix is a rebuild, never a
+    best-effort read: v1<->v2 differ in the doc_id->(chunk, pos)
+    mapping, which silently corrupts BM25 scores if mixed."""
 
 
 @dataclass
@@ -61,11 +75,25 @@ class BuildManifest:
 
     @staticmethod
     def load(index_dir: str, allow_partial: bool = False) -> Optional["BuildManifest"]:
+        """Load a committed (or, with ``allow_partial``, in-progress)
+        manifest. Raises :class:`IndexFormatError` when the on-disk
+        ``format_version`` differs from this code's FORMAT_VERSION —
+        stage fingerprints do not encode the doc_id mapping, so a
+        resumed v1 build would silently mix 1-based docs/doclens stages
+        with 0-based postings, and a v1 read mis-scores every doc."""
         for name in ([MANIFEST, PARTIAL] if allow_partial else [MANIFEST]):
             p = os.path.join(index_dir, name)
             if os.path.exists(p):
                 with open(p) as f:
                     d = json.load(f)
+                found = d.get("format_version")
+                if found != FORMAT_VERSION:
+                    raise IndexFormatError(
+                        f"{p} has format_version={found!r}, this engine "
+                        f"reads/writes {FORMAT_VERSION}; rebuild the index "
+                        "(v1 and v2 doc_id->(chunk, pos) mappings are "
+                        "incompatible — a best-effort read would mis-score)"
+                    )
                 m = BuildManifest(index_dir, d.get("config", {}),
                                   d.get("stats", {}), d.get("stages", {}))
                 return m

@@ -291,30 +291,33 @@ WHERE c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE >= {threshold}
 # ----------------------------------------------- exact n-gram Jaccard
 
 
-MAX_SHINGLE_DF = 256  # default hot-shingle cap (see ngram_jaccard_pairs)
+# RECOMMENDED hot-shingle cap for corpus-scale runs (opt-in; see
+# ngram_jaccard_pairs). The function named "jaccard" stays EXACT by
+# default — an API whose default silently drops pairs is a trap.
+MAX_SHINGLE_DF = 256
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = DEFAULT_N,
     threshold: float = 0.5,
-    max_shingle_df: int | None = MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — all-pairs Jaccard ≥ threshold via the
     shingle inverted index (pairs sharing zero shingles never
-    materialize).
+    materialize). EXACT by default.
 
-    ``max_shingle_df`` (default 256) drops shingles whose document
-    frequency exceeds the cap BEFORE the self-join. Without it a single
-    hot shingle ('import os'-class boilerplate) contributes O(df²)
-    candidate pairs — quadratic blowup at corpus scale. Semantics
-    delta: Jaccard is computed over the KEPT shingle sets (numerator
-    and denominator both exclude capped shingles), so the only pairs
-    that can differ from the uncapped exact answer are those glued
-    together mainly by ubiquitous boilerplate — exactly the pairs a
-    dedup pipeline should not merge on. Pass ``max_shingle_df=None``
-    for the uncapped exactness mode (the DuckDB oracle runs both modes
-    via the same parameter)."""
+    ``max_shingle_df`` (opt-in; pass ``MAX_SHINGLE_DF`` = 256 for the
+    recommended scale setting) drops shingles whose document frequency
+    exceeds the cap BEFORE the self-join. Without a cap a single hot
+    shingle ('import os'-class boilerplate) contributes O(df²)
+    candidate pairs — quadratic blowup at corpus scale, so ALWAYS cap
+    at 100 TB. Semantics delta when capped: Jaccard is computed over
+    the KEPT shingle sets (numerator and denominator both exclude
+    capped shingles), so the only pairs that can differ from the exact
+    answer are those glued together mainly by ubiquitous boilerplate —
+    exactly the pairs a dedup pipeline should not merge on. The DuckDB
+    oracle runs both modes via the same parameter."""
     sh = _shingle_rows(docs, n)
     if max_shingle_df is not None:
         keep = (
@@ -360,7 +363,7 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_pairs_sql(
     n: int = DEFAULT_N,
     threshold: float = 0.5,
-    max_shingle_df: int | None = MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> str:
     keep = (
         f"""

@@ -207,23 +207,50 @@ class LiveResults:
         index_dir: Optional[str] = None,
         on_event: Optional[Callable] = None,
         log: bool = True,
+        max_workers: int = 8,
     ) -> DataFrame:
         """Re-evaluate every registered query against the (new) index
         generation; emit and return the combined diff. Queries whose
         recorded generation already matches are skipped (refresh is
-        idempotent per generation)."""
+        idempotent per generation).
+
+        The re-evaluations run CONCURRENTLY over a driver thread pool
+        (``max_workers``; 1 = serial): Spark job submission is
+        thread-safe and the shared IndexReader's driver caches are
+        lock-guarded, so refresh wall time is ~max(query) + pool
+        overhead instead of Σ(query) — sublinear in the registered
+        count until the pool saturates (pinned by
+        tests/test_live.py). Diffing/state update stays serial and
+        deterministic: snapshots are joined back in registration order."""
         d = os.path.abspath(self._resolve_index(index_dir))
-        readers: Dict[str, IndexReader] = {}
+        pending = [
+            (name, q) for name, q in self._state.items()
+            if q["generation"] != d
+        ]
         all_rows: List[tuple] = []
-        for name, q in self._state.items():
-            if q["generation"] == d:
-                continue
-            reader = readers.setdefault(d, IndexReader(self.spark, d))
-            new = self._snapshot(reader, q["terms"], q["mode"], q["k"])
-            rows = _diff_rows(name, q["results"], new)
-            q["results"] = new
-            q["generation"] = d
-            all_rows.extend(rows)
+        if pending:
+            reader = IndexReader(self.spark, d)
+            # warm the one-time dictionary cache before fanning out so
+            # worker threads never serialize on its first-load lock
+            reader._ensure_dict()
+
+            def run(q: dict) -> List[dict]:
+                return self._snapshot(reader, q["terms"], q["mode"], q["k"])
+
+            if max_workers > 1 and len(pending) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(max_workers, len(pending))
+                ) as pool:
+                    snaps = list(pool.map(run, [q for _, q in pending]))
+            else:
+                snaps = [run(q) for _, q in pending]
+            for (name, q), new in zip(pending, snaps):
+                rows = _diff_rows(name, q["results"], new)
+                q["results"] = new
+                q["generation"] = d
+                all_rows.extend(rows)
         self._save()
         if on_event is not None:
             for r in all_rows:
@@ -245,5 +272,18 @@ class LiveResults:
         return diff
 
     def event_log(self) -> DataFrame:
-        """All diffs ever emitted (the S7 live-result sink analog)."""
-        return self.spark.read.parquet(os.path.join(self.state_dir, "log"))
+        """All diffs ever emitted (the S7 live-result sink analog).
+        Refreshes only create the log on a non-empty diff, so before
+        any diff has been emitted this returns an EMPTY frame with the
+        full log schema instead of raising path-not-found."""
+        log_dir = os.path.join(self.state_dir, "log")
+        if not os.path.isdir(log_dir):
+            schema = T.StructType(
+                DIFF_SCHEMA.fields
+                + [
+                    T.StructField("refresh_ts", T.LongType()),
+                    T.StructField("generation", T.StringType()),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(log_dir)

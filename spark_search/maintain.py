@@ -53,6 +53,31 @@ from .stats import CorpusStats
 DELETES_SUB = "deletes"
 SEGMENTS_SUB = "segments"
 
+# Tombstone lists up to this many ids are written as ONE parquet file
+# (queries broadcast the whole list; a single file is optimal while
+# |deletes| << |docs|). Past it, the write shards by doc_id range so
+# the union never funnels through one task — the reader is unchanged
+# (it reads the directory; query.py already gates broadcast-vs-join on
+# _DELS_CACHE_CAP).
+TOMBSTONE_SHARD_DOCS = 1 << 22  # ~4M ids ≈ 32 MB of int64
+
+
+def _write_tombstones(all_dels: DataFrame, dels_out: str, n_total: int) -> int:
+    """Write the merged tombstone list, sharding by doc_id range once
+    it outgrows a single task's comfortable share. Returns the shard
+    count (recorded in the manifest for observability)."""
+    shards = max(1, -(-n_total // TOMBSTONE_SHARD_DOCS))
+    if shards == 1:
+        all_dels.repartition(1).write.mode("overwrite").parquet(dels_out)
+    else:
+        (
+            all_dels.repartitionByRange(shards, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(dels_out)
+        )
+    return shards
+
 
 # ------------------------------------------------------------- helpers
 
@@ -162,24 +187,26 @@ def delete_docs(
 
     dels_out = os.path.join(os.path.abspath(out_dir), DELETES_SUB)
     all_dels = new_dels if old is None else old.union(new_dels).distinct()
-    # single-file tombstone list: optimal while |deletes| stays far
-    # below the doc count (queries broadcast it). If deletes ever reach
-    # ~10^8+, shard this write by chunk range instead — repartition(1)
-    # funnels the union through one task.
-    all_dels.repartition(1).write.mode("overwrite").parquet(dels_out)
+    n_old = int(m.config.get("n_tombstones") or 0)
+    if old is not None and "n_tombstones" not in m.config:
+        n_old = old.count()
+    n_tomb = n_old + n_new
+    shards = _write_tombstones(all_dels, dels_out, n_tomb)
 
     out = BuildManifest(out_dir)
     out.config = {
         **m.config,
         "segments": segs,
         "deletes_dir": dels_out,
+        "n_tombstones": n_tomb,
     }
     out.stats = CorpusStats.combine(
         stats.n_docs - n_new, stats.total_dl - removed_dl
     ).to_dict()
     out.record_stage(
         "delete", fingerprint=f"dels+{n_new}", n_deleted=n_new,
-        removed_dl=removed_dl, wall_s=time.time() - t0,
+        removed_dl=removed_dl, tombstone_shards=shards,
+        wall_s=time.time() - t0,
     )
     out.commit()
     return out
@@ -248,11 +275,11 @@ def upsert_docs(
     all_dels = (
         replaced if old_dels is None else old_dels.union(replaced).distinct()
     )
-    # single-file tombstone list: optimal while |deletes| stays far
-    # below the doc count (queries broadcast it). If deletes ever reach
-    # ~10^8+, shard this write by chunk range instead — repartition(1)
-    # funnels the union through one task.
-    all_dels.repartition(1).write.mode("overwrite").parquet(dels_out)
+    n_old = int(cfg.get("n_tombstones") or 0)
+    if old_dels is not None and "n_tombstones" not in cfg:
+        n_old = old_dels.count()
+    n_tomb = n_old + n_replaced
+    shards = _write_tombstones(all_dels, dels_out, n_tomb)
 
     stats = _exact_stats(m, spark, segs)
     out = BuildManifest(out_dir)
@@ -260,6 +287,7 @@ def upsert_docs(
         **cfg,
         "segments": segs + [seg_dir],
         "deletes_dir": dels_out,
+        "n_tombstones": n_tomb,
     }
     out.stats = CorpusStats.combine(
         stats.n_docs - n_replaced + seg_stats.n_docs,
@@ -270,6 +298,7 @@ def upsert_docs(
         fingerprint=f"seg-{len(segs)}",
         n_new=seg_stats.n_docs,
         n_replaced=n_replaced,
+        tombstone_shards=shards,
         wall_s=time.time() - t0,
     )
     out.commit()
@@ -761,7 +790,7 @@ def compact(
     out.config = {
         k: v
         for k, v in cfg.items()
-        if k not in ("segments", "deletes_dir")
+        if k not in ("segments", "deletes_dir", "n_tombstones")
     }
     out.stats = CorpusStats.combine(
         int(row["n"]), int(row["t"] or 0)

@@ -41,9 +41,20 @@ AND_MATCH = "AND_MATCH"  # conjunctive extension (north-star intersection)
 
 def _floor(df: DataFrame) -> DataFrame:
     """Parallelism floor for scan+tokenize stages: a small corpus read
-    from one parquet file arrives as ONE split and serializes the whole
-    map stage on a single core. No-op at scale (scans carry >= cores
-    splits); only ever touches small inputs."""
+    from one parquet file arrives as ONE split (parquet splits at row
+    groups) and serializes the whole map stage on a single core.
+
+    Applied ONCE per query entry (``bm25_topk``), never inside the leaf
+    transforms — a per-transform floor re-shuffles full document
+    content up to twice per query (measured 2.2x latency on the
+    declarative path at sf0.1). Cached inputs are returned untouched:
+    the cache's partition layout is authoritative, and repartitioning
+    would shuffle the hot data on every query — callers who cache
+    should floor BEFORE caching (``df.repartition(parallelism).cache()``)
+    so every downstream query inherits the parallelism for free.
+    No-op at scale (scans carry >= cores splits)."""
+    if df.is_cached:
+        return df
     parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parts:
         return df.repartition(parts)
@@ -52,8 +63,9 @@ def _floor(df: DataFrame) -> DataFrame:
 
 def tokens(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
     """(doc_id, term) — one row per token occurrence. Pure JVM
-    split+explode; Catalyst prunes ``content`` right after."""
-    return _floor(corpus).select(
+    split+explode; Catalyst prunes ``content`` right after. Pure
+    projection: no repartition here (see ``_floor``)."""
+    return corpus.select(
         "doc_id", F.explode(tokens_col(F.col("content"), tokenizer)).alias("term")
     )
 
@@ -69,8 +81,9 @@ def term_doc_tf(tok: DataFrame) -> DataFrame:
 
 def doc_lengths(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
     """(doc_id, dl). Computed as size(tokenize(content)) without an
-    explode — no shuffle, reads each row once."""
-    return _floor(corpus).select(
+    explode — no shuffle, reads each row once. Pure projection: no
+    repartition here (see ``_floor``)."""
+    return corpus.select(
         "doc_id", F.size(tokens_col(F.col("content"), tokenizer)).alias("dl")
     )
 
@@ -138,6 +151,11 @@ def bm25_topk(
             .withColumn("rank", F.lit(0))
         )
 
+    # parallelism floor ONCE per query; tokens() and doc_lengths() both
+    # derive from the same (possibly repartitioned) frame, so the
+    # declarative path pays at most one small-input shuffle per query
+    # and zero for cached/at-scale corpora.
+    corpus = _floor(corpus)
     tok = tokens(corpus, tokenizer)
     # Filter at the token level first: for EXACT/OR modes Catalyst pushes
     # this into the scan side of the agg, so the tf aggregation only ever

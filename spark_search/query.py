@@ -33,6 +33,7 @@ from __future__ import annotations
 import bisect
 import math
 import os
+import threading
 from collections import OrderedDict
 from contextlib import contextmanager
 from typing import Dict, Iterable, List, Optional, Tuple
@@ -240,7 +241,12 @@ class IndexReader:
             os.path.abspath(p) for p in cfg.get("segments", [index_dir])
         ]
         self.deletes_dir: Optional[str] = cfg.get("deletes_dir")
-        # lazy driver-side caches (see the _*_CACHE_* gates above)
+        # lazy driver-side caches (see the _*_CACHE_* gates above).
+        # The RLock serializes cache population/LRU mutation so ONE
+        # reader can serve concurrent searches from multiple driver
+        # threads (LiveResults.refresh fans out over a thread pool;
+        # Spark job submission itself is already thread-safe).
+        self._cache_lock = threading.RLock()
         self._df_cache: Dict[str, DataFrame] = {}
         self._dict: Optional[Dict[str, List[int]]] = None
         self._dict_terms: Optional[List[str]] = None
@@ -256,18 +262,19 @@ class IndexReader:
         # must run per segment root, not across them. Memoized — the
         # files of an open snapshot are immutable, and re-listing +
         # re-inferring the schema per query is pure per-query overhead.
-        cached = self._df_cache.get(sub)
-        if cached is not None:
-            return cached
-        dfs = [
-            self.spark.read.parquet(os.path.join(s, sub))
-            for s in self.segments
-        ]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        self._df_cache[sub] = out
-        return out
+        with self._cache_lock:
+            cached = self._df_cache.get(sub)
+            if cached is not None:
+                return cached
+            dfs = [
+                self.spark.read.parquet(os.path.join(s, sub))
+                for s in self.segments
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            self._df_cache[sub] = out
+            return out
 
     def terms_df(self) -> DataFrame:
         return self._multi("terms")
@@ -344,6 +351,10 @@ class IndexReader:
         gate. One job on first use; every later exact/prefix expansion
         costs zero jobs. Returns None when the vocabulary exceeds the
         cap (corpus-scale indexes keep the distributed dictionary path)."""
+        with self._cache_lock:
+            return self._ensure_dict_locked()
+
+    def _ensure_dict_locked(self) -> Optional[Dict[str, List[int]]]:
         if self._dict_state == 0:
             t = self.terms_df()
             # manifest-recorded vocab size (sum across segments when
@@ -402,28 +413,35 @@ class IndexReader:
     def _doclens_for(self, chunks: List[int]) -> Dict[int, np.ndarray]:
         """chunk -> float64 dl array, LRU-cached (bounded driver memory;
         chunks are disjoint across segments by construction)."""
-        cache = self._doclens_cache
-        missing = [c for c in chunks if c not in cache]
-        if missing:
-            for r in (
-                self.doclens_df().where(F.col("chunk").isin(missing)).collect()
-            ):
-                cache[int(r["chunk"])] = np.frombuffer(
-                    r["dls"], dtype=np.int32
-                ).astype(np.float64)
-            while len(cache) > _DOCLENS_CACHE_CHUNKS:
-                cache.popitem(last=False)
-        out = {}
-        for c in chunks:
-            if c in cache:
-                cache.move_to_end(c)
-                out[c] = cache[c]
-        return out
+        with self._cache_lock:
+            cache = self._doclens_cache
+            missing = [c for c in chunks if c not in cache]
+            if missing:
+                for r in (
+                    self.doclens_df()
+                    .where(F.col("chunk").isin(missing))
+                    .collect()
+                ):
+                    cache[int(r["chunk"])] = np.frombuffer(
+                        r["dls"], dtype=np.int32
+                    ).astype(np.float64)
+                while len(cache) > _DOCLENS_CACHE_CHUNKS:
+                    cache.popitem(last=False)
+            out = {}
+            for c in chunks:
+                if c in cache:
+                    cache.move_to_end(c)
+                    out[c] = cache[c]
+            return out
 
     def _dels_cached(self) -> Optional[Dict[int, np.ndarray]]:
         """chunk -> sorted tombstoned doc_ids, cached iff bounded; {} if
         the index has no deletes; None when too many to cache (callers
         fall back to the distributed join)."""
+        with self._cache_lock:
+            return self._dels_cached_locked()
+
+    def _dels_cached_locked(self) -> Optional[Dict[int, np.ndarray]]:
         if self._dels_arrays_state == 0:
             if not self.deletes_dir:
                 self._dels_arrays_state = 1

@@ -90,25 +90,53 @@ def _referenced_roots(gen_dir: str) -> set:
     return refs
 
 
-def gc_generations(index_root: str) -> list:
+def gc_generations(index_root: str, keep_last: int = 1) -> list:
     """Delete superseded ``gen-*`` directories that no path referenced
-    by the CURRENT generation lives under. Safe at any time: segment
-    sharing is by absolute path, so a gen dir is only removed when the
-    live manifest references nothing inside it. Returns removed dirs."""
+    by the CURRENT generation lives under. Segment sharing is by
+    absolute path, so a gen dir is only considered when the live
+    manifest references nothing inside it.
+
+    Concurrency contract: deleting a superseded generation is NOT safe
+    for a reader still mid-query on it — snapshot isolation only
+    guarantees that committed generations are never mutated, not that
+    they outlive their supersession. ``keep_last`` (default 1) retains
+    the N most recently superseded unreferenced generations as a grace
+    window, so any reader that opened a generation while it was CURRENT
+    survives at least one subsequent pointer swap. Set ``keep_last=0``
+    only when no concurrent readers exist (single-process tests,
+    offline rebuilds). Returns removed dirs."""
     cur = current_index(index_root)
     if cur is None:
         return []
     refs = _referenced_roots(cur)
     root_abs = os.path.abspath(index_root)
-    removed = []
+
+    def referenced(d: str, by: set) -> bool:
+        d_pref = d + os.sep
+        return any(r == d or r.startswith(d_pref) for r in by)
+
+    candidates = []
     for name in sorted(os.listdir(root_abs)):
         if not name.startswith("gen-"):
             continue
         d = os.path.join(root_abs, name)
         if not os.path.isdir(d):
             continue
-        d_pref = d + os.sep
-        if any(r == d or r.startswith(d_pref) for r in refs):
+        if referenced(d, refs):
+            continue
+        candidates.append(d)
+    # grace window: the most recently superseded generations survive,
+    # INCLUDING their transitive segment/tombstone dependencies (a
+    # grace generation may share segments living in older gen dirs —
+    # keeping the dir but deleting its data would be no grace at all)
+    candidates.sort(key=os.path.getmtime)
+    grace = set(candidates[-keep_last:]) if keep_last > 0 else set()
+    protect = set(refs)
+    for g in grace:
+        protect |= _referenced_roots(g)
+    removed = []
+    for d in candidates:
+        if d in grace or referenced(d, protect):
             continue
         shutil.rmtree(d)
         removed.append(d)

@@ -139,15 +139,32 @@ def test_stream_lifecycle_bounds_segments_and_gcs_generations(spark, tmp_path):
     n_segs = len(m.config.get("segments", [cur]))
     assert n_segs <= max_segments
 
-    # GC kept only generation dirs the live manifest still references
-    gens = [d for d in os.listdir(root) if d.startswith("gen-")]
+    # GC keeps referenced dirs + a one-generation grace window (default
+    # keep_last=1: a reader mid-query on the just-superseded generation
+    # must survive the pointer swap — see gc_generations docstring)
     live = {os.path.abspath(p) for p in m.config.get("segments", [])}
     live.add(os.path.abspath(cur))
-    for g in gens:
-        gd = os.path.abspath(os.path.join(root, g))
-        assert any(r == gd or r.startswith(gd + os.sep) for r in live), (
-            f"unreferenced generation {g} survived GC"
-        )
+
+    def unreferenced():
+        out = []
+        for g in os.listdir(root):
+            if not g.startswith("gen-"):
+                continue
+            gd = os.path.abspath(os.path.join(root, g))
+            if not any(r == gd or r.startswith(gd + os.sep) for r in live):
+                out.append(gd)
+        return out
+
+    grace = unreferenced()
+    for gd in grace:  # grace generations must still be QUERYABLE
+        # snapshots (their segment dependencies survive with them)
+        assert len(_ids(IndexReader(spark, gd), ["mila"])) > 0
+
+    # keep_last=0 (no concurrent readers) removes every superseded dir
+    from spark_search.streaming import gc_generations
+
+    gc_generations(root, keep_last=0)
+    assert unreferenced() == []
 
     # correctness survived the compact/GC churn
     r = IndexReader(spark, cur)

@@ -13,6 +13,21 @@ Headline measurements (BASELINE.md §2):
 
 The ``value`` is total wall seconds for build + all queries (lower is
 better). Extra keys carry throughput detail for BENCH.md.
+
+Weather-proofing (BASELINE.md §4.27): this sandbox has host episodes
+where first-touch page faults drop 20-100x (invisible to steal%) and
+co-tenant CPU contention that halves deliverable parallel throughput.
+A run recorded during either measures the episode, not the engine, so
+the harness
+  1. GATES the launch on the same capacity + fresh-mmap fault-rate
+     probes as bench_scaling_gated.py (bounded wait, then proceed with
+     the readings recorded),
+  2. stamps a fault-rate probe around EVERY section (build, queries,
+     training ops) so each number is individually attributable, and
+  3. RETRIES the whole measurement (same warm JVM) up to
+     $SPARK_GRAFT_BENCH_RETRIES times when a bracketing probe shows an
+     episode hit mid-run. The printed JSON self-describes which attempt
+     it is and every probe reading.
 """
 
 from __future__ import annotations
@@ -26,52 +41,66 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# launch gate: only start in a clearly-normal window (>700 is the
+# normal mode)
+FAULT_LAUNCH_MBPS = 500.0
+# mid-run attribution bar: the pathological mode is <100 MB/s; readings
+# between the modes (measured ~150-180) do not slow Spark measurably
+# (it recycles pages), so only a sub-120 reading marks a section dirty
+FAULT_OK_MBPS = 120.0
+CAPACITY_OK = 0.90
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
 
-    fault_mbps_before = None
+def _probes() -> dict:
+    """Instantaneous machine health: deliverable parallel CPU + fresh
+    first-touch fault bandwidth. ~2 s total."""
+    try:
+        from bench_scaling_gated import capacity_ratio, fault_rate_mbps
+
+        return {
+            "capacity": round(capacity_ratio(), 3),
+            "fault_mbps": round(fault_rate_mbps()),
+        }
+    except Exception:
+        return {}
+
+
+def _healthy(p: dict) -> bool:
+    if not p:
+        return True  # probes unavailable: nothing to gate on
+    return (
+        p.get("fault_mbps", FAULT_LAUNCH_MBPS) >= FAULT_LAUNCH_MBPS
+        and p.get("capacity", CAPACITY_OK) >= CAPACITY_OK
+    )
+
+
+def _gate(max_wait_s: float) -> dict:
+    """Wait (bounded) for a quiet window; return the last readings."""
+    t0 = time.time()
+    while True:
+        p = _probes()
+        if _healthy(p) or time.time() - t0 > max_wait_s:
+            if not _healthy(p):
+                p["gate_timeout"] = True
+            return p
+        time.sleep(15)
+
+
+def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
+    """One full measurement pass: build + queries + training ops, with
+    a fault probe stamped around every section."""
+    from spark_search import pipeline as P
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
     try:
         from bench_scaling_gated import fault_rate_mbps
 
-        fault_mbps_before = round(fault_rate_mbps())
+        probe = lambda: round(fault_rate_mbps())  # noqa: E731
     except Exception:
-        pass
+        probe = lambda: None  # noqa: E731
 
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("spark_search_bench")
-        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    from spark_search import pipeline as P
-    from spark_search.build import build_index
-    from spark_search.corpus import load_sf_documents
-    from spark_search.query import IndexReader
-
-    # floor parallelism ONCE, before the cache: the sf parquet arrives
-    # as ~1 split, and pipeline._floor intentionally never repartitions
-    # a cached frame (the cache layout is authoritative) — so bake the
-    # layout in here and every downstream build/query inherits it free.
-    corpus = load_sf_documents(spark, sf_dir).repartition(cpus).cache()
-    n_files = corpus.count()
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_num = float(sf)
-    except ValueError:
-        sf_num = -1.0
-
+    section_probes: dict[str, object] = {"start": probe()}
     queries: dict[str, float] = {}
     timings: dict[str, float] = {}
 
@@ -81,6 +110,7 @@ def main() -> None:
     build_index(spark, corpus, index_dir)
     build_s = time.time() - t0
     timings["index_build"] = round(build_s, 3)
+    section_probes["after_build"] = probe()
 
     reader = IndexReader(spark, index_dir)
 
@@ -108,6 +138,7 @@ def main() -> None:
     tq = time.time()
     P.bm25_topk(corpus, ["data", "join", "merge"], P.WITH_SUGGESTIONS, k=10).collect()
     queries["q_or3_declarative"] = round(time.time() - tq, 3)
+    section_probes["after_queries"] = probe()
 
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
@@ -116,50 +147,118 @@ def main() -> None:
     from spark_search import similarity as SIM
     from spark_search import textops as TX
 
-    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    sf_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-    docs_raw.count(), emb_raw.count()
+    sf_docs.count(), emb_raw.count()
     ops: dict[str, float] = {}
     for name, fn in [
-        ("dedup_minhash_lsh", lambda: DD.minhash_near_dup(docs_raw).count()),
-        ("dedup_simhash_pairs", lambda: DD.simhash_near_dup(docs_raw).count()),
+        ("dedup_minhash_lsh", lambda: DD.minhash_near_dup(sf_docs).count()),
+        ("dedup_simhash_pairs", lambda: DD.simhash_near_dup(sf_docs).count()),
         ("dedup_embedding_ann", lambda: DD.embedding_near_dup_ann(emb_raw).count()),
-        ("text_quality", lambda: TX.quality_scores(docs_raw).count()),
+        ("text_quality", lambda: TX.quality_scores(sf_docs).count()),
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
-        ("media_features", lambda: MM.media_features_summary(docs_raw).count()),
+        ("media_features", lambda: MM.media_features_summary(sf_docs).count()),
     ]:
         fn()  # warm codegen/JIT once, like the search queries
         tq = time.time()
         fn()
         ops[name] = round(time.time() - tq, 3)
+    sf_docs.unpersist()
+    emb_raw.unpersist()
+    section_probes["after_ops"] = probe()
 
+    shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
     total = build_s + sum(queries.values())
-    out = {
-        "metric": "index_build_plus_bm25_topk_total_sec",
+    return {
         "value": round(total, 3),
-        "unit": "sec",
         "queries": queries,
-        "sf": sf_num,
         "n_files": n_files,
         "build_sec": round(build_s, 3),
         "build_files_per_sec": round(n_files / build_s, 1) if build_s else None,
-        "cpus": cpus,
         "timings": timings,
         "training_ops": ops,
+        "section_fault_mbps": section_probes,
     }
-    # self-describing weather: this sandbox has host episodes where
-    # first-touch page faults drop 20-100x (BASELINE.md §4.27); a run
-    # recorded during one measures the episode, not the engine. The
-    # fresh-mmap fault-rate probe (normal >700 MB/s, episode <100)
-    # stamps each result so slow numbers are attributable.
-    try:
-        from bench_scaling_gated import fault_rate_mbps
 
-        out["fault_mbps_before"] = fault_mbps_before
-        out["fault_mbps_after"] = round(fault_rate_mbps())
-    except Exception:
-        pass
-    shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
+
+def _attempt_clean(out: dict) -> bool:
+    """True when no bracketing probe caught an episode: the build and
+    query sections are attributable to the engine."""
+    sp = out.get("section_fault_mbps") or {}
+    vals = [v for v in sp.values() if isinstance(v, (int, float))]
+    return all(v >= FAULT_OK_MBPS for v in vals) if vals else True
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_GATE_WAIT", "600"))
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+
+    gate = _gate(gate_wait)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark_search_bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_search.corpus import load_sf_documents
+
+    # floor parallelism ONCE, before the cache: the sf parquet arrives
+    # as ~1 split, and pipeline._floor intentionally never repartitions
+    # a cached frame (the cache layout is authoritative) — so bake the
+    # layout in here and every downstream build/query inherits it free.
+    corpus = load_sf_documents(spark, sf_dir).repartition(cpus).cache()
+    n_files = corpus.count()
+
+    # steady-state warmup ONCE before the timed attempts: a build on a
+    # 10% slice spins up Python workers and carries the JVM through the
+    # bulk of JIT compilation, so attempt 1 measures the engine the
+    # same way a retry (warm JVM) would — comparable across rounds and
+    # across attempts (same protocol as bench_scaling.py's children)
+    from pyspark.sql import functions as F
+    from spark_search.build import build_index as _bi
+
+    warm_dir = os.path.join(tempfile.mkdtemp(prefix="bench_idx_warm_"), "idx")
+    _bi(spark, corpus.where(F.col("doc_id") % 10 == 0), warm_dir)
+    shutil.rmtree(os.path.dirname(warm_dir), ignore_errors=True)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = -1.0
+
+    attempts = 0
+    while True:
+        attempts += 1
+        res = _measure(spark, corpus, n_files, sf_dir)
+        if _attempt_clean(res) or attempts > retries:
+            break
+        # an episode hit mid-run: wait for quiet and re-measure (the
+        # JVM stays warm, so the retry measures steady state)
+        gate = _gate(gate_wait)
+
+    out = {
+        "metric": "index_build_plus_bm25_topk_total_sec",
+        "unit": "sec",
+        "sf": sf_num,
+        "cpus": cpus,
+        **res,
+        "launch_gate": gate,
+        "attempts": attempts,
+        "weather_clean": _attempt_clean(res),
+    }
     spark.stop()
     print(json.dumps(out))
 

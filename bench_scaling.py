@@ -124,6 +124,37 @@ def _scratch_base(need_bytes: int = 0) -> str:
     return tempfile.gettempdir()
 
 
+# child-owned scratch prefixes ONLY — never the caller-provided corpus
+# (bench_scaling_gated.py sweeps too, and must not eat its --corpus)
+_SCRATCH_PREFIXES = ("spark_local_", "warm", "scalidx", "bench_idx_")
+
+
+def sweep_scratch(prefixes: tuple = _SCRATCH_PREFIXES) -> list:
+    """Remove leftover scratch dirs from crashed/killed children in
+    both scratch roots (/dev/shm and $TMPDIR). A SIGKILL'd child never
+    runs its atexit/finally cleanup, and RAM-backed residue silently
+    shrinks the tmpfs headroom every later launch depends on — so the
+    PARENT sweeps after its launch loop, success or not. Only dirs
+    matching this harness's own prefixes are touched."""
+    removed = []
+    roots = {tempfile.gettempdir(), "/dev/shm"}
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        try:
+            names = os.listdir(root)
+        except OSError:
+            continue
+        for name in names:
+            if not any(name.startswith(p) for p in prefixes):
+                continue
+            d = os.path.join(root, name)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+    return removed
+
+
 def _steal_sample() -> tuple:
     """(steal_jiffies, total_jiffies) from /proc/stat — deltas between
     two samples give the %CPU stolen by co-tenants during a launch."""
@@ -273,7 +304,7 @@ def child(cpus: int, reps: int, corpus_dir: str,
             shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
         index_dir = os.path.join(
             tempfile.mkdtemp(
-                prefix=f"scal{cpus}_", dir=_scratch_base(2 * corpus_bytes)
+                prefix=f"scalidx{cpus}_", dir=_scratch_base(2 * corpus_bytes)
             ), "idx"
         )
         # own process tree: this python, the py4j JVM, pyspark daemons
@@ -409,8 +440,10 @@ def main() -> None:
             for cpus in cpus_pair:
                 launches[cpus].append(_launch(cpus))
     finally:
-        # RAM-backed corpus must never outlive the run, success or not
+        # RAM-backed corpus must never outlive the run, success or not;
+        # sweep whatever a killed child left behind too
         shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
+        sweep_scratch()
 
     def _median(xs):
         xs = sorted(xs)

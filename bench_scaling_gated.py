@@ -142,19 +142,31 @@ def main() -> None:
     if not corpus or not os.path.isdir(corpus):
         raise SystemExit("--corpus DIR (existing parquet corpus) required")
 
+    from bench_scaling import sweep_scratch
+
     launches = {c: [] for c in cpus_pair}
     hi = max(cpus_pair)
-    for _ in range(n_launches):
-        for cpus in cpus_pair:
-            g = wait_for_quiet(gate, max_wait, workers=hi)
-            res = launch(cpus, reps, corpus, exchange)
-            res["gate"] = g
-            res["gate_capacity"] = g["capacity"]
-            # an episode can begin mid-launch: re-sample after, so a
-            # launch bracketed by two good readings is trustworthy
-            res["fault_mbps_after"] = round(fault_rate_mbps())
-            print("LAUNCH " + json.dumps(res), flush=True)
-            launches[cpus].append(res)
+    try:
+        for _ in range(n_launches):
+            for cpus in cpus_pair:
+                g = wait_for_quiet(gate, max_wait, workers=hi)
+                res = launch(cpus, reps, corpus, exchange)
+                res["gate"] = g
+                res["gate_capacity"] = g["capacity"]
+                # an episode can begin mid-launch: re-sample after, so a
+                # launch bracketed by two good readings is trustworthy
+                res["fault_mbps_after"] = round(fault_rate_mbps())
+                print("LAUNCH " + json.dumps(res), flush=True)
+                launches[cpus].append(res)
+    finally:
+        # a killed/crashed child can't clean its RAM-backed scratch;
+        # the sweep touches only child-owned prefixes, never --corpus
+        sweep_scratch()
+
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
 
     results = {}
     for cpus in cpus_pair:
@@ -162,6 +174,12 @@ def main() -> None:
         best = min(runs, key=lambda r: r["build_sec"])
         best["launch_build_secs"] = [r["build_sec"] for r in runs]
         best["launch_gate_capacities"] = [r["gate_capacity"] for r in runs]
+        best["build_sec_median"] = round(
+            _median([r["build_sec"] for r in runs]), 3
+        )
+        best["files_per_sec_median"] = round(
+            best["n_files"] / best["build_sec_median"], 1
+        )
         assert len({r["content_hash"] for r in runs}) == 1
         results[cpus] = best
 
@@ -169,6 +187,9 @@ def main() -> None:
     ratio = hi / lo
     eff = results[hi]["files_per_sec"] / (
         ratio * results[lo]["files_per_sec"]
+    )
+    eff_median = results[hi]["files_per_sec_median"] / (
+        ratio * results[lo]["files_per_sec_median"]
     )
     print(json.dumps({
         "n_files": results[lo]["n_files"],
@@ -178,9 +199,12 @@ def main() -> None:
         f"local{hi}_build_sec": results[hi]["build_sec"],
         f"local{lo}_files_per_sec": results[lo]["files_per_sec"],
         f"local{hi}_files_per_sec": results[hi]["files_per_sec"],
+        f"local{lo}_build_secs_all": results[lo]["launch_build_secs"],
+        f"local{hi}_build_secs_all": results[hi]["launch_build_secs"],
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_basis":
             "best-of-launches, capacity-gated windows",
+        "scaling_efficiency_median": round(eff_median, 3),
         "gate": gate,
         "deterministic_index": (
             results[lo]["content_hash"] == results[hi]["content_hash"]

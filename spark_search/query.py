@@ -215,10 +215,18 @@ def _rows_literal_df(spark: SparkSession, rows, fields) -> DataFrame:
 class IndexReader:
     """Open a committed index directory for querying.
 
-    The analog of the reference's snapshot load
-    (reference SearchEngineInitializer.java:116-131) — refuses to open
-    an uncommitted (partial) index, giving snapshot isolation against
-    concurrent builds.
+    The analog of the reference's snapshot load (reference
+    SearchEngineInitializer.java:116-131) — with an INTENTIONAL delta
+    in the failure case: the reference starts EMPTY when any snapshot
+    file fails to load and silently reindexes (fine for a desktop app
+    watching one folder); this reader RAISES on an uncommitted
+    (FileNotFoundError) or version-mismatched (IndexFormatError) index
+    instead. At cluster scale a silently-empty index is
+    indistinguishable from total data loss to every client and hides
+    the storage fault; the atomic manifest-rename commit makes
+    "manifest present" equivalent to "index complete", so refusing is
+    the snapshot-isolation-correct translation of the reference's
+    recovery intent (see README).
     """
 
     def __init__(self, spark: SparkSession, index_dir: str):

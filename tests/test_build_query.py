@@ -336,3 +336,45 @@ def test_custom_tokenizer_registry(spark, tmp_path):
     assert got == [1, 2]
     assert [x["doc_id"] for x in r.search(["z"], P.EXACT_MATCH, 10).collect()] \
         == [1]
+
+
+def test_postings_fanout_compaction(spark, synth, synth_index, tmp_path):
+    """With the files-per-bucket bound forced low, the build's
+    compaction stage must rewrite each bucket into few files while
+    preserving the logical index exactly (same postings sets, same
+    search results)."""
+    d2 = str(tmp_path / "fanout_index")
+    m = build_index(spark, synth, d2, num_buckets=8, chunk_span=64,
+                    block_size=16, max_files_per_bucket=1)
+    rec = m.stages["postings-compact"]
+    assert rec["compacted"] is True
+    assert rec["files_per_bucket_max"] <= 1
+    # one file per bucket dir on disk
+    import glob
+
+    for bdir in glob.glob(os.path.join(d2, "postings", "bucket=*")):
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (bdir, files)
+
+    r2 = IndexReader(spark, d2)
+
+    def logical(reader):
+        out = set()
+        for row in reader.postings_df().collect():
+            for blk in row["blocks"]:
+                ids, tfs = decode_block(
+                    blk["first_doc"], bytes(blk["deltas"]), bytes(blk["tfs"])
+                )
+                for i, t in zip(ids.tolist(), tfs.tolist()):
+                    out.add((row["term"], i, t))
+        return out
+
+    assert logical(r2) == logical(synth_index)
+    for terms, mode in [
+        (["import"], P.EXACT_MATCH),
+        (["import", "return", "def"], P.WITH_SUGGESTIONS),
+    ]:
+        a = [(r.doc_id, r.rank) for r in
+             synth_index.search(terms, mode, k=10).collect()]
+        b = [(r.doc_id, r.rank) for r in r2.search(terms, mode, k=10).collect()]
+        assert a == b

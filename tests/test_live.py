@@ -164,3 +164,66 @@ def test_live_streaming_integration(spark, base_index, tmp_path):
     assert log.where(F.col("event") == ADD).count() == 1
     # snapshot tracked the streamed generation
     assert len(live.results("mila").collect()) == 3
+
+
+def test_event_log_empty_before_any_diff(spark, tmp_path):
+    """event_log before any refresh (or after no-op refreshes) returns
+    an empty frame with the full log schema instead of raising."""
+    from spark_search.live import LiveResults
+
+    lv = LiveResults(spark, str(tmp_path / "live_empty"))
+    log = lv.event_log()
+    assert log.count() == 0
+    assert {"query", "event", "doc_id", "refresh_ts", "generation"} <= set(
+        log.columns
+    )
+
+
+def test_refresh_concurrency_sublinear(spark, base_index, tmp_path, monkeypatch):
+    """Refresh wall must be ~max(query), not Σ(query): with 20
+    registered queries whose evaluation is stubbed to a fixed delay,
+    the pooled refresh (8 workers) must beat the serial baseline by
+    well over the flake margin, and both must produce identical
+    diffs/state."""
+    import time as _t
+
+    from spark_search import live as live_mod
+    from spark_search.live import LiveResults
+    from spark_search.maintain import delete_docs
+
+    gen2 = str(tmp_path / "gen2")
+    delete_docs(spark, base_index, gen2, [4])
+
+    def make(state_sub):
+        lv = LiveResults(spark, str(tmp_path / state_sub))
+        for i in range(20):
+            lv.register(f"q{i}", ["mila"], k=10, index_dir=base_index)
+        return lv
+
+    lv_serial = make("live_serial")
+    lv_pool = make("live_pool")
+
+    delay = 0.15
+    real_snapshot = LiveResults._snapshot
+
+    def slow_snapshot(self, reader, terms, mode, k):
+        _t.sleep(delay)
+        return real_snapshot(self, reader, terms, mode, k)
+
+    # patch AFTER registration so only the refresh path pays the delay
+    monkeypatch.setattr(live_mod.LiveResults, "_snapshot", slow_snapshot)
+
+    t0 = _t.time()
+    diff_serial = lv_serial.refresh(index_dir=gen2, max_workers=1).collect()
+    serial_wall = _t.time() - t0
+
+    t0 = _t.time()
+    diff_pool = lv_pool.refresh(index_dir=gen2, max_workers=8).collect()
+    pool_wall = _t.time() - t0
+
+    key = lambda r: (r["query"], r["event"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, diff_pool)) == sorted(map(key, diff_serial))
+    assert len(diff_pool) > 0  # doc 4 was tombstoned: REMOVEs must appear
+    # 20 x 0.15 s = 3 s of injected delay serial vs ~0.45 s pooled;
+    # require 2x to stay far from both the flake floor and Spark jitter
+    assert pool_wall < serial_wall / 2, (pool_wall, serial_wall)

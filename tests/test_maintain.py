@@ -274,3 +274,62 @@ def test_delete_term_postings_drops_empty_term(spark, base_index, tmp_path):
     r1 = IndexReader(spark, d1)
     assert _ids(r1, ["surfeits"]) == []
     assert r1.match_terms(["surfeits"], P.EXACT_MATCH) == []
+
+
+def test_tombstone_sharding_past_threshold(spark, base_index, tmp_path, monkeypatch):
+    """Past TOMBSTONE_SHARD_DOCS the tombstone write shards by doc_id
+    range (no single-task funnel); the reader is unchanged and queries
+    stay exact."""
+    import glob
+
+    from spark_search import maintain as maint_mod
+
+    d0, corpus = base_index
+    monkeypatch.setattr(maint_mod, "TOMBSTONE_SHARD_DOCS", 2)
+
+    out = str(tmp_path / "sharded_del")
+    m = delete_docs(spark, d0, out, [1, 2, 4])  # 3 > shard size 2
+    assert m.stages["delete"]["tombstone_shards"] >= 2
+    assert m.config["n_tombstones"] == 3
+    files = glob.glob(os.path.join(out, "deletes", "*.parquet"))
+    assert len(files) >= 2, files
+
+    r = IndexReader(spark, out)
+    # docs 1, 2, 4 tombstoned; 'mila' lived in docs 3 and 4 -> only 3
+    assert _ids(r, ["mila"]) == [3]
+    # chained delete accumulates the count
+    out2 = str(tmp_path / "sharded_del2")
+    m2 = delete_docs(spark, out, out2, [3])
+    assert m2.config["n_tombstones"] == 4
+    assert _ids(IndexReader(spark, out2), ["mila"]) == []
+
+
+def test_reader_refuses_other_format_version(spark, base_index, tmp_path):
+    """A manifest written by a different on-disk layout version must be
+    refused by readers AND by build resume (the v1<->v2 doc_id mapping
+    difference silently mis-scores if mixed)."""
+    import json
+    import shutil
+
+    from spark_search.checkpoint import FORMAT_VERSION, IndexFormatError
+
+    d0, corpus = base_index
+    old = str(tmp_path / "old_fmt")
+    shutil.copytree(d0, old)
+    mp = os.path.join(old, "manifest.json")
+    with open(mp) as f:
+        doc = json.load(f)
+    doc["format_version"] = FORMAT_VERSION - 1
+    with open(mp, "w") as f:
+        json.dump(doc, f)
+
+    with pytest.raises(IndexFormatError):
+        IndexReader(spark, old)
+
+    # resume over an incompatible partial must NOT skip stages: it
+    # falls back to a fresh (correct) build
+    os.replace(mp, os.path.join(old, "manifest.partial.json"))
+    m = build_index(spark, corpus, old, num_buckets=4, chunk_span=8,
+                    resume=True)
+    assert m.stages["docs"]["fingerprint"].startswith("n=4")
+    assert _ids(IndexReader(spark, old), ["mila"]) == [3, 4]

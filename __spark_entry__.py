@@ -134,6 +134,91 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+# Suggestion expansion (Q3 WITH_SUGGESTIONS in-engine): same-length
+# dictionary terms within MAX_DIST substitutions of the query term —
+# the deterministic analog of the reference's Hunspell expansion
+# (app/.../listener/SearchActionListener.java:44-48). max_dist=2 so
+# the driver corpus expands non-trivially ('part' -> {part, fast, sort}).
+TERMS_SUGGEST = ["part"]
+SUGGEST_MAX_DIST = 2
+
+
+def _bm25_suggest_oracle(terms, max_dist, k=10) -> str:
+    uniq = list(dict.fromkeys(terms))
+    conds = " OR ".join(
+        f"(length(term) = {len(q)} AND levenshtein(term, '{q}') <= {max_dist})"
+        for q in uniq
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+vocab AS (SELECT DISTINCT term FROM toks),
+sugg AS (SELECT term FROM vocab WHERE {conds}),
+mtoks AS (SELECT * FROM toks WHERE term IN (SELECT term FROM sugg)),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# Exact-phrase query: adjacency verified from content at query time
+# (the index stores no positions — faithful to the reference, whose
+# tree is doc-level only; reference SimpleSearchManager.java:187-214
+# re-scans matched files). 'table hash' occurs 48 times in 46 docs at
+# sf0.01.
+PHRASE = ["table", "hash"]
+
+
+def _bm25_phrase_oracle(phrase, k=10) -> str:
+    joins = "\n        ".join(
+        f"JOIN tp t{i} ON t{i}.doc_id = p0.doc_id "
+        f"AND t{i}.pos = p0.pos + {i} AND t{i}.term = '{t}'"
+        for i, t in enumerate(phrase[1:], 1)
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tp AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+       FROM (SELECT doc_id, {_TOKS_DUCK} AS arr FROM corpus)),
+occ AS (SELECT p0.doc_id, p0.pos
+        FROM (SELECT doc_id, pos FROM tp WHERE term = '{phrase[0]}') p0
+        {joins}),
+tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM occ GROUP BY doc_id),
+dfreq AS (SELECT count(*)::DOUBLE AS df FROM tf),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * {K1_PLUS_1}
+           / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl))
+           AS score
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN dfreq
+  CROSS JOIN stats
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -155,6 +240,48 @@ def _q_bm25_and_indexed(spark, sf_dir):
 
 def _q_bm25_prefix_indexed(spark, sf_dir):
     return _indexed_topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
+
+
+def _round_result(res):
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_bm25_suggest(spark, sf_dir):
+    return _round_result(
+        P.bm25_suggest_topk(
+            _corpus(spark, sf_dir), TERMS_SUGGEST, max_dist=SUGGEST_MAX_DIST
+        )
+    )
+
+
+def _q_bm25_suggest_indexed(spark, sf_dir):
+    rd = _indexed_reader(spark, sf_dir)
+    return _round_result(
+        rd.search_suggest(TERMS_SUGGEST, max_dist=SUGGEST_MAX_DIST, k=10)
+    )
+
+
+def _q_bm25_phrase(spark, sf_dir):
+    return _round_result(P.phrase_topk(_corpus(spark, sf_dir), PHRASE))
+
+
+def _q_bm25_phrase_indexed(spark, sf_dir):
+    rd = _indexed_reader(spark, sf_dir)
+    return _round_result(rd.search_phrase(PHRASE, _corpus(spark, sf_dir), k=10))
+
+
+def _q_match_set_indexed(spark, sf_dir):
+    """Full un-truncated match set decoded from the disk index
+    (IndexReader.match_docs — the reference's actual getValue
+    semantics, before any cap)."""
+    rd = _indexed_reader(spark, sf_dir)
+    return rd.match_docs(["vector"], P.EXACT_MATCH).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
 
 
 # Maintained-index oracle entry: delete one doc, upsert (replace) one
@@ -503,6 +630,10 @@ def _q_text_token_counts(spark, sf_dir):
     return TX.token_counts(_docs_raw(spark, sf_dir))
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    return TX.vocab_coverage(_docs_raw(spark, sf_dir))
+
+
 def _q_text_quality(spark, sf_dir):
     return TX.quality_scores(_docs_raw(spark, sf_dir))
 
@@ -537,6 +668,10 @@ def _q_dedup_simhash(spark, sf_dir):
 
 def _q_dedup_simhash_pairs(spark, sf_dir):
     return DD.simhash_near_dup(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    return DD.dup_clusters(_docs_raw(spark, sf_dir))
 
 
 def _q_dedup_embedding(spark, sf_dir):
@@ -593,6 +728,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk_indexed": _q_bm25_or_indexed,
         "bm25_and_topk_indexed": _q_bm25_and_indexed,
         "bm25_prefix_topk_indexed": _q_bm25_prefix_indexed,
+        # Q3 suggestion expansion in-engine (same-length hamming<=d
+        # dictionary scan — the deterministic Hunspell analog), both
+        # the declarative pipeline and the disk-index dictionary path
+        "bm25_suggest_topk": _q_bm25_suggest,
+        "bm25_suggest_topk_indexed": _q_bm25_suggest_indexed,
+        # exact-phrase BM25: positions recomputed at query time (Q5
+        # re-scan architecture); indexed form prunes candidates via
+        # match_docs AND before verification
+        "bm25_phrase_topk": _q_bm25_phrase,
+        "bm25_phrase_topk_indexed": _q_bm25_phrase_indexed,
+        # un-truncated index match set (reference getValue semantics)
+        "match_set_exact_indexed": _q_match_set_indexed,
         "reverse_doc_terms_indexed": _q_reverse_doc_terms_indexed,
         "term_stats_indexed": _q_term_stats_indexed,
         "term_prefix_expansion_indexed": _q_term_prefix_expansion_indexed,
@@ -611,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_prefix_expansion": _q_term_prefix_expansion,
         # training-data pipeline (SURVEY.md scope extension)
         "text_token_counts": _q_text_token_counts,
+        "vocab_coverage": _q_vocab_coverage,
         "text_quality": _q_text_quality,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
@@ -619,6 +767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        # transitive duplicate clusters over the minhash pairs
+        # (graph.connected_components — the canonical-doc keep list)
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_ann": _q_dedup_embedding_ann,
         "sim_cosine_topk": _q_sim_cosine_topk,
@@ -640,6 +791,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_topk_indexed": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
+        "bm25_suggest_topk": _bm25_suggest_oracle(
+            TERMS_SUGGEST, SUGGEST_MAX_DIST
+        ),
+        "bm25_suggest_topk_indexed": _bm25_suggest_oracle(
+            TERMS_SUGGEST, SUGGEST_MAX_DIST
+        ),
+        "bm25_phrase_topk": _bm25_phrase_oracle(PHRASE),
+        "bm25_phrase_topk_indexed": _bm25_phrase_oracle(PHRASE),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
         "bm25_or_topk_term_deleted": _bm25_term_deleted_oracle(),
         "live_result_diffs": _live_diff_oracle(),
@@ -688,6 +847,7 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM tf GROUP BY term
 """,
         "text_token_counts": TX.token_counts_sql(),
+        "vocab_coverage": TX.vocab_coverage_sql(),
         "text_quality": TX.quality_scores_sql(),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),
@@ -698,6 +858,7 @@ FROM tf GROUP BY term
         ),
         "dedup_simhash": DD.simhash_sql(),
         "dedup_simhash_pairs": DD.simhash_near_dup_sql(),
+        "dedup_clusters": DD.dup_clusters_sql(),
         "dedup_embedding": DD.embedding_near_dup_sql(),
         "dedup_embedding_ann": DD.embedding_near_dup_ann_sql(),
         "sim_cosine_topk": SIM.cosine_topk_sql(SIM_QUERY_IDS),
@@ -706,6 +867,7 @@ FROM tf GROUP BY term
         "media_features": MM.media_features_summary_sql(),
     }
     # the indexed variants answer the same questions -> same oracles
+    d["match_set_exact_indexed"] = d["match_set_exact"]
     d["reverse_doc_terms_indexed"] = d["reverse_doc_terms"]
     d["term_stats_indexed"] = d["term_stats"]
     d["term_prefix_expansion_indexed"] = d["term_prefix_expansion"]

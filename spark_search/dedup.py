@@ -636,3 +636,80 @@ WHERE list_dot_product(a.v, b.v)
       / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
       >= {threshold}
 """
+
+# ------------------------------------------------- duplicate clusters
+
+
+def dup_clusters(
+    docs: DataFrame,
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, keep) — transitive duplicate
+    CLUSTERS from the MinHash near-dup pairs: the step every pair
+    emitter leaves open (a~b and b~c must collapse {a,b,c} even when
+    a~c was never emitted, or the "keep one canonical doc" filter
+    drops/keeps inconsistently). ``cluster_id`` is the minimum doc_id
+    reachable through verified near-dup pairs (graph.connected_components
+    — min-label propagation + pointer jumping, O(log n) rounds);
+    singletons are their own cluster; ``keep`` marks the canonical
+    member. Deterministic at any parallelism.
+
+    Scale: pair generation is the LSH banded join (bounded by band
+    collisions); the component loop shuffles |pairs|+|docs| keys per
+    round for a handful of rounds — near-dup components have tiny
+    diameter. Nothing here is quadratic in corpus size."""
+    from .graph import connected_components
+
+    pairs = minhash_near_dup(docs, p, bands, n, threshold)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    comp = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        nodes,
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
+    )
+
+
+def dup_clusters_sql(
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror: the identical MinHash pair query as a derived
+    table, then connected components as a recursive reachability CTE
+    (min reachable doc_id per node)."""
+    pairs = minhash_near_dup_sql(p, bands, n, threshold)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({pairs}) q),
+nodes AS (SELECT doc_id::BIGINT AS doc_id FROM documents),
+bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bi e ON e.a = r.dst
+),
+comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id::BIGINT AS doc_id, comp.cluster_id::BIGINT AS cluster_id,
+       sizes.cluster_size, comp.doc_id = comp.cluster_id AS keep
+FROM comp JOIN sizes USING (cluster_id)
+"""

@@ -1,0 +1,101 @@
+"""Distributed connected components over a DataFrame edge list.
+
+The missing last step of every near-duplicate pipeline: pair emitters
+(dedup.minhash_near_dup / simhash_near_dup / ngram_jaccard_pairs /
+embedding_near_dup_ann) produce EDGES, but a training-data filter needs
+CLUSTERS — "keep one canonical doc per duplicate group" is a
+connected-components question, not a pairs question (a~b, b~c must
+collapse {a,b,c} even when a~c was never emitted).
+
+Algorithm: iterative min-label propagation with pointer jumping.
+Every node starts labeled with itself; each round takes
+
+    label(v) <- min(label(v),
+                    min over neighbors u of label(u),   # propagation
+                    label(label(v)))                    # pointer jump
+
+until no label changes. Plain propagation alone needs O(diameter)
+rounds; the pointer-jump join halves remaining path lengths each round
+(the classic shortcutting of Shiloach-Vishkin / the "alternating"
+algorithm of Kiveris et al., SoCC'14), giving O(log n) rounds on
+pathological chains while near-dup components (tiny diameter) converge
+in 2-3. Labels are component-minimum doc_ids -> fully deterministic,
+independent of partition count.
+
+Scale shape (the 100 TB question): each round is two equi-joins keyed
+on node id — edges x labels (bounded by |E|) and labels x labels
+(bounded by |V|) — plus one partial+final min-aggregation. No
+all-pairs products anywhere; skewed hub nodes spread across reducers
+because the aggregation key is the DESTINATION node. Lineage is cut
+every round with localCheckpoint (an iterative plan would otherwise
+double in depth per round and overwhelm the optimizer long before the
+data hurts); the loop itself is a driver loop, but per round it runs
+O(1) Spark jobs over distributed data — nothing driver-side scales
+with |V| or |E|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_ROUNDS = 50  # hard stop: > log2 of any conceivable component chain
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """(id, component) for every node; ``component`` = min node id
+    reachable through ``edges``. ``edges`` needs columns (src, dst),
+    ``nodes`` a column (id); isolated nodes keep themselves as their
+    component. Ids must be integral (compared with min)."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    # undirected: propagate both ways through one directed table
+    bi = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bi = bi.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    labels = nodes.select(
+        F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_rounds):
+        # min neighbor label per node (partial+final agg: hot nodes
+        # combine map-side; the key is the receiving node, so a hub's
+        # outgoing updates spread over its neighbors' reducers)
+        nbr = (
+            bi.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        # pointer jump: label of my label (labels is both sides; the
+        # right side is small after a few rounds but not broadcast —
+        # |V| rows in general)
+        jump = labels.join(
+            labels.select(
+                F.col("id").alias("label"), F.col("label").alias("jump_label")
+            ),
+            "label",
+        ).select("id", "jump_label")
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .join(jump, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("jump_label"), F.col("label")),
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))

@@ -162,7 +162,23 @@ def bm25_topk(
     # sees query-term rows.
     matched = tok.where(_match_filter(F.col("term"), qterms, mode))
     tf = term_doc_tf(matched)
+    require_n = len(qterms) if mode == AND_MATCH else None
+    return _bm25_rank(tf, corpus, k, tokenizer, require_n)
 
+
+def _bm25_rank(
+    tf: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    tokenizer: str,
+    require_n: int | None = None,
+) -> DataFrame:
+    """Shared scoring tail: (term, doc_id, tf) rows of MATCHED terms ->
+    (doc_id, score, rank) top-k. df comes from the tf rows themselves
+    (the match filter keeps every doc containing a matched term, so
+    doc_freq(tf) IS the global df); dl/avgdl/N from the corpus.
+    ``require_n`` enforces AND semantics (doc must hold that many
+    distinct matched terms)."""
     # Global document frequency of each matched term: the term filter
     # keeps every doc containing the term, so doc_freq(tf) IS the global
     # df — no second pass over the corpus needed.
@@ -185,15 +201,150 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"), F.count("*").alias("_nt"))
     )
-    if mode == AND_MATCH:
+    if require_n is not None:
         # intersection semantics: doc must contain every query term.
         # tf rows are unique per (term, doc), so _nt == matched-term count.
-        scored = scored.where(F.col("_nt") == len(qterms))
+        scored = scored.where(F.col("_nt") == require_n)
     scored = (
         scored.drop("_nt")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
     # rank over ≤k rows — the window after the limit is trivially small.
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.select("doc_id", "score", F.row_number().over(w).alias("rank"))
+
+
+# ------------------------------------------------- suggestion expansion
+
+
+def suggest_terms(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    max_dist: int = 1,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """(term) — every vocabulary term of the SAME LENGTH as a query term
+    within ``max_dist`` edits of it (equal lengths make Levenshtein
+    degrade to Hamming: substitutions only). The deterministic, in-engine
+    analog of the reference's Hunspell expansion, which filters
+    suggestions to the query's length before searching each as EXACT
+    (reference app/.../listener/SearchActionListener.java:44-48); the
+    reference generates candidates app-side, we scan the dictionary.
+
+    Plan: distinct-term aggregation (the dictionary), then a
+    length-bucketed levenshtein filter — length(term) = len(q) prunes
+    before the edit-distance expression runs. One vocab-sized shuffle;
+    at scale the dictionary is the index's term dict (see
+    IndexReader.suggest_terms for the zero-scan path)."""
+    qterms = list(dict.fromkeys(terms))
+    vocab = tokens(_floor(corpus), tokenizer).select("term").distinct()
+    cond = None
+    for q in qterms:
+        c = (F.length("term") == len(q)) & (
+            F.levenshtein(F.col("term"), F.lit(q)) <= max_dist
+        )
+        cond = c if cond is None else (cond | c)
+    return vocab.where(cond)
+
+
+def bm25_suggest_topk(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    max_dist: int = 1,
+    k: int = 10,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """WITH_SUGGESTIONS end-to-end: expand each query term against the
+    corpus vocabulary (same length, ≤ ``max_dist`` edits), then BM25
+    OR-union over the expanded set — the reference's suggestion search
+    with the Hunspell lookup replaced by the deterministic dictionary
+    scan. Expansion terms score like any OR term (df from the matched
+    rows, no extra corpus pass); the expansion frame is broadcast into
+    the token-filter join, so the corpus-side plan is identical to
+    bm25_topk's."""
+    qterms = list(dict.fromkeys(terms))
+    if not qterms:
+        return bm25_topk(corpus, [], WITH_SUGGESTIONS, k, tokenizer)
+    corpus = _floor(corpus)
+    sugg = suggest_terms(corpus, qterms, max_dist, tokenizer)
+    matched = tokens(corpus, tokenizer).join(F.broadcast(sugg), "term")
+    return _bm25_rank(term_doc_tf(matched), corpus, k, tokenizer)
+
+
+# ------------------------------------------------------- phrase queries
+
+
+def tokens_pos(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
+    """(doc_id, pos, term) — one row per token occurrence with its
+    0-based position in the document's token sequence. The positional
+    form of ``tokens`` (reference Token {content, positionInRow},
+    model/Token.java:3-11 — the engine's index stores no positions,
+    faithful to the reference; positions exist only in query-time
+    streams like this one)."""
+    return corpus.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("content"), tokenizer)).alias(
+            "pos", "term"
+        ),
+    )
+
+
+def _phrase_occurrences(tp: DataFrame, phrase: List[str]) -> DataFrame:
+    """(doc_id, pos) of each full-phrase occurrence start. Chain of
+    equi-joins on (doc_id, pos): term i's positions shifted by -i so
+    a full match aligns on the start position. Every join input is
+    pre-filtered to ONE term's occurrences — the shuffled volume is
+    Σ cf(term_i), never the token stream."""
+    occ = tp.where(F.col("term") == phrase[0]).select("doc_id", "pos")
+    for i, t in enumerate(phrase[1:], 1):
+        nxt = tp.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        occ = occ.join(nxt, ["doc_id", "pos"])
+    return occ
+
+
+def phrase_topk(
+    corpus: DataFrame,
+    phrase: List[str],
+    k: int = 10,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """BM25 top-k for an EXACT PHRASE (terms adjacent, in order).
+    The phrase scores as one pseudo-term: tf = occurrence count,
+    df = |docs with ≥1 occurrence|, same k1/b arithmetic and
+    (score DESC, doc_id ASC) tie-break as every other mode. A 1-term
+    phrase is exactly EXACT_MATCH bm25_topk.
+
+    The index stores no positions (faithful to the reference, whose
+    tree is doc-level only — SURVEY.md §0 fact 3); adjacency is
+    verified from content at query time, the reference's own Q5
+    re-scan architecture (SimpleSearchManager.java:187-214). For the
+    index-accelerated form over candidates, see
+    IndexReader.search_phrase."""
+    phrase = [t for t in phrase if t]
+    if not phrase:
+        return bm25_topk(corpus, [], EXACT_MATCH, k, tokenizer)
+    corpus = _floor(corpus)
+    occ = _phrase_occurrences(tokens_pos(corpus, tokenizer), phrase)
+    tf = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("tf"))
+    dfreq = tf.agg(F.count("*").cast("double").alias("df"))
+    dl = doc_lengths(corpus, tokenizer)
+    stats = corpus_stats_df(dl)
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfreq))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            bm25_score_col(
+                F.col("tf"), F.col("dl").cast("double"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return scored.select("doc_id", "score", F.row_number().over(w).alias("rank"))

@@ -935,6 +935,175 @@ class IndexReader:
             return 0.0
         return float(np.partition(hit, hit.size - k)[hit.size - k])
 
+    # ----------------------------------------------- suggestion expansion
+
+    def suggest_terms(self, terms: Iterable[str], max_dist: int = 1) -> List[str]:
+        """Same-length dictionary terms within ``max_dist`` substitutions
+        of any query term — the in-engine analog of the reference's
+        Hunspell expansion (suggestions filtered to the query's length,
+        each then searched EXACT — reference
+        app/.../listener/SearchActionListener.java:44-48). Equal lengths
+        reduce Levenshtein to Hamming, so the cached-dictionary path is
+        a zero-job python scan (bounded by the vocab cache cap); past
+        the cache gate the expansion runs as a distributed
+        length+levenshtein filter over the term-sorted dictionary files."""
+        qterms = [t for t in dict.fromkeys(terms) if t]
+        if not qterms:
+            return []
+        d = self._ensure_dict()
+        if d is not None:
+            out = set()
+            by_len: Dict[int, List[str]] = {}
+            for t in self._dict_terms:
+                by_len.setdefault(len(t), []).append(t)
+            for q in qterms:
+                for t in by_len.get(len(q), ()):
+                    if sum(a != b for a, b in zip(t, q)) <= max_dist:
+                        out.add(t)
+            return sorted(out)
+        cond = None
+        for q in qterms:
+            c = (F.length("term") == len(q)) & (
+                F.levenshtein(F.col("term"), F.lit(q)) <= max_dist
+            )
+            cond = c if cond is None else (cond | c)
+        rows = self.terms_df().where(cond).select("term").distinct().collect()
+        return sorted(r["term"] for r in rows)
+
+    def search_suggest(
+        self, terms: Iterable[str], max_dist: int = 1, k: int = 10
+    ) -> DataFrame:
+        """WITH_SUGGESTIONS end-to-end on the disk index: dictionary
+        expansion (suggest_terms), then the standard OR-union BM25
+        search over the expanded list. Terms absent from the index
+        contribute nothing, so unioning the originals is a no-op kept
+        for fidelity to the reference's query list."""
+        qterms = [t for t in dict.fromkeys(terms) if t]
+        expanded = sorted(set(qterms) | set(self.suggest_terms(qterms, max_dist)))
+        return self.search(expanded, WITH_SUGGESTIONS, k=k)
+
+    # ------------------------------------------------- full match sets
+
+    def match_docs(self, terms: Iterable[str], mode: str = EXACT_MATCH) -> DataFrame:
+        """The UN-truncated doc-id match set — the reference's actual
+        index semantics: ``getValue`` returns the WHOLE docID set, the
+        100-cap happens later app-side (reference
+        tree/SearchEngineConcurrentTree.java:163-195,
+        SimpleSearchManager.java:61-66). Distributed decode: bucket- and
+        term-pruned postings scan → Arrow-batched block decode
+        (mapInPandas) → doc ids; AND mode keeps docs holding every
+        query term (countDistinct over matched terms); tombstoned docs
+        are anti-joined out. Volume is Σ df(term), never corpus size."""
+        qterms = list(dict.fromkeys(terms))
+        empty = self.spark.createDataFrame([], "doc_id long")
+        expansion = self.match_terms(qterms, mode)
+        if not expansion:
+            return empty
+        if mode == AND_MATCH and len(expansion) < len(qterms):
+            return empty
+        buckets = sorted({b for _, _, _, b in expansion})
+        names = [t for t, _, _, _ in expansion]
+        post = (
+            self.postings_df()
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(names))
+            .select("term", "blocks")
+        )
+
+        def _decode(batches):
+            for pdf in batches:
+                terms_out: List[str] = []
+                ids_out: List[np.ndarray] = []
+                for t, blocks in zip(pdf["term"], pdf["blocks"]):
+                    for blk in blocks:
+                        ids, _ = decode_block(
+                            int(blk["first_doc"]),
+                            bytes(blk["deltas"]),
+                            bytes(blk["tfs"]),
+                        )
+                        ids_out.append(ids)
+                        terms_out.extend([t] * ids.size)
+                if ids_out:
+                    yield pd.DataFrame(
+                        {
+                            "term": pd.Series(terms_out, dtype="string"),
+                            "doc_id": np.concatenate(ids_out).astype("int64"),
+                        }
+                    )
+
+        decoded = post.mapInPandas(_decode, "term string, doc_id long")
+        if mode == AND_MATCH:
+            hit = (
+                decoded.groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("_m"))
+                .where(F.col("_m") == len(expansion))
+                .select("doc_id")
+            )
+        else:
+            hit = decoded.select("doc_id").distinct()
+        dels = self.deletes_df()
+        if dels is not None:
+            hit = hit.join(dels, "doc_id", "left_anti")
+        return hit
+
+    # ------------------------------------------------------ phrase search
+
+    def search_phrase(
+        self, phrase: List[str], corpus: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Index-accelerated exact-phrase BM25: the index prunes to docs
+        containing ALL phrase terms (its reference role — a doc-level
+        filter, positions are never stored: SURVEY.md §0 fact 3), then
+        adjacency is verified by re-tokenizing ONLY the candidates'
+        content — the reference's own query-time re-scan architecture
+        (SimpleSearchManager.java:187-214). The phrase scores as one
+        pseudo-term (tf = occurrences, df = matching docs) with
+        N/avgdl from the index manifest; ties break doc_id ASC.
+        Rank/score-identical to pipeline.phrase_topk over the same
+        corpus by construction."""
+        from .pipeline import (
+            _phrase_occurrences,
+            bm25_score_col,
+            tokens_pos,
+        )
+        from .tokenizer import tokens_col
+
+        phrase = [t for t in phrase if t]
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not phrase:
+            return empty
+        cand = self.match_docs(phrase, AND_MATCH)
+        docs = corpus.join(cand, "doc_id")
+        occ = _phrase_occurrences(tokens_pos(docs, self.tokenizer), phrase)
+        tf = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("tf"))
+        dfreq = tf.agg(F.count("*").cast("double").alias("df"))
+        dl = docs.select(
+            "doc_id",
+            F.size(tokens_col(F.col("content"), self.tokenizer)).alias("dl"),
+        )
+        scored = (
+            tf.join(dl, "doc_id")
+            .crossJoin(F.broadcast(dfreq))
+            .withColumn(
+                "score",
+                bm25_score_col(
+                    F.col("tf"),
+                    F.col("dl").cast("double"),
+                    F.col("df"),
+                    F.lit(float(self.stats.n_docs)),
+                    F.lit(float(self.stats.avgdl)),
+                ),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        out = [
+            (r["doc_id"], float(r["score"]), i + 1)
+            for i, r in enumerate(scored)
+        ]
+        return _rows_literal_df(self.spark, out, _RESULT_FIELDS) if out else empty
+
     # ----------------------------------------------------- verification
 
     def verify_search(

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .tokenizer import tokens_col, tokens_sql
 
@@ -264,4 +264,62 @@ SELECT doc_id::BIGINT AS doc_id,
        coalesce(list_min(list_transform(grams, s -> {h60_sql('s')})),
                 {h60_sql('text')})::BIGINT AS min_shingle_h
 FROM sh
+"""
+
+# ---------------------------------------------------- vocabulary table
+
+
+def vocab_coverage(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """(rank, term, cf, df, cum_share) — the corpus vocabulary ranked by
+    collection frequency, with each term's document frequency and the
+    CUMULATIVE share of all tokens covered by ranks 1..r. The
+    vocabulary-building / stopword-selection / BPE-budget table every
+    tokenizer-training pipeline starts from (how many terms cover 90%
+    of the corpus?).
+
+    Plan: one explode + partial+final agg to (term, cf, df); the global
+    token total rides as a broadcast single-row frame; ranking and the
+    running sum happen AFTER the top_n cut, so the window only ever
+    sees top_n rows — no corpus-sized window, no skew (ties break
+    term ASC, deterministic at any parallelism)."""
+    t = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_toks(F.col("text"))).alias("term"),
+    )
+    agg = t.groupBy("term").agg(
+        F.count("*").cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    total = agg.agg(F.sum("cf").cast("double").alias("_tot"))
+    top = agg.orderBy(F.col("cf").desc(), F.col("term").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "term",
+            "cf",
+            "df",
+            F.round(
+                (F.sum("cf").over(w).cast("double") / F.col("_tot")), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+def vocab_coverage_sql(top_n: int = 50) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_toks_duck()}) AS term
+              FROM (SELECT doc_id, coalesce(text,'') AS text FROM documents)),
+agg AS (SELECT term, count(*)::BIGINT AS cf,
+               count(DISTINCT doc_id)::BIGINT AS df
+        FROM toks GROUP BY term),
+total AS (SELECT sum(cf)::DOUBLE AS tot FROM agg),
+top AS (SELECT * FROM agg ORDER BY cf DESC, term ASC LIMIT {top_n})
+SELECT row_number() OVER (ORDER BY cf DESC, term ASC)::BIGINT AS rank,
+       term, cf, df,
+       round(sum(cf) OVER (ORDER BY cf DESC, term ASC
+                           ROWS UNBOUNDED PRECEDING)::DOUBLE / tot, 6)
+         AS cum_share
+FROM top CROSS JOIN total
 """

@@ -1,0 +1,335 @@
+"""Round-3 operators: connected components / duplicate clusters,
+suggestion expansion, exact-phrase queries, full index match sets,
+vocabulary coverage.
+
+Each operator is pinned three ways where applicable: semantics vs a
+hand-computed expectation, declarative-vs-indexed identity, and the
+package-wide no-per-row-Python plan rule."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_search import pipeline as P
+from spark_search.corpus import CORPUS_SCHEMA
+
+
+def _mk_corpus(spark, texts):
+    rows = [
+        (f"org/repo", f"src/f{i}.py", f"c{i:040d}", "python", t)
+        for i, t in enumerate(texts)
+    ]
+    from spark_search.ids import with_doc_ids
+
+    return with_doc_ids(spark.createDataFrame(rows, CORPUS_SCHEMA))
+
+
+# ------------------------------------------------- connected components
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from spark_search.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node chain needs pointer jumping to converge inside
+    MAX_ROUNDS (plain propagation would need 40 rounds)."""
+    from spark_search.graph import MAX_ROUNDS, connected_components
+
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = connected_components(edges, nodes, max_rounds=MAX_ROUNDS)
+    assert got.where(F.col("component") != 0).count() == 0
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """dup_clusters must agree with a python union-find over the
+    engine's own minhash pairs — including transitivity (a~b, b~c
+    collapse even when a~c was never emitted)."""
+    from spark_search import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                          # 0
+        base + " extra",               # 1: near-dup of 0
+        base + " extra more",          # 2: near-dup of 1 (maybe of 0)
+        "totally different words here unrelated content stream",  # 3
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_near_dup(docs).collect()
+    ]
+    # python union-find ground truth
+    parent = {i: i for i in range(len(texts))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(len(texts))}
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in DD.dup_clusters(docs).collect()
+    }
+    sizes = {}
+    for i, c in want.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i]
+        assert got[i][1] == sizes[want[i]]
+        assert got[i][2] == (i == want[i])
+    # the fixture must actually exercise transitivity or a >1 cluster
+    assert any(s > 1 for s in sizes.values())
+
+
+# ------------------------------------------------ suggestion expansion
+
+
+def test_suggest_terms_same_length_hamming(spark):
+    corpus = _mk_corpus(
+        spark,
+        [
+            "mila walked home",
+            "milk was fresh",
+            "mill by the river",
+            "miles away entirely",
+            "mole in the garden",
+        ],
+    )
+    got = sorted(
+        r["term"]
+        for r in P.suggest_terms(corpus, ["mila"], max_dist=1).collect()
+    )
+    # same length 4, <=1 substitution: mila, milk, mill (miles: len 5;
+    # mole: 2 substitutions)
+    assert got == ["mila", "milk", "mill"]
+
+
+def test_bm25_suggest_equals_explicit_or_query(spark):
+    """Suggestion search == WITH_SUGGESTIONS over the expanded list —
+    the reference's two-step contract (expand, then OR-search)."""
+    corpus = _mk_corpus(
+        spark,
+        [
+            "mila mila story",
+            "milk milk milk carton",
+            "mill stream mill",
+            "unrelated words only",
+        ],
+    )
+    got = P.bm25_suggest_topk(corpus, ["mila"], max_dist=1).collect()
+    want = P.bm25_topk(
+        corpus, ["mila", "milk", "mill"], P.WITH_SUGGESTIONS
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_search_suggest_indexed_matches_declarative(spark, tmp_path):
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = _mk_corpus(
+        spark,
+        [
+            "mila mila story end",
+            "milk carton milk",
+            "mill stream water",
+            "nothing related",
+        ],
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d)
+    rd = IndexReader(spark, d)
+    assert sorted(rd.suggest_terms(["mila"], 1)) == ["mila", "milk", "mill"]
+    got = rd.search_suggest(["mila"], max_dist=1, k=10).collect()
+    want = P.bm25_suggest_topk(corpus, ["mila"], max_dist=1).collect()
+    assert [(r["doc_id"], round(r["score"], 9), r["rank"]) for r in got] == [
+        (r["doc_id"], round(r["score"], 9), r["rank"]) for r in want
+    ]
+
+
+# ------------------------------------------------------ phrase queries
+
+
+def test_phrase_topk_adjacency_semantics(spark):
+    corpus = _mk_corpus(
+        spark,
+        [
+            "big table hash join runs",        # 0: 1 occurrence
+            "table hash table hash",           # 1: 2 occurrences
+            "table foo hash bar table",        # 2: terms present, never adjacent
+            "hash table reversed order",       # 3: reversed, no match
+        ],
+    )
+    res = P.phrase_topk(corpus, ["table", "hash"], k=10).collect()
+    by_doc = {r["doc_id"]: r for r in res}
+    assert set(by_doc) == {1, 2}  # doc_ids are 1-based (docs 0 and 1)
+    # doc 1 (two occurrences, shorter) must outrank doc 2's single hit
+    assert by_doc[2]["rank"] == 1
+    assert by_doc[1]["rank"] == 2
+
+
+def test_single_term_phrase_equals_exact_match(spark):
+    corpus = _mk_corpus(
+        spark,
+        ["alpha beta alpha", "beta gamma", "alpha only here", "no match"],
+    )
+    got = P.phrase_topk(corpus, ["alpha"], k=10).collect()
+    want = P.bm25_topk(corpus, ["alpha"], P.EXACT_MATCH, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 12), r["rank"]) for r in got] == [
+        (r["doc_id"], round(r["score"], 12), r["rank"]) for r in want
+    ]
+
+
+def test_search_phrase_indexed_matches_declarative(spark, tmp_path):
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = _mk_corpus(
+        spark,
+        [
+            "big table hash join runs",
+            "table hash table hash",
+            "table foo hash bar",
+            "hash table reversed",
+            "table hash again table hash and table hash",
+        ],
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d)
+    rd = IndexReader(spark, d)
+    got = rd.search_phrase(["table", "hash"], corpus, k=10).collect()
+    want = P.phrase_topk(corpus, ["table", "hash"], k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9), r["rank"]) for r in got] == [
+        (r["doc_id"], round(r["score"], 9), r["rank"]) for r in want
+    ]
+
+
+def test_search_phrase_missing_term_empty(spark, tmp_path):
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = _mk_corpus(spark, ["table hash", "hash table"])
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d)
+    rd = IndexReader(spark, d)
+    assert rd.search_phrase(["table", "absent"], corpus).count() == 0
+
+
+# ----------------------------------------------------- full match sets
+
+
+def test_match_docs_or_and_modes(spark, tmp_path):
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = _mk_corpus(
+        spark,
+        [
+            "alpha beta",     # 1
+            "alpha gamma",    # 2
+            "beta gamma",     # 3
+            "delta only",     # 4
+        ],
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d)
+    rd = IndexReader(spark, d)
+    got_or = sorted(
+        r["doc_id"]
+        for r in rd.match_docs(["alpha", "beta"], P.WITH_SUGGESTIONS).collect()
+    )
+    assert got_or == [1, 2, 3]
+    got_and = sorted(
+        r["doc_id"]
+        for r in rd.match_docs(["alpha", "beta"], P.AND_MATCH).collect()
+    )
+    assert got_and == [1]
+    assert rd.match_docs(["alpha", "absent"], P.AND_MATCH).count() == 0
+
+
+def test_match_docs_excludes_tombstones(spark, tmp_path):
+    from spark_search.build import build_index
+    from spark_search.maintain import delete_docs
+    from spark_search.query import IndexReader
+
+    corpus = _mk_corpus(spark, ["alpha beta", "alpha gamma", "alpha delta"])
+    base = str(tmp_path / "idx")
+    build_index(spark, corpus, base)
+    out = str(tmp_path / "del")
+    delete_docs(spark, base, out, [2])
+    rd = IndexReader(spark, out)
+    got = sorted(
+        r["doc_id"] for r in rd.match_docs(["alpha"], P.EXACT_MATCH).collect()
+    )
+    assert got == [1, 3]
+
+
+# -------------------------------------------------- vocabulary coverage
+
+
+def test_vocab_coverage_counts_and_cumshare(spark):
+    from spark_search import textops as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),
+            (2, "a b d"),
+            (3, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = TX.vocab_coverage(docs, top_n=3).collect()
+    # counts: a cf=5 df=3; b cf=3 df=2; c cf=1 df=1; d cf=1 df=1;
+    # total tokens = 10; top 3 by (cf desc, term asc) = a, b, c
+    assert [(r["rank"], r["term"], r["cf"], r["df"]) for r in rows] == [
+        (1, "a", 5, 3),
+        (2, "b", 3, 2),
+        (3, "c", 1, 1),
+    ]
+    assert [r["cum_share"] for r in rows] == [0.5, 0.8, 0.9]
+
+
+def test_new_ops_no_row_at_a_time_python(spark):
+    """Plan rule: the new declarative ops stay whole-stage-codegen
+    JVM (no BatchEvalPython); the indexed decode path is mapInPandas
+    (Arrow) by construction."""
+    from spark_search import textops as TX
+
+    corpus = _mk_corpus(spark, ["table hash a", "mila milk b"])
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    from tests.test_plans import plan_of
+
+    for df in [
+        P.phrase_topk(corpus, ["table", "hash"]),
+        P.bm25_suggest_topk(corpus, ["mila"], max_dist=1),
+        TX.vocab_coverage(docs),
+    ]:
+        assert "BatchEvalPython" not in plan_of(df)

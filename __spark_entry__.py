@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spark_search import curate as CU
 from spark_search import dedup as DD
 from spark_search import multimodal as MM
 from spark_search import pipeline as P
@@ -634,6 +635,10 @@ def _q_vocab_coverage(spark, sf_dir):
     return TX.vocab_coverage(_docs_raw(spark, sf_dir))
 
 
+def _q_curation_decisions(spark, sf_dir):
+    return CU.curation_decisions(_docs_raw(spark, sf_dir))
+
+
 def _q_text_quality(spark, sf_dir):
     return TX.quality_scores(_docs_raw(spark, sf_dir))
 
@@ -759,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (SURVEY.md scope extension)
         "text_token_counts": _q_text_token_counts,
         "vocab_coverage": _q_vocab_coverage,
+        # composite keep/drop decision table (dedup + quality + lang)
+        "curation_decisions": _q_curation_decisions,
         "text_quality": _q_text_quality,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
@@ -848,6 +855,7 @@ FROM tf GROUP BY term
 """,
         "text_token_counts": TX.token_counts_sql(),
         "vocab_coverage": TX.vocab_coverage_sql(),
+        "curation_decisions": CU.curation_decisions_sql(),
         "text_quality": TX.quality_scores_sql(),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),

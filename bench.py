@@ -140,6 +140,16 @@ def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
     queries["q_or3_declarative"] = round(time.time() - tq, 3)
     section_probes["after_queries"] = probe()
 
+    # round-3 query modes, reported OUTSIDE the headline sum so `value`
+    # stays round-comparable (BASELINE.md §3 fixes its definition)
+    extra: dict[str, float] = {}
+    tq = time.time()
+    reader.search_phrase(["table", "hash"], corpus, k=10).collect()
+    extra["q_phrase_indexed"] = round(time.time() - tq, 3)
+    tq = time.time()
+    reader.search_suggest(["part"], max_dist=2, k=10).collect()
+    extra["q_suggest_indexed"] = round(time.time() - tq, 3)
+
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
     from spark_search import dedup as DD
@@ -155,7 +165,9 @@ def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
         ("dedup_minhash_lsh", lambda: DD.minhash_near_dup(sf_docs).count()),
         ("dedup_simhash_pairs", lambda: DD.simhash_near_dup(sf_docs).count()),
         ("dedup_embedding_ann", lambda: DD.embedding_near_dup_ann(emb_raw).count()),
+        ("dedup_clusters", lambda: DD.dup_clusters(sf_docs).count()),
         ("text_quality", lambda: TX.quality_scores(sf_docs).count()),
+        ("vocab_coverage", lambda: TX.vocab_coverage(sf_docs).count()),
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
         ("media_features", lambda: MM.media_features_summary(sf_docs).count()),
     ]:
@@ -176,6 +188,7 @@ def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
         "build_sec": round(build_s, 3),
         "build_files_per_sec": round(n_files / build_s, 1) if build_s else None,
         "timings": timings,
+        "extra_queries": extra,
         "training_ops": ops,
         "section_fault_mbps": section_probes,
     }

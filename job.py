@@ -1,0 +1,16 @@
+#!/usr/bin/env python
+"""Submittable driver for spark-submit (the package itself ships via
+--py-files):
+
+    zip -qr /tmp/spark_search.zip spark_search
+    spark-submit --master local[8] --py-files /tmp/spark_search.zip \
+        job.py build --corpus /path/corpus --index /path/index
+
+See spark_search/cli.py for the full command surface."""
+
+import sys
+
+from spark_search.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

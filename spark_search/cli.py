@@ -1,0 +1,133 @@
+"""spark-submit entry point (north_rule: "runs via spark-submit
+--py-files on a multi-executor cluster").
+
+The package has no hidden driver state — every operation is a function
+of (SparkSession, paths, arguments) — so cluster deployment is:
+
+    cd /root/repo && zip -qr /tmp/spark_search.zip spark_search
+    spark-submit --master <cluster> --py-files /tmp/spark_search.zip \
+        job.py build --corpus <parquet_dir> --index <index_dir>
+    spark-submit ... job.py search --index <dir> --terms data,join --mode OR
+    spark-submit ... job.py phrase --index <dir> --corpus <dir> --terms table,hash
+    spark-submit ... job.py suggest --index <dir> --terms part --max-dist 2
+
+``job.py`` (repo root) is the submittable driver file; it only calls
+``spark_search.cli.main``. On a real cluster the session comes from
+spark-submit's conf (master/executors/memory); ``--cpus`` exists for
+local smoke runs only.
+
+Output: one JSON line per command on stdout (machine-readable; row
+payloads capped at --limit), everything else on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _session(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(f"spark_search_{args.cmd}")
+    if args.cpus:  # local smoke-run convenience; a cluster conf wins
+        b = b.master(f"local[{args.cpus}]").config(
+            "spark.sql.shuffle.partitions", str(max(int(args.cpus), 8))
+        )
+    spark = b.config("spark.sql.adaptive.enabled", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+_MODES = {"EXACT": "EXACT_MATCH", "PREFIX": "START_WITH",
+          "OR": "WITH_SUGGESTIONS", "AND": "AND_MATCH"}
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _rows(df, limit: int):
+    return [r.asDict() for r in df.limit(limit).collect()]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spark_search")
+    p.add_argument("--cpus", default=None,
+                   help="local[N] smoke runs; omit under a cluster master")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a disk index from a corpus table")
+    b.add_argument("--corpus", required=True,
+                   help="parquet dir with (repo,path,commit,lang,content)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--tokenizer", default="standard")
+
+    s = sub.add_parser("search", help="BM25 top-k on a committed index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--terms", required=True, help="comma-separated")
+    s.add_argument("--mode", default="EXACT", choices=sorted(_MODES))
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--limit", type=int, default=100)
+
+    g = sub.add_parser("suggest", help="dictionary-expanded OR search")
+    g.add_argument("--index", required=True)
+    g.add_argument("--terms", required=True)
+    g.add_argument("--max-dist", type=int, default=1)
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--limit", type=int, default=100)
+
+    f = sub.add_parser("phrase", help="exact-phrase BM25 (index + verify)")
+    f.add_argument("--index", required=True)
+    f.add_argument("--corpus", required=True,
+                   help="the corpus table for adjacency verification")
+    f.add_argument("--terms", required=True, help="phrase, comma-separated")
+    f.add_argument("--k", type=int, default=10)
+    f.add_argument("--limit", type=int, default=100)
+
+    args = p.parse_args(argv)
+    spark = _session(args)
+    t0 = time.time()
+
+    if args.cmd == "build":
+        from .build import build_index
+        from .checkpoint import FORMAT_VERSION
+        from .ids import with_doc_ids
+
+        corpus = spark.read.parquet(args.corpus)
+        if "doc_id" not in corpus.columns:
+            corpus = with_doc_ids(corpus)
+        n = corpus.count()
+        build_index(spark, corpus, args.index, tokenizer=args.tokenizer)
+        wall = time.time() - t0
+        _emit({
+            "cmd": "build", "index": args.index, "n_files": n,
+            "wall_sec": round(wall, 3),
+            "files_per_sec": round(n / wall, 1) if wall else None,
+            "format_version": FORMAT_VERSION,
+        })
+        return 0
+
+    from .query import IndexReader
+
+    rd = IndexReader(spark, args.index)
+    terms = [t for t in args.terms.split(",") if t]
+    if args.cmd == "search":
+        res = rd.search(terms, _MODES[args.mode], k=args.k)
+    elif args.cmd == "suggest":
+        res = rd.search_suggest(terms, max_dist=args.max_dist, k=args.k)
+    else:  # phrase
+        corpus = spark.read.parquet(args.corpus)
+        res = rd.search_phrase(terms, corpus, k=args.k)
+    rows = _rows(res, args.limit)
+    _emit({
+        "cmd": args.cmd, "terms": terms, "k": args.k,
+        "wall_sec": round(time.time() - t0, 3), "rows": rows,
+    })
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

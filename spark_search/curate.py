@@ -1,0 +1,97 @@
+"""Corpus curation: the composite keep/drop decision table.
+
+A training-data pipeline never consumes quality scores, language IDs or
+dedup verdicts separately — it joins them into ONE decision per
+document, with machine-readable reasons so every dropped doc is
+auditable ("why did my corpus shrink 18%?"). This operator is that
+join, over the engine's own primitives:
+
+  * ``duplicate``    — not the canonical member of its exact-content
+                       group (dedup.exact_dup_groups)
+  * ``too_short``    — fewer than ``min_tokens`` tokens
+  * ``low_quality``  — composite quality (textops.quality_scores,
+                       frozen arithmetic) below ``min_quality``
+  * ``lang``         — heuristic language ID (textops.lang_id) not in
+                       the allow-list
+
+``reasons`` preserves that fixed order, so outputs are deterministic
+and engine-comparable. Scale shape: three map-only scans plus the one
+hash shuffle exact dedup always costs, then doc_id equi-joins — no
+operator here is new shuffle topology, which is the point: curation is
+a column-composition problem, not a new engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import exact_dup_groups
+from .textops import lang_id, quality_scores, quality_scores_sql, _lang_pred_sql
+
+DEFAULT_MIN_TOKENS = 16
+DEFAULT_MIN_QUALITY = 0.55
+DEFAULT_LANGS: Sequence[str] = ("en",)
+
+
+def curation_decisions(
+    docs: DataFrame,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    langs: Sequence[str] = DEFAULT_LANGS,
+) -> DataFrame:
+    """(doc_id, keep, reasons) — one row per document; ``reasons`` is
+    the ordered array of violated rules (empty ⇔ keep). Thresholds
+    compare the 6-decimal ROUNDED quality (what quality_scores
+    returns), so the cut is reproducible bit-for-bit across engines."""
+    q = quality_scores(docs).select("doc_id", "n_tokens", "quality")
+    lid = lang_id(docs)
+    dup = exact_dup_groups(docs).select("doc_id", F.col("keep").alias("_canon"))
+    joined = q.join(lid, "doc_id").join(dup, "doc_id")
+    reasons = F.filter(
+        F.array(
+            F.when(~F.col("_canon"), F.lit("duplicate")),
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+            F.when(F.col("quality") < min_quality, F.lit("low_quality")),
+            F.when(
+                ~F.col("pred_lang").isin(list(langs)), F.lit("lang")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        reasons.alias("reasons"),
+    ).select(
+        "doc_id",
+        (F.size("reasons") == 0).alias("keep"),
+        "reasons",
+    )
+
+
+def curation_decisions_sql(
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    langs: Sequence[str] = DEFAULT_LANGS,
+) -> str:
+    inlist = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH q AS (SELECT doc_id, n_tokens, quality FROM ({quality_scores_sql()})),
+l AS (SELECT doc_id, pred_lang FROM ({_lang_pred_sql()})),
+d AS (SELECT doc_id,
+             doc_id = min(doc_id) OVER (
+               PARTITION BY sha256(coalesce(text, ''))) AS canon
+      FROM documents),
+r AS (
+  SELECT q.doc_id,
+         list_filter([
+           CASE WHEN NOT d.canon THEN 'duplicate' END,
+           CASE WHEN q.n_tokens < {min_tokens} THEN 'too_short' END,
+           CASE WHEN q.quality < {min_quality} THEN 'low_quality' END,
+           CASE WHEN l.pred_lang NOT IN ({inlist}) THEN 'lang' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM q JOIN l ON l.doc_id = q.doc_id JOIN d ON d.doc_id = q.doc_id)
+SELECT doc_id::BIGINT AS doc_id, len(reasons) = 0 AS keep, reasons
+FROM r
+"""

@@ -333,3 +333,38 @@ def test_new_ops_no_row_at_a_time_python(spark):
         TX.vocab_coverage(docs),
     ]:
         assert "BatchEvalPython" not in plan_of(df)
+
+
+# ------------------------------------------------------------ curation
+
+
+def test_curation_decisions_reasons(spark):
+    from spark_search.curate import curation_decisions
+
+    long_good = (
+        "the data of a table and the join in a stream for the scan "
+        "with a merge on the sort by the hash at a group or the row"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_good, "en"),            # keep
+            (2, long_good, "en"),            # exact duplicate of 1
+            (3, "short text", "en"),         # too_short (+quality maybe)
+            (4, "der und ist das ein der und ist das ein der und ist "
+                "das ein der und", "de"),    # lang (de markers)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["keep"], list(r["reasons"]))
+        for r in curation_decisions(docs).collect()
+    }
+    assert got[1] == (True, [])
+    assert got[2][0] is False and "duplicate" in got[2][1]
+    assert got[3][0] is False and "too_short" in got[3][1]
+    assert got[4][0] is False and "lang" in got[4][1]
+    # reason order is frozen: duplicate, too_short, low_quality, lang
+    for _, reasons in got.values():
+        idx = [["duplicate", "too_short", "low_quality", "lang"].index(r)
+               for r in reasons]
+        assert idx == sorted(idx)

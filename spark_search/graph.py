@@ -48,8 +48,11 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every node; ``component`` = min node id
     reachable through ``edges``. ``edges`` needs columns (src, dst),
-    ``nodes`` a column (id); isolated nodes keep themselves as their
-    component. Ids must be integral (compared with min)."""
+    ``nodes`` a column (id) with no duplicates; isolated nodes keep
+    themselves as their component. Edge endpoints must be ⊆ nodes
+    (an endpoint absent from ``nodes`` emits no output row and its
+    edges do not propagate labels). Ids must be integral (compared
+    with min)."""
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),

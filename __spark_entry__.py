@@ -25,6 +25,7 @@ from spark_search import curate as CU
 from spark_search import dedup as DD
 from spark_search import multimodal as MM
 from spark_search import pipeline as P
+from spark_search import sampling as SA
 from spark_search import similarity as SIM
 from spark_search import textops as TX
 from spark_search.build import build_index
@@ -643,6 +644,18 @@ def _q_text_quality(spark, sf_dir):
     return TX.quality_scores(_docs_raw(spark, sf_dir))
 
 
+def _q_text_repetition(spark, sf_dir):
+    return TX.repetition_scores(_docs_raw(spark, sf_dir))
+
+
+def _q_pack_sequences(spark, sf_dir):
+    return SA.pack_sequences(_docs_raw(spark, sf_dir))
+
+
+def _q_sample_stratified(spark, sf_dir):
+    return SA.sample_stratified(_docs_raw(spark, sf_dir))
+
+
 def _q_text_lang_confusion(spark, sf_dir):
     return TX.lang_confusion(_docs_raw(spark, sf_dir))
 
@@ -767,6 +780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite keep/drop decision table (dedup + quality + lang)
         "curation_decisions": _q_curation_decisions,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
+        # corpus shaping: sequence packing + stratified sampling
+        "pack_sequences": _q_pack_sequences,
+        "sample_stratified": _q_sample_stratified,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
         "dedup_exact": _q_dedup_exact,
@@ -857,6 +874,9 @@ FROM tf GROUP BY term
         "vocab_coverage": TX.vocab_coverage_sql(),
         "curation_decisions": CU.curation_decisions_sql(),
         "text_quality": TX.quality_scores_sql(),
+        "text_repetition": TX.repetition_scores_sql(),
+        "pack_sequences": SA.pack_sequences_sql(),
+        "sample_stratified": SA.sample_stratified_sql(),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),
         "dedup_exact": DD.exact_dup_groups_sql(),

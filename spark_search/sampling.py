@@ -1,0 +1,163 @@
+"""Corpus shaping: training-sequence packing and stratified sampling.
+
+The last mile of a training-data pipeline, after curation
+(curate.curation_decisions) has decided WHAT to keep: decide HOW MUCH
+of each stratum to keep (sampling quotas) and how documents fill
+fixed-size training sequences (packing). Both are deterministic pure
+functions of (doc_id, token counts, stratum) — no RNG, so the same
+corpus shapes identically on any engine, any partition count, any
+re-run, and each has a DuckDB oracle computing the byte-identical
+answer.
+
+Scale shape (the 100 TB question):
+
+  * ``pack_sequences`` — one window aggregation per shard.  Packing is
+    inherently sequential (a doc's pack depends on everything before
+    it), so the global problem is sharded: ``doc_id % n_shards`` splits
+    the corpus into independent streams packed in parallel; each shard
+    is one sorted window partition.  n_shards is the parallelism knob —
+    at cluster scale you set it to O(cores), each shard holding
+    |corpus|/n_shards rows, and no two shards ever communicate.
+  * ``sample_stratified`` — one window over the stratum key.  Strata
+    (languages) are few and can be hot; the docstring notes the
+    two-phase variant (broadcast per-stratum counts, filter by hash
+    threshold) that removes the per-stratum sort when exact quotas can
+    be relaxed to hash-threshold quotas.
+
+Determinism rule: anything ordered is ordered by (key, doc_id), and the
+sampling "randomness" is Knuth's multiplicative hash of doc_id — exact
+64-bit integer arithmetic on both engines, no floats until the final
+ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .tokenizer import tokens_col
+
+DEFAULT_BUDGET = 256          # tokens per training sequence
+DEFAULT_N_SHARDS = 16         # independent packing streams
+KNUTH = 2654435761            # multiplicative hash constant (2^32 / phi)
+HASH_MOD = 4294967296         # 2^32
+
+
+def _n_tokens(col) -> "F.Column":
+    return F.size(tokens_col(col, "whitespace")).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    n_shards: int = DEFAULT_N_SHARDS,
+) -> DataFrame:
+    """(doc_id, shard, pack_id, n_tokens, start_offset) — assign every
+    document to a fixed-token-budget training sequence.
+
+    Semantics: within a shard (``doc_id % n_shards``), documents are
+    laid end-to-end in doc_id order; a document belongs to the pack in
+    which it STARTS (``start_offset // budget``) — the standard
+    concatenate-then-chunk layout of LLM pretraining, attributed at
+    document granularity.  A pack may therefore overflow ``budget`` by
+    less than its last document's length; documents are never split.
+
+    Deterministic: no RNG, no partition-order dependence — the window
+    is keyed (shard) and ordered (doc_id).
+    """
+    tok = _n_tokens(F.col("text"))
+    shard = (F.col("doc_id").cast("long") % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        shard,
+        tok.alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_offset"
+    )
+    return base.select(
+        "doc_id",
+        "shard",
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        "n_tokens",
+        start.cast("long"),
+    ).select("doc_id", "shard", "pack_id", "n_tokens", "start_offset")
+
+
+def pack_sequences_sql(
+    budget: int = DEFAULT_BUDGET,
+    n_shards: int = DEFAULT_N_SHARDS,
+    toks_sql: str = None,
+) -> str:
+    from .tokenizer import tokens_sql
+
+    toks = toks_sql or tokens_sql("coalesce(text, '')", "whitespace", "duckdb")
+    return f"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         (doc_id % {n_shards})::BIGINT AS shard,
+         len({toks})::BIGINT AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+  FROM base
+)
+SELECT doc_id, shard,
+       (start_offset // {budget})::BIGINT AS pack_id,
+       n_tokens, start_offset
+FROM cum
+"""
+
+
+def sample_stratified(docs: DataFrame, frac: float = 0.25) -> DataFrame:
+    """(doc_id, lang, strat_rank, strat_n) — keep a deterministic
+    ``frac`` quota of every language stratum: exactly
+    ``ceil(frac * |stratum|)`` documents each, chosen by ranking the
+    stratum on Knuth's multiplicative hash of doc_id (tie-break
+    doc_id).  Exact integer hash arithmetic ⇒ identical samples on
+    every engine and partition layout.
+
+    Scale: one shuffle on ``lang`` + per-stratum sort.  For hot strata
+    where the sort dominates, the relaxed variant is two map-only
+    passes: broadcast per-stratum counts, keep rows with
+    ``hash < frac * 2^32`` — approximate quota, no sort; this operator
+    keeps the exact-quota semantics because sample sizes must be
+    reproducible for training-mixture bookkeeping.
+    """
+    h = ((F.col("doc_id").cast("long") * KNUTH) % HASH_MOD).alias("_h")
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", h
+    ).select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("strat_rank"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("strat_n"),
+    )
+    return ranked.where(
+        F.col("strat_rank") <= F.ceil(F.col("strat_n") * F.lit(float(frac)))
+    )
+
+
+def sample_stratified_sql(frac: float = 0.25) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id * {KNUTH}) % {HASH_MOD}, doc_id
+         )::BIGINT AS strat_rank,
+         count(*) OVER (PARTITION BY lang)::BIGINT AS strat_n
+  FROM documents
+)
+SELECT doc_id, lang, strat_rank, strat_n
+FROM ranked
+WHERE strat_rank <= ceil(strat_n * {float(frac)})
+"""

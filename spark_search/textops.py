@@ -323,3 +323,104 @@ SELECT row_number() OVER (ORDER BY cf DESC, term ASC)::BIGINT AS rank,
          AS cum_share
 FROM top CROSS JOIN total
 """
+
+
+# ------------------------------------------------- repetition scoring
+
+
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, dup_ngram_frac,
+    top_bigram_share) — within-document repetition metrics in the style
+    of the Gopher quality rules (Rae et al. 2021, §A1.1): how much of a
+    document is the same material said again.
+
+      * ``dup_token_frac``  — 1 − |distinct tokens| / |tokens|
+      * ``dup_ngram_frac``  — 1 − |distinct n-grams| / |n-grams|
+        (word n-grams, default n=3)
+      * ``top_bigram_share`` — tokens covered by the single most
+        frequent bigram, as a fraction of all tokens (count × 2 / n)
+
+    All three are higher-order-function expressions over the per-row
+    token array — map-only, zero shuffle, zero Python, so the plan is
+    a single codegen'd scan at any corpus size. The top-bigram count
+    is O(d·g) per row (d distinct bigrams scanned per distinct value);
+    documents are bounded (split upstream), so per-row cost is bounded.
+    """
+    t = _toks(F.col("text"))
+    nt = F.size(t)
+    safe_n = F.when(nt > 0, nt.cast("double")).otherwise(F.lit(1.0))
+
+    def grams(arr, k):
+        return F.when(
+            F.size(arr) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gn = grams(t, n)
+    g2 = grams(t, 2)
+    n_gn = F.size(gn)
+    safe_gn = F.when(n_gn > 0, n_gn.cast("double")).otherwise(F.lit(1.0))
+    top2 = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(g2),
+                lambda x: F.size(F.filter(g2, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        nt.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                nt > 0, F.lit(1.0) - F.size(F.array_distinct(t)) / safe_n
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(
+                n_gn > 0, F.lit(1.0) - F.size(F.array_distinct(gn)) / safe_gn
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ngram_frac"),
+        F.round(top2.cast("double") * 2.0 / safe_n, 6).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+def repetition_scores_sql(n: int = 3) -> str:
+    toks = _toks_duck()
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), g AS (
+  SELECT doc_id, t, len(t) AS nt,
+         list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+             i -> {" || ' ' || ".join(f"t[i+{j}]" for j in range(n))}) AS gn,
+         list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+             i -> t[i] || ' ' || t[i+1]) AS g2
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id,
+       nt::BIGINT AS n_tokens,
+       round(CASE WHEN nt > 0
+                  THEN 1.0 - len(list_distinct(t)) / nt::DOUBLE
+                  ELSE 0.0 END, 6)
+         AS dup_token_frac,
+       round(CASE WHEN len(gn) > 0
+                  THEN 1.0 - len(list_distinct(gn)) / len(gn)::DOUBLE
+                  ELSE 0.0 END, 6)
+         AS dup_ngram_frac,
+       round(coalesce(list_max(list_transform(list_distinct(g2),
+                 x -> len(list_filter(g2, y -> y = x)))), 0)::DOUBLE
+             * 2.0 / (CASE WHEN nt > 0 THEN nt ELSE 1 END)::DOUBLE, 6)
+         AS top_bigram_share
+FROM g
+"""

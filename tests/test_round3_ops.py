@@ -368,3 +368,94 @@ def test_curation_decisions_reasons(spark):
         idx = [["duplicate", "too_short", "low_quality", "lang"].index(r)
                for r in reasons]
         assert idx == sorted(idx)
+
+
+# ----------------------------------------- repetition / packing / sampling
+
+
+def test_repetition_scores_hand_computed(spark):
+    from spark_search.textops import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 6 toks {a,b}; 3-grams: aba,bab,aba,bab
+            (2, "x y z"),            # no repetition, single 3-gram
+            (3, ""),                 # degenerate
+            (4, "w w"),              # bigram 'w w' x1, no 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    r1 = got[1]
+    assert r1.n_tokens == 6
+    assert r1.dup_token_frac == round(1 - 2 / 6, 6)
+    assert r1.dup_ngram_frac == round(1 - 2 / 4, 6)   # 4 grams, 2 distinct
+    # top bigram 'a b' occurs 3x in 5 bigrams -> 3*2/6
+    assert r1.top_bigram_share == 1.0
+    r2 = got[2]
+    assert (r2.dup_token_frac, r2.dup_ngram_frac) == (0.0, 0.0)
+    assert r2.top_bigram_share == round(2 / 3, 6)
+    r3 = got[3]
+    assert (r3.n_tokens, r3.dup_token_frac, r3.top_bigram_share) == (0, 0.0, 0.0)
+    assert got[4].top_bigram_share == 1.0
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from spark_search.sampling import pack_sequences
+
+    # one shard (n_shards=1): docs laid end-to-end in doc_id order
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in [(0, 100), (1, 100), (2, 100), (3, 30)]],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, budget=256, n_shards=1).collect()}
+    assert [rows[i].start_offset for i in range(4)] == [0, 100, 200, 300]
+    # doc 2 STARTS at 200 < 256 -> pack 0 (overflowing pack); doc 3 at 300 -> pack 1
+    assert [rows[i].pack_id for i in range(4)] == [0, 0, 0, 1]
+    assert all(rows[i].shard == 0 for i in range(4))
+
+    # sharding: doc_id % 2 splits streams; repartition must not change output
+    got_a = sorted(map(tuple, pack_sequences(docs, 256, 2).collect()))
+    got_b = sorted(map(tuple, pack_sequences(docs.repartition(7), 256, 2).collect()))
+    assert got_a == got_b
+    by_doc = {t[0]: t for t in got_a}
+    assert by_doc[0][1] == 0 and by_doc[1][1] == 1  # shard = doc_id % 2
+    assert by_doc[2][4] == 100  # second doc of shard 0 starts after doc 0
+
+
+def test_sample_stratified_exact_quota(spark):
+    import math
+
+    from spark_search.sampling import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i < 40 else "de") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    kept = sample_stratified(docs, frac=0.25).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang["en"]) == math.ceil(0.25 * 40)
+    assert len(by_lang["de"]) == math.ceil(0.25 * 10)
+    # deterministic across partition layouts
+    again = sample_stratified(docs.repartition(9), frac=0.25).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+    # ranks are 1..quota within each stratum
+    assert sorted(r.strat_rank for r in by_lang["de"]) == [1, 2, 3]
+
+
+def test_shaping_ops_no_row_at_a_time_python(spark):
+    from spark_search.sampling import pack_sequences, sample_stratified
+    from spark_search.textops import repetition_scores
+    from tests.test_plans import plan_of
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    for df in [
+        repetition_scores(docs),
+        pack_sequences(docs),
+        sample_stratified(docs),
+    ]:
+        assert "BatchEvalPython" not in plan_of(df)

@@ -154,6 +154,7 @@ def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
     from spark_search import dedup as DD
     from spark_search import multimodal as MM
+    from spark_search import sampling as SA
     from spark_search import similarity as SIM
     from spark_search import textops as TX
 
@@ -167,7 +168,10 @@ def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
         ("dedup_embedding_ann", lambda: DD.embedding_near_dup_ann(emb_raw).count()),
         ("dedup_clusters", lambda: DD.dup_clusters(sf_docs).count()),
         ("text_quality", lambda: TX.quality_scores(sf_docs).count()),
+        ("text_repetition", lambda: TX.repetition_scores(sf_docs).count()),
         ("vocab_coverage", lambda: TX.vocab_coverage(sf_docs).count()),
+        ("pack_sequences", lambda: SA.pack_sequences(sf_docs).count()),
+        ("sample_stratified", lambda: SA.sample_stratified(sf_docs).count()),
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
         ("media_features", lambda: MM.media_features_summary(sf_docs).count()),
     ]:

@@ -304,6 +304,18 @@ def test_tombstone_sharding_past_threshold(spark, base_index, tmp_path, monkeypa
     assert _ids(IndexReader(spark, out2), ["mila"]) == []
 
 
+def test_reader_refuses_uncommitted_index(spark, tmp_path):
+    """S5 load-failure delta (README): where the reference silently
+    starts EMPTY on a snapshot-load failure
+    (SearchEngineInitializer.java:116-131), this reader RAISES — an
+    uncommitted dir (no manifest.json, e.g. a crashed build that never
+    reached the atomic rename) must never serve as an empty index."""
+    empty = str(tmp_path / "never_committed")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        IndexReader(spark, empty)
+
+
 def test_reader_refuses_other_format_version(spark, base_index, tmp_path):
     """A manifest written by a different on-disk layout version must be
     refused by readers AND by build resume (the v1<->v2 doc_id mapping

@@ -218,8 +218,13 @@ def _session(cpus: int, scratch_need: int = 0):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scaling_bench_{cpus}")
-        .config("spark.sql.shuffle.partitions", str(4 * cpus))
+        # fixed, NOT 4*cpus: AQE-managed exchanges must coalesce to the
+        # same layout at every parallelism level (see PLAN_PARALLELISM)
+        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE's coalesce floor defaults to defaultParallelism — pin it
+        # so coalescing is purely size-driven and identical per level
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
@@ -269,6 +274,16 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+# The physical plan every child runs, regardless of its core count:
+# pinning plan_parallelism (and the session's shuffle.partitions, in
+# _session) means both cluster sizes execute IDENTICAL task graphs —
+# equal work by construction, verified by the per-launch index content
+# hash and the per-rep process-tree CPU accounting. Without this the
+# engine's core-adaptive defaults give the bigger cluster a different
+# (wider) plan and the comparison measures plan shape, not scaling.
+PLAN_PARALLELISM = 8
+
+
 def child(cpus: int, reps: int, corpus_dir: str,
           exchange: str = "fused") -> None:
     # shuffle spill ~ 3x corpus bytes (tokens exchange), index ~ 1.5x
@@ -292,7 +307,8 @@ def child(cpus: int, reps: int, corpus_dir: str,
     )
     # 10% slice: JVM JIT keeps compiling through the first full builds;
     # a too-small warmup leaves rep 0 measuring the compiler, not the engine
-    build_index(spark, corpus.where(F.col("doc_id") % 10 == 0), warm_dir)
+    build_index(spark, corpus.where(F.col("doc_id") % 10 == 0), warm_dir,
+                plan_parallelism=PLAN_PARALLELISM)
     shutil.rmtree(os.path.dirname(warm_dir), ignore_errors=True)
 
     runs = []
@@ -311,7 +327,8 @@ def child(cpus: int, reps: int, corpus_dir: str,
         c0 = _proc_cpu_sec(os.getpid())
         t0 = time.time()
         m = build_index(spark, corpus, index_dir,
-                        postings_exchange=exchange)
+                        postings_exchange=exchange,
+                        plan_parallelism=PLAN_PARALLELISM)
         runs.append(round(time.time() - t0, 3))
         cpu_secs.append(round(_proc_cpu_sec(os.getpid()) - c0, 1))
         stage_walls.append(

@@ -200,6 +200,7 @@ def build_index(
     progress: Optional[Callable] = None,
     postings_exchange: str = "fused",
     max_files_per_bucket: int = DEFAULT_MAX_FILES_PER_BUCKET,
+    plan_parallelism: Optional[int] = None,
 ) -> BuildManifest:
     """Build (or resume) a disk index from a corpus DataFrame.
 
@@ -254,6 +255,7 @@ def build_index(
                 spark, corpus, paths, index_dir, num_buckets, chunk_span,
                 block_size, bucket_groups, tokenizer, resume,
                 doc_id_partitions, postings_exchange, max_files_per_bucket,
+                plan_parallelism,
             )
     finally:
         # ALWAYS detach the job group — a stage failure must not leave
@@ -276,7 +278,17 @@ def _build_stages(
     doc_id_partitions: Optional[int],
     postings_exchange: str = "fused",
     max_files_per_bucket: int = DEFAULT_MAX_FILES_PER_BUCKET,
+    plan_parallelism: Optional[int] = None,
 ) -> BuildManifest:
+    # Every parallelism-derived plan constant below flows from ``par``.
+    # By default that's the cluster's core count (a lone build should
+    # use the machine it's on), but ``plan_parallelism`` pins it so the
+    # SAME physical plan — exchange widths, file layout, task
+    # boundaries — runs at any executor count: the property a
+    # two-cluster-size scaling comparison needs (equal work by
+    # construction), and the property a production pipeline wants when
+    # an index must be byte-stable across differently-sized clusters.
+    par = plan_parallelism or spark.sparkContext.defaultParallelism
     # Input-parallelism floor. A small-relative-to-cluster input (or a
     # coarse maxPartitionBytes) can leave the scan with ~1 split per
     # core: the tokenize+tf map stage then runs as a single wave with
@@ -284,7 +296,7 @@ def _build_stages(
     # postings stage at 500k docs). 3x parallelism gives wave overlap;
     # at real scale scans carry >> 3x cores splits and this is a no-op,
     # so the extra exchange only ever touches small inputs.
-    min_parts = 3 * spark.sparkContext.defaultParallelism
+    min_parts = 3 * par
     if corpus.rdd.getNumPartitions() < min_parts:
         corpus = corpus.repartition(min_parts)
 
@@ -320,7 +332,7 @@ def _build_stages(
         docs = with_doc_length(with_content_hash(base), tokenizer).select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256", "dl"
         )
-        parts = doc_id_partitions or spark.sparkContext.defaultParallelism
+        parts = doc_id_partitions or par
         # corpus stats ride the write itself (CollectMetrics above the
         # range exchange, below the partition-local sort, so the range
         # partitioner's sampling job never executes the metrics node
@@ -442,7 +454,7 @@ def _build_stages(
         # chunk_span docs, so reduce-side work stays balanced at any
         # cluster size. Partition count scales with cores (floor
         # num_buckets) and is explicit, which also pins AQE.
-        n_shuffle = max(num_buckets, 8 * spark.sparkContext.defaultParallelism)
+        n_shuffle = max(num_buckets, 8 * par)
         chunked_tok = part.withColumn(
             "chunk", (F.col("doc_id") / chunk_span).cast("long")
         )
@@ -563,7 +575,7 @@ def _build_stages(
                 F.first("bucket").alias("bucket"),
             )
         )
-        nparts = max(1, min(num_buckets, spark.sparkContext.defaultParallelism))
+        nparts = max(1, min(num_buckets, par))
         (
             terms.repartitionByRange(nparts, "term")
             .sortWithinPartitions("term")

@@ -40,11 +40,20 @@ from pyspark.sql import DataFrame, functions as F
 
 MAX_ROUNDS = 50  # hard stop: > log2 of any conceivable component chain
 
+# loop shuffle width: ~this many edge rows per partition. Every round
+# re-exchanges the (checkpointed, stats-less) label/edge frames, so the
+# width must follow the DATA — a 500-edge near-dup graph must not pay
+# 32-task sort-merge exchanges x 6 per round (measured 3.5-5.8 s/round
+# at sf0.1 vs ~0.3 s at width 2), while a 10^9-edge graph gets the
+# wide shuffles it needs.
+_ROWS_PER_PARTITION = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     max_rounds: int = MAX_ROUNDS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, component) for every node; ``component`` = min node id
     reachable through ``edges``. ``edges`` needs columns (src, dst),
@@ -56,8 +65,12 @@ def connected_components(
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    )
-    # undirected: propagate both ways through one directed table
+    ).localCheckpoint()
+    # undirected: propagate both ways through one directed table. The
+    # edge plan is lineage-cut FIRST: callers hand in pair-emitter
+    # output (e.g. the full MinHash band-join + verify), and a union of
+    # two copies of that plan evaluates it twice — measured 15.7 s vs
+    # 0.8 s for the checkpointed form at sf0.1.
     bi = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     bi = bi.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
@@ -65,6 +78,22 @@ def connected_components(
         F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("label")
     ).localCheckpoint()
 
+    spark = edges.sparkSession
+    if num_partitions is None:
+        n_rows = max(bi.count(), labels.count())
+        num_partitions = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            1 + n_rows // _ROWS_PER_PARTITION,
+        ))
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _cc_loop(bi, labels, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _cc_loop(bi: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
     for _ in range(max_rounds):
         # min neighbor label per node (partial+final agg: hot nodes
         # combine map-side; the key is the receiving node, so a hub's
@@ -102,3 +131,4 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+

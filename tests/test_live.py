@@ -203,7 +203,12 @@ def test_refresh_concurrency_sublinear(spark, base_index, tmp_path, monkeypatch)
     lv_serial = make("live_serial")
     lv_pool = make("live_pool")
 
-    delay = 0.15
+    # large enough that the injected (perfectly parallelizable) delay
+    # dominates the real per-query Spark work (~0.3-0.5 s each, which
+    # only partially overlaps through the driver): at 0.75 s x 20
+    # queries the serial floor is 15 s of sleep vs ~1.9 s pooled, so
+    # the /2 margin is safe even on a weather-disturbed host
+    delay = 0.75
     real_snapshot = LiveResults._snapshot
 
     def slow_snapshot(self, reader, terms, mode, k):

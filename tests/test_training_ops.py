@@ -174,3 +174,34 @@ def test_fingerprints_stable_for_dups(spark, docs):
     assert fp[0]["min_shingle_h"] == fp[1]["min_shingle_h"]
     assert fp[0]["min_shingle_h"] != fp[3]["min_shingle_h"]
     assert fp[4]["min_shingle_h"] is not None  # <3 tokens fallback
+
+
+def test_shingle_rows_window_form_matches_array_form(spark):
+    """The codegen window-lead shingle builder (dedup._shingle_rows)
+    must emit exactly the distinct (doc_id, s) set of the reference
+    shingles_col array expression — the form the DuckDB oracles mirror."""
+    from pyspark.sql import functions as F
+
+    from spark_search import dedup as DD
+    from spark_search.texthash import shingles_col
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),   # repeated shingles collapse
+            (2, "x y"),             # < n tokens -> no rows
+            (3, None),              # NULL content
+            (4, "p q r"),           # exactly one shingle
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            shingles_col(DD._toks(F.col("text")), DD.DEFAULT_N)
+        ).alias("s"),
+    )
+    new = DD._shingle_rows(docs, DD.DEFAULT_N)
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, ref.collect()))
+    # arrays carry the same SET per doc
+    arrs = {r.doc_id: sorted(r.arr) for r in DD._shingle_arrays(docs, 3).collect()}
+    assert arrs == {1: ["a b c", "b c d", "c d a", "d a b"], 4: ["p q r"]}

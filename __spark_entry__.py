@@ -637,7 +637,15 @@ def _q_vocab_coverage(spark, sf_dir):
 
 
 def _q_curation_decisions(spark, sf_dir):
-    return CU.curation_decisions(_docs_raw(spark, sf_dir))
+    # The library API keeps ``reasons`` as ARRAY<STRING>; the driver's
+    # canonicalizer (pandas sort_values) can't hash list cells, so the
+    # ENTRY pair projects the deterministic-order array to a '|'-joined
+    # string on BOTH sides (oracle uses array_to_string).
+    return CU.curation_decisions(_docs_raw(spark, sf_dir)).select(
+        "doc_id",
+        "keep",
+        F.array_join("reasons", "|").alias("reasons"),
+    )
 
 
 def _q_text_quality(spark, sf_dir):
@@ -872,7 +880,16 @@ FROM tf GROUP BY term
 """,
         "text_token_counts": TX.token_counts_sql(),
         "vocab_coverage": TX.vocab_coverage_sql(),
-        "curation_decisions": CU.curation_decisions_sql(),
+        "curation_decisions": (
+            # string-projected to match _q_curation_decisions (the driver
+            # canonicalizer can't hash ARRAY cells); order inside reasons
+            # is already deterministic on both engines
+            # DuckDB yields NULL for the empty array; Spark's array_join
+            # yields '' — coalesce so keep-rows agree
+            "SELECT doc_id, keep, "
+            "coalesce(array_to_string(reasons, '|'), '') AS reasons "
+            f"FROM ({CU.curation_decisions_sql()})"
+        ),
         "text_quality": TX.quality_scores_sql(),
         "text_repetition": TX.repetition_scores_sql(),
         "pack_sequences": SA.pack_sequences_sql(),

@@ -657,7 +657,9 @@ def _q_text_repetition(spark, sf_dir):
 
 
 def _q_pack_sequences(spark, sf_dir):
-    return SA.pack_sequences(_docs_raw(spark, sf_dir))
+    # shard count pinned EXPLICITLY: the library default is adaptive
+    # (cluster-sized), and the oracle below is parameterized identically
+    return SA.pack_sequences(_docs_raw(spark, sf_dir), n_shards=SA.DEFAULT_N_SHARDS)
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -754,7 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk_indexed": _q_bm25_or_indexed,
         "bm25_and_topk_indexed": _q_bm25_and_indexed,
         "bm25_prefix_topk_indexed": _q_bm25_prefix_indexed,
-        # Q3 suggestion expansion in-engine (same-length hamming<=d
+        # Q3 suggestion expansion in-engine (same-length levenshtein<=d
         # dictionary scan — the deterministic Hunspell analog), both
         # the declarative pipeline and the disk-index dictionary path
         "bm25_suggest_topk": _q_bm25_suggest,

@@ -85,37 +85,62 @@ def connected_components(
             spark.sparkContext.defaultParallelism,
             1 + n_rows // _ROWS_PER_PARTITION,
         ))
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-    try:
-        return _cc_loop(bi, labels, max_rounds)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    return _cc_loop(bi, labels, max_rounds, num_partitions)
 
 
-def _cc_loop(bi: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
+def _cc_loop(
+    bi: DataFrame, labels: DataFrame, max_rounds: int, width: int
+) -> DataFrame:
+    # Shuffle width is applied per-plan with explicit keyed
+    # repartition(width, key) calls, NOT by mutating the session-global
+    # spark.sql.shuffle.partitions: the repo runs queries from multiple
+    # threads on one SparkSession (pooled live refresh), and a shared
+    # conf flip would silently narrow every concurrent plan — and two
+    # concurrent component runs would race on the restore. Each join /
+    # aggregate below already required one exchange; the explicit
+    # repartition IS that exchange (Catalyst sees matching
+    # HashPartitioning(key, width) on both sides and adds no second
+    # one), so the plan has the same shuffle count at the data-sized
+    # width. Trade-off: the pre-shuffled min() runs as a complete
+    # aggregate (no map-side combine) — acceptable because min is
+    # all-reduce-cheap and hub fan-in is bounded by band sizes in every
+    # caller.
+    bi = bi.repartition(width, "dst").localCheckpoint()
+    changed = 0
     for _ in range(max_rounds):
-        # min neighbor label per node (partial+final agg: hot nodes
-        # combine map-side; the key is the receiving node, so a hub's
-        # outgoing updates spread over its neighbors' reducers)
+        # min neighbor label per node: edges pre-hashed on dst meet the
+        # label table hashed the same way, then the (src,label) stream
+        # re-keys on the receiving node, so a hub's outgoing updates
+        # spread over its neighbors' reducers
         nbr = (
-            bi.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
+            bi.join(
+                labels.select(F.col("id").alias("dst"), "label")
+                .repartition(width, "dst"),
+                "dst",
+            )
+            .select(F.col("src").alias("id"), "label")
+            .repartition(width, "id")
+            .groupBy("id")
             .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "id")
         )
         # pointer jump: label of my label (labels is both sides; the
         # right side is small after a few rounds but not broadcast —
         # |V| rows in general)
-        jump = labels.join(
-            labels.select(
-                F.col("id").alias("label"), F.col("label").alias("jump_label")
-            ),
-            "label",
-        ).select("id", "jump_label")
+        jump = (
+            labels.repartition(width, "label")
+            .join(
+                labels.select(
+                    F.col("id").alias("label"),
+                    F.col("label").alias("jump_label"),
+                ).repartition(width, "label"),
+                "label",
+            )
+            .select("id", "jump_label")
+        )
         new_labels = (
-            labels.join(nbr, "id", "left")
-            .join(jump, "id", "left")
+            labels.repartition(width, "id")
+            .join(nbr, "id", "left")
+            .join(jump.repartition(width, "id"), "id", "left")
             .select(
                 "id",
                 F.least(
@@ -130,5 +155,13 @@ def _cc_loop(bi: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # max_rounds of pointer jumping covers any component a real
+        # dataset can produce (2^50 chain); reaching it means the input
+        # violated a precondition — returning the partial labels would
+        # silently keep/drop documents inconsistently downstream.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     return labels.select("id", F.col("label").alias("component"))
 

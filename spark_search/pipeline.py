@@ -225,8 +225,11 @@ def suggest_terms(
     tokenizer: str = "standard",
 ) -> DataFrame:
     """(term) — every vocabulary term of the SAME LENGTH as a query term
-    within ``max_dist`` edits of it (equal lengths make Levenshtein
-    degrade to Hamming: substitutions only). The deterministic, in-engine
+    within ``max_dist`` LEVENSHTEIN edits of it (equal lengths do NOT
+    reduce Levenshtein to Hamming past d=1 — 'part'/'arts' is
+    Levenshtein 2, Hamming 4; all four suggest paths use Levenshtein:
+    here, IndexReader.suggest_terms cached+distributed, and the DuckDB
+    oracle). The deterministic, in-engine
     analog of the reference's Hunspell expansion, which filters
     suggestions to the query's length before searching each as EXACT
     (reference app/.../listener/SearchActionListener.java:44-48); the

@@ -181,12 +181,47 @@ def _term_ub(idf: float, max_tf: int) -> float:
 
 
 def _score_np(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
-    denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+    # avgdl == 0 only when every live doc is empty/deleted; any match then
+    # has tf == 0 so the score is 0 regardless — substitute 1.0 rather
+    # than emit a numpy divide warning on the degenerate index.
+    denom = tf + K1 * (1.0 - B + B * dl / (avgdl if avgdl > 0 else 1.0))
     return idf * tf * (K1 + 1.0) / denom
 
 
 def _idf(n_docs: float, df: float) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _levenshtein_within(a: str, b: str, max_dist: int) -> bool:
+    """True iff levenshtein(a, b) <= max_dist — banded DP, O(len·d)
+    per pair. This is the SAME metric as Spark's F.levenshtein and
+    DuckDB's levenshtein(), so the cached-dictionary suggest path and
+    the distributed fallback can never disagree (equal-length strings
+    are NOT Hamming-equivalent past d=1: 'part'/'arts' is Levenshtein 2,
+    Hamming 4)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_dist:
+        return False
+    if la == 0 or lb == 0:
+        return max(la, lb) <= max_dist
+    big = max_dist + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - max_dist)
+        hi = min(lb, i + max_dist)
+        cur = [big] * (lb + 1)
+        cur[0] = i
+        if lo > 1:
+            cur[lo - 1] = big
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[lo : hi + 1]) > max_dist:
+            return False
+        prev = cur
+    return prev[lb] <= max_dist
 
 
 def _rows_literal_df(spark: SparkSession, rows, fields) -> DataFrame:
@@ -942,11 +977,16 @@ class IndexReader:
         of any query term — the in-engine analog of the reference's
         Hunspell expansion (suggestions filtered to the query's length,
         each then searched EXACT — reference
-        app/.../listener/SearchActionListener.java:44-48). Equal lengths
-        reduce Levenshtein to Hamming, so the cached-dictionary path is
-        a zero-job python scan (bounded by the vocab cache cap); past
-        the cache gate the expansion runs as a distributed
-        length+levenshtein filter over the term-sorted dictionary files."""
+        app/.../listener/SearchActionListener.java:44-48). The metric is
+        LEVENSHTEIN everywhere (cached python path, distributed
+        fallback, pipeline.suggest_terms, DuckDB oracle): equal-length
+        strings can still transpose under edit distance ('part' vs
+        'arts' is Levenshtein 2 but Hamming 4), so the cached path runs
+        a banded O(len·max_dist) DP, not a per-char mismatch count. The
+        cached-dictionary path is a zero-job python scan (bounded by
+        the vocab cache cap); past the cache gate the expansion runs as
+        a distributed length+levenshtein filter over the term-sorted
+        dictionary files."""
         qterms = [t for t in dict.fromkeys(terms) if t]
         if not qterms:
             return []
@@ -958,7 +998,7 @@ class IndexReader:
                 by_len.setdefault(len(t), []).append(t)
             for q in qterms:
                 for t in by_len.get(len(q), ()):
-                    if sum(a != b for a, b in zip(t, q)) <= max_dist:
+                    if _levenshtein_within(t, q, max_dist):
                         out.add(t)
             return sorted(out)
         cond = None

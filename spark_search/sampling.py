@@ -15,41 +15,81 @@ Scale shape (the 100 TB question):
     inherently sequential (a doc's pack depends on everything before
     it), so the global problem is sharded: ``doc_id % n_shards`` splits
     the corpus into independent streams packed in parallel; each shard
-    is one sorted window partition.  n_shards is the parallelism knob —
-    at cluster scale you set it to O(cores), each shard holding
-    |corpus|/n_shards rows, and no two shards ever communicate.
-  * ``sample_stratified`` — one window over the stratum key.  Strata
-    (languages) are few and can be hot; the docstring notes the
-    two-phase variant (broadcast per-stratum counts, filter by hash
-    threshold) that removes the per-stratum sort when exact quotas can
-    be relaxed to hash-threshold quotas.
+    is one sorted window partition.  ``n_shards`` defaults adaptively
+    (max of cluster parallelism and rows/1M) so the naive call never
+    funnels a huge corpus through 16 tasks; pass it EXPLICITLY when the
+    output must be reproducible across differently-sized clusters (the
+    shard count is recorded in every output row).
+  * ``sample_stratified`` — NO per-stratum global window.  Strata
+    (languages) are few and hot: at 100 TB a single language is tens of
+    TB, and ``Window.partitionBy(lang)`` would sort it in ONE task.
+    Instead the exact rank decomposes over hash buckets: the bucket is
+    the TOP bits of the sampling hash, so (bucket, hash, doc_id) is the
+    same total order as (hash, doc_id); a tiny (lang × n_buckets) count
+    table gives every bucket its exact rank offset, buckets wholly past
+    the quota are dropped BEFORE any sort, and the remaining rows rank
+    inside (lang, bucket) windows of ~|stratum|/n_buckets rows.
+    ``n_buckets`` is a pure plan knob — the output is bit-identical for
+    any value — so it can scale with the data.
 
 Determinism rule: anything ordered is ordered by (key, doc_id), and the
 sampling "randomness" is Knuth's multiplicative hash of doc_id — exact
 64-bit integer arithmetic on both engines, no floats until the final
-ratio.
+ratio. The hash is computed in split 16-bit steps so no intermediate
+exceeds 2^48: the naive ``(doc_id * 2654435761) % 2^32`` overflows
+int64 once doc_id passes ~3.5e9 — Spark (non-ANSI) would wrap silently
+while DuckDB raises — which breaks the module's engine-identical claim
+exactly at the scale it exists for.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .tokenizer import tokens_col
 
 DEFAULT_BUDGET = 256          # tokens per training sequence
-DEFAULT_N_SHARDS = 16         # independent packing streams
 KNUTH = 2654435761            # multiplicative hash constant (2^32 / phi)
 HASH_MOD = 4294967296         # 2^32
+_ROWS_PER_SHARD = 1_000_000   # adaptive pack_sequences shard sizing
+_N_RANK_BUCKETS = 4096        # stratified-rank buckets (output-invariant)
+_BUCKET_SHIFT = 20            # 2^32 / 2^20 = 4096 buckets
+
+# kept for callers/tests that want the historical fixed default
+DEFAULT_N_SHARDS = 16
 
 
 def _n_tokens(col) -> "F.Column":
     return F.size(tokens_col(col, "whitespace")).cast("long")
 
 
+def knuth_hash(doc_id: Column) -> Column:
+    """``(doc_id * KNUTH) mod 2^32`` without int64 overflow: split the
+    32-bit input into 16-bit halves so every intermediate stays under
+    2^48. For doc_id < 2^32 this equals the naive product mod 2^32
+    (same congruence class), so small-scale results are unchanged;
+    past 2^32 the naive form overflows int64 (Spark wraps, DuckDB
+    raises) while this one keeps both engines bit-identical."""
+    d32 = doc_id.cast("long") % F.lit(HASH_MOD)
+    dh = F.shiftright(d32, 16)                      # high 16 bits
+    dl = d32.bitwiseAND(F.lit(65535))               # low 16 bits
+    hi = (dh * F.lit(KNUTH)) % F.lit(65536)         # < 2^16
+    return (hi * F.lit(65536) + dl * F.lit(KNUTH)) % F.lit(HASH_MOD)
+
+
+def knuth_hash_sql(expr: str) -> str:
+    """DuckDB rendering of knuth_hash — identical split arithmetic."""
+    d32 = f"(({expr})::BIGINT % {HASH_MOD})"
+    return (
+        f"((((({d32} // 65536) * {KNUTH}) % 65536) * 65536"
+        f" + ({d32} % 65536) * {KNUTH}) % {HASH_MOD})"
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = DEFAULT_BUDGET,
-    n_shards: int = DEFAULT_N_SHARDS,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """(doc_id, shard, pack_id, n_tokens, start_offset) — assign every
     document to a fixed-token-budget training sequence.
@@ -61,9 +101,25 @@ def pack_sequences(
     document granularity.  A pack may therefore overflow ``budget`` by
     less than its last document's length; documents are never split.
 
-    Deterministic: no RNG, no partition-order dependence — the window
-    is keyed (shard) and ordered (doc_id).
+    ``n_shards=None`` (default) sizes the shard count adaptively:
+    max(cluster defaultParallelism, rows/1M) — one cheap count job
+    (parquet metadata when docs is a raw scan) so the default call
+    neither caps a big cluster at 16 tasks nor funnels a 10^9-row
+    corpus through too few windows.  The shard assignment is part of
+    the OUTPUT, so for cross-cluster-reproducible results pass
+    ``n_shards`` explicitly (the driver entry pins 16 to match its
+    DuckDB oracle).
+
+    Deterministic given (input, n_shards): no RNG, no partition-order
+    dependence — the window is keyed (shard) and ordered (doc_id).
     """
+    if n_shards is None:
+        spark = docs.sparkSession
+        n_rows = docs.count()
+        n_shards = max(
+            spark.sparkContext.defaultParallelism,
+            1 + n_rows // _ROWS_PER_SHARD,
+        )
     tok = _n_tokens(F.col("text"))
     shard = (F.col("doc_id").cast("long") % n_shards).alias("shard")
     w = (
@@ -123,36 +179,69 @@ def sample_stratified(docs: DataFrame, frac: float = 0.25) -> DataFrame:
     doc_id).  Exact integer hash arithmetic ⇒ identical samples on
     every engine and partition layout.
 
-    Scale: one shuffle on ``lang`` + per-stratum sort.  For hot strata
-    where the sort dominates, the relaxed variant is two map-only
-    passes: broadcast per-stratum counts, keep rows with
-    ``hash < frac * 2^32`` — approximate quota, no sort; this operator
-    keeps the exact-quota semantics because sample sizes must be
-    reproducible for training-mixture bookkeeping.
+    Scale: the exact per-stratum rank is computed WITHOUT a
+    whole-stratum window.  The bucket id is the top 12 bits of the
+    hash, so ordering by (bucket, hash, doc_id) equals ordering by
+    (hash, doc_id); a (lang × 4096)-row count table (one tiny
+    aggregation) gives each bucket its exact rank offset and the
+    stratum size; buckets whose offset already exceeds the quota are
+    dropped before any sort; surviving rows get
+    ``offset + row_number() over (lang, bucket)`` — window partitions
+    of ~|stratum|/4096 rows instead of |stratum|.  The bucket count is
+    a plan constant, not an output parameter: any power of two yields
+    bit-identical results, so it can be raised for bigger corpora.
     """
-    h = ((F.col("doc_id").cast("long") * KNUTH) % HASH_MOD).alias("_h")
-    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
-    wn = Window.partitionBy("lang")
-    ranked = docs.select(
+    h = knuth_hash(F.col("doc_id")).alias("_h")
+    rows = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", h
+    ).withColumn("_b", F.shiftright(F.col("_h"), _BUCKET_SHIFT))
+
+    counts = rows.groupBy("lang", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("lang")
+    buckets = counts.select(
+        F.col("lang").alias("_lang"),
+        F.col("_b").alias("_bb"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_c").over(w_tot).cast("long").alias("strat_n"),
+    ).withColumn(
+        "_quota", F.ceil(F.col("strat_n") * F.lit(float(frac))).cast("long")
+    ).where(F.col("_offset") < F.col("_quota"))
+
+    w_in = Window.partitionBy("lang", "_b").orderBy("_h", "doc_id")
+    ranked = rows.join(
+        F.broadcast(buckets),
+        (rows["_b"] == buckets["_bb"])
+        & rows["lang"].eqNullSafe(buckets["_lang"]),
     ).select(
         "doc_id",
-        "lang",
-        F.row_number().over(w).cast("long").alias("strat_rank"),
-        F.count(F.lit(1)).over(wn).cast("long").alias("strat_n"),
+        rows["lang"].alias("lang"),
+        "_h",
+        "_b",
+        "strat_n",
+        "_quota",
+        (F.col("_offset") + F.row_number().over(w_in)).cast("long").alias(
+            "strat_rank"
+        ),
     )
-    return ranked.where(
-        F.col("strat_rank") <= F.ceil(F.col("strat_n") * F.lit(float(frac)))
+    return ranked.where(F.col("strat_rank") <= F.col("_quota")).select(
+        "doc_id", "lang", "strat_rank", "strat_n"
     )
 
 
 def sample_stratified_sql(frac: float = 0.25) -> str:
+    # the oracle keeps the direct whole-stratum window (DuckDB,
+    # sf<=0.01) but MUST use the same overflow-safe hash expression
     return f"""
 WITH ranked AS (
   SELECT doc_id::BIGINT AS doc_id, lang,
          row_number() OVER (
              PARTITION BY lang
-             ORDER BY (doc_id * {KNUTH}) % {HASH_MOD}, doc_id
+             ORDER BY {knuth_hash_sql("doc_id")}, doc_id
          )::BIGINT AS strat_rank,
          count(*) OVER (PARTITION BY lang)::BIGINT AS strat_n
   FROM documents

@@ -183,3 +183,34 @@ def test_declarative_bm25_has_wholestage_codegen(spark, corpus):
         df._jdf.queryExecution(), "simple"
     )
     assert "*(" in plan  # whole-stage codegen spans present
+
+
+def test_sample_stratified_no_whole_stratum_window(spark, sf_docs):
+    """The row-level rank window must partition by (lang, bucket), never
+    lang alone — a per-stratum window routes an entire language (tens of
+    TB at 100 TB scale) through ONE task's sort. The only lang-only
+    windows allowed are over the tiny (lang x n_buckets) count table."""
+    from spark_search.sampling import sample_stratified
+
+    plan = plan_of(sample_stratified(sf_docs))
+    specs = [
+        seg.split(")", 1)[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    row_rank_specs = [s for s in specs if "_h" in s and "doc_id" in s]
+    assert row_rank_specs, plan  # the rank window exists
+    for s in row_rank_specs:
+        assert "_b" in s, s  # ...and is bucket-partitioned
+    # the offset/total windows run over the counts aggregate, whose
+    # input is the (lang, _b) groupBy — assert the aggregate exists
+    assert "_b" in plan
+
+
+def test_sample_stratified_bucket_join_is_broadcast(spark, sf_docs):
+    """The (lang x n_buckets) offset table joins back row-side as a
+    broadcast — never a corpus-wide shuffle."""
+    from spark_search.sampling import sample_stratified
+
+    plan = plan_of(sample_stratified(sf_docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

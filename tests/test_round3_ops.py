@@ -54,6 +54,35 @@ def test_connected_components_long_chain_converges(spark):
     assert got.where(F.col("component") != 0).count() == 0
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exhausting max_rounds with labels still moving must fail loudly —
+    partial labels would keep/drop documents inconsistently downstream.
+    A 20-node chain cannot converge in 1 round."""
+    import pytest as _pytest
+
+    from spark_search.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_rounds=1)
+
+
+def test_connected_components_leaves_session_conf_alone(spark):
+    """The loop sizes its own exchanges with explicit repartition(width,
+    key); it must never flip spark.sql.shuffle.partitions — concurrent
+    queries on the shared session would silently run narrowed."""
+    from spark_search.graph import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    connected_components(edges, nodes).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_dup_clusters_transitive_closure(spark):
     """dup_clusters must agree with a python union-find over the
     engine's own minhash pairs — including transitivity (a~b, b~c
@@ -171,6 +200,72 @@ def test_search_suggest_indexed_matches_declarative(spark, tmp_path):
     assert [(r["doc_id"], round(r["score"], 9), r["rank"]) for r in got] == [
         (r["doc_id"], round(r["score"], 9), r["rank"]) for r in want
     ]
+
+
+def test_suggest_metric_is_levenshtein_at_dist2(spark, tmp_path, monkeypatch):
+    """max_dist=2 divergence pin: 'part' vs 'arts' is Levenshtein 2 but
+    Hamming 4 — a per-char mismatch count on the cached-dictionary path
+    would drop 'arts' while the distributed F.levenshtein fallback,
+    pipeline.suggest_terms, and the DuckDB oracle all keep it. All four
+    paths must agree on ONE metric (Levenshtein)."""
+    import spark_search.query as Q
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = _mk_corpus(
+        spark,
+        [
+            "part of the machine",
+            "arts and crafts fair",
+            "port in a storm",
+            "unrelated words only",
+        ],
+    )
+    want = ["arts", "part", "port"]  # levenshtein<=2 among the len-4 vocab
+    got_decl = sorted(
+        r["term"]
+        for r in P.suggest_terms(corpus, ["part"], max_dist=2).collect()
+        if len(r["term"]) == 4 and r["term"] in {"arts", "part", "port"}
+    )
+    assert got_decl == want
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d)
+
+    rd = IndexReader(spark, d)  # cached python path (vocab under the cap)
+    assert rd._ensure_dict() is not None
+    cached = [t for t in rd.suggest_terms(["part"], 2) if t in set(want)]
+    assert cached == want
+
+    monkeypatch.setattr(Q, "_DICT_CACHE_CAP", 0)  # force distributed path
+    rd2 = IndexReader(spark, d)
+    assert rd2._ensure_dict() is None
+    dist = [t for t in rd2.suggest_terms(["part"], 2) if t in set(want)]
+    assert dist == want
+
+
+def test_levenshtein_within_matches_reference_dp():
+    """Banded DP == classic full DP over a brute-force sample."""
+    from spark_search.query import _levenshtein_within
+
+    def full(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    words = ["", "a", "ab", "part", "arts", "port", "parts", "strap",
+             "mila", "milk", "mill", "miles", "lamp", "plan"]
+    for a in words:
+        for b in words:
+            for d in (0, 1, 2, 3):
+                assert _levenshtein_within(a, b, d) == (full(a, b) <= d), (
+                    a, b, d)
 
 
 # ------------------------------------------------------ phrase queries
@@ -443,6 +538,81 @@ def test_sample_stratified_exact_quota(spark):
     assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
     # ranks are 1..quota within each stratum
     assert sorted(r.strat_rank for r in by_lang["de"]) == [1, 2, 3]
+
+
+def test_sample_stratified_bucketed_rank_matches_global_window(spark):
+    """The bucket-decomposed exact rank must reproduce the direct
+    whole-stratum window rank bit-for-bit — including hash ties
+    (impossible across buckets, broken by doc_id within) — on a
+    multi-lang corpus big enough to populate many buckets."""
+    from spark_search.sampling import knuth_hash, sample_stratified
+
+    docs = spark.createDataFrame(
+        [(i, "x", ["en", "de", "fr"][i % 3]) for i in range(900)],
+        "doc_id long, text string, lang string",
+    )
+    got = sorted(map(tuple, sample_stratified(docs, frac=0.2).collect()))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    wn = Window.partitionBy("lang")
+    ref = (
+        docs.select("doc_id", "lang", knuth_hash(F.col("doc_id")).alias("_h"))
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("strat_rank"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("strat_n"),
+        )
+        .where(F.col("strat_rank") <= F.ceil(F.col("strat_n") * F.lit(0.2)))
+    )
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
+
+
+def test_knuth_hash_overflow_safe_and_engine_identical(spark):
+    """doc_id past 2^32 must hash identically in Spark and DuckDB with
+    no int64 overflow (the naive doc_id*KNUTH product overflows at
+    ~3.5e9: Spark wraps silently, DuckDB raises)."""
+    import duckdb
+
+    from spark_search.sampling import HASH_MOD, KNUTH, knuth_hash, knuth_hash_sql
+
+    ids = [0, 1, 12345, 3_500_000_000, 2**32 - 1, 2**32, 10**10, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", knuth_hash(F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        (dh,) = con.execute(
+            f"SELECT {knuth_hash_sql(str(i))}"
+        ).fetchone()
+        assert got[i] == dh, (i, got[i], dh)
+        # ground truth via python big ints
+        assert got[i] == (i * KNUTH) % HASH_MOD, i
+
+
+def test_pack_sequences_default_shards_scale_with_cluster(spark):
+    """The adaptive default must track cluster parallelism (never the
+    old fixed 16-task ceiling) and stay deterministic given an explicit
+    shard count."""
+    from spark_search.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(200)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs)  # adaptive default
+    n_shards = out.select(F.countDistinct("shard")).first()[0]
+    cores = spark.sparkContext.defaultParallelism
+    # 200 docs over max(cores, 1) shards: every shard id < the adaptive
+    # count, and the count is >= min(cores, 200 distinct ids possible)
+    assert out.select(F.max("shard")).first()[0] < max(cores, 1)
+    assert n_shards >= min(cores, 200) // 2  # shards actually spread
 
 
 def test_shaping_ops_no_row_at_a_time_python(spark):

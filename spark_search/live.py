@@ -64,6 +64,12 @@ _DIFF_FIELDS = [
 # stable across decode orders.
 _SCORE_DECIMALS = 9
 
+# every refresh appends one tiny parquet file (coalesce(1)); past this
+# many part-files the log is rewritten into one — bounding file count
+# (and so open/list cost) under arbitrarily frequent refresh instead of
+# growing without limit
+_LOG_COMPACT_FILES = 64
+
 
 def _diff_rows(
     name: str, old: List[dict], new: List[dict]
@@ -269,15 +275,56 @@ class LiveResults:
             batch.coalesce(1).write.mode("append").parquet(
                 os.path.join(self.state_dir, "log")
             )
+            self._maybe_compact_log()
         return diff
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.state_dir, "log")
+
+    def _maybe_compact_log(self) -> None:
+        """Rewrite the append-only event log into one file once its
+        part-file count passes ``_LOG_COMPACT_FILES`` — the same story
+        as the index's segment auto-compaction (streaming.py), applied
+        to the S7 sink. Restart-proof: the trigger is the on-disk file
+        count, no counter state. Crash windows leave either the old dir
+        (swap not started) or ``log.old`` (swap interrupted) — both
+        readable by event_log()."""
+        log_dir = self._log_dir()
+        try:
+            parts = [
+                f for f in os.listdir(log_dir)
+                if f.startswith("part-") and not f.endswith(".crc")
+            ]
+        except FileNotFoundError:
+            return
+        if len(parts) < _LOG_COMPACT_FILES:
+            return
+        import shutil
+
+        tmp = log_dir + ".compacting"
+        old = log_dir + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        self.spark.read.parquet(log_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(log_dir, old)
+        os.rename(tmp, log_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     def event_log(self) -> DataFrame:
         """All diffs ever emitted (the S7 live-result sink analog).
         Refreshes only create the log on a non-empty diff, so before
         any diff has been emitted this returns an EMPTY frame with the
         full log schema instead of raising path-not-found."""
-        log_dir = os.path.join(self.state_dir, "log")
+        log_dir = self._log_dir()
         if not os.path.isdir(log_dir):
+            # crash window of _maybe_compact_log: the compacted copy
+            # was built but the swap didn't finish — the .old dir holds
+            # the complete log
+            old = log_dir + ".old"
+            if os.path.isdir(old):
+                return self.spark.read.parquet(old)
             schema = T.StructType(
                 DIFF_SCHEMA.fields
                 + [

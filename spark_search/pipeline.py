@@ -294,18 +294,39 @@ def tokens_pos(corpus: DataFrame, tokenizer: str = "standard") -> DataFrame:
 
 
 def _phrase_occurrences(tp: DataFrame, phrase: List[str]) -> DataFrame:
-    """(doc_id, pos) of each full-phrase occurrence start. Chain of
-    equi-joins on (doc_id, pos): term i's positions shifted by -i so
-    a full match aligns on the start position. Every join input is
-    pre-filtered to ONE term's occurrences — the shuffled volume is
-    Σ cf(term_i), never the token stream."""
-    occ = tp.where(F.col("term") == phrase[0]).select("doc_id", "pos")
-    for i, t in enumerate(phrase[1:], 1):
-        nxt = tp.where(F.col("term") == t).select(
-            "doc_id", (F.col("pos") - i).alias("pos")
+    """(doc_id, pos) of each full-phrase occurrence start — ONE pass.
+
+    The token stream is filtered once to the phrase's term SET (one
+    scan/tokenize of the input; shuffled volume Σ cf(term_i), never the
+    token stream), then a single (doc_id)-keyed window checks adjacency
+    with ``lead``: a start at ``pos`` requires the j-th following
+    SURVIVING row to sit at ``pos + j`` holding ``phrase[j]`` — valid
+    because any intervening non-phrase token would break the pos
+    contiguity, and any intervening phrase token is itself in the
+    filtered stream. This replaces the previous chain of p-1
+    (doc_id, pos) equi-joins, each of which re-scanned and re-tokenized
+    the input for its one term (measured on the indexed path: the
+    candidate decode + tokenize ran once per phrase term)."""
+    uniq = list(dict.fromkeys(phrase))
+    stream = tp.where(F.col("term").isin(uniq))
+    if len(phrase) == 1:
+        return stream.where(F.col("term") == phrase[0]).select(
+            "doc_id", "pos"
         )
-        occ = occ.join(nxt, ["doc_id", "pos"])
-    return occ
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = []
+    for j in range(1, len(phrase)):
+        leads.append(F.lead("pos", j).over(w).alias(f"_p{j}"))
+        leads.append(F.lead("term", j).over(w).alias(f"_t{j}"))
+    dfw = stream.select("doc_id", "pos", "term", *leads)
+    cond = F.col("term") == phrase[0]
+    for j, t in enumerate(phrase[1:], 1):
+        cond = (
+            cond
+            & (F.col(f"_p{j}") == F.col("pos") + j)
+            & (F.col(f"_t{j}") == t)
+        )
+    return dfw.where(cond).select("doc_id", "pos")
 
 
 def phrase_topk(

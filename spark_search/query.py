@@ -1106,7 +1106,6 @@ class IndexReader:
             bm25_score_col,
             tokens_pos,
         )
-        from .tokenizer import tokens_col
 
         phrase = [t for t in phrase if t]
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -1125,12 +1124,18 @@ class IndexReader:
         occ = _phrase_occurrences(tokens_pos(docs, self.tokenizer), phrase)
         tf = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("tf"))
         dfreq = tf.agg(F.count("*").cast("double").alias("df"))
-        dl = docs.select(
-            "doc_id",
-            F.size(tokens_col(F.col("content"), self.tokenizer)).alias("dl"),
+        # doc lengths come from the index REGISTRY (written at build
+        # time with this reader's tokenizer), not from re-tokenizing
+        # candidate content a second time — the occurrence scan above
+        # is now the only tokenize pass in the whole query
+        dl = self.docs_df().select("doc_id", "dl").join(
+            F.broadcast(cand), "doc_id"
         )
         scored = (
-            tf.join(dl, "doc_id")
+            # tf is bounded by the candidate set; broadcasting it keeps
+            # the registry dl scan shuffle-free (stats were lost at the
+            # index scan, so the planner would otherwise sort-merge)
+            dl.join(F.broadcast(tf), "doc_id")
             .crossJoin(F.broadcast(dfreq))
             .withColumn(
                 "score",

@@ -340,58 +340,80 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
       * ``top_bigram_share`` — tokens covered by the single most
         frequent bigram, as a fraction of all tokens (count × 2 / n)
 
-    All three are higher-order-function expressions over the per-row
-    token array — map-only, zero shuffle, zero Python, so the plan is
-    a single codegen'd scan at any corpus size. The top-bigram count
-    is O(d·g) per row (d distinct bigrams scanned per distinct value);
-    documents are bounded (split upstream), so per-row cost is bounded.
+    Plan shape: exploded token rows + one window ``lead`` build the
+    n-grams (the dedup._shingle_rows codegen pattern — NOT per-row
+    higher-order-function lambdas, which run on Spark's interpreted
+    expression path; and NOT the previous array_max(transform(
+    array_distinct, filter)) top-bigram scan, which was O(distinct²)
+    PER ROW — a 10k-token document cost ~10⁸ interpreted string
+    comparisons in one row). One doc_id-keyed exchange; every
+    aggregation on top of it (per-doc distinct counts, the
+    (doc_id, bigram) counts and their per-doc max) reuses that
+    partitioning, so per-doc work is linear in document length and
+    whole-stage-codegen'd end to end.
     """
     t = _toks(F.col("text"))
-    nt = F.size(t)
-    safe_n = F.when(nt > 0, nt.cast("double")).otherwise(F.lit(1.0))
-
-    def grams(arr, k):
-        return F.when(
-            F.size(arr) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(arr, i + j) for j in range(k)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    gn = grams(t, n)
-    g2 = grams(t, 2)
-    n_gn = F.size(gn)
-    safe_gn = F.when(n_gn > 0, n_gn.cast("double")).otherwise(F.lit(1.0))
-    top2 = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(g2),
-                lambda x: F.size(F.filter(g2, lambda y: y == x)),
-            )
-        ),
-        F.lit(0),
-    )
-    return docs.select(
+    base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        nt.cast("long").alias("n_tokens"),
-        F.round(
-            F.when(
-                nt > 0, F.lit(1.0) - F.size(F.array_distinct(t)) / safe_n
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_token_frac"),
-        F.round(
-            F.when(
-                n_gn > 0, F.lit(1.0) - F.size(F.array_distinct(gn)) / safe_gn
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_ngram_frac"),
-        F.round(top2.cast("double") * 2.0 / safe_n, 6).alias(
-            "top_bigram_share"
-        ),
+        F.size(t).cast("long").alias("n_tokens"),
+    )
+    ex = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(t).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(w) for j in range(1, n)]
+    gn = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads)
+    )  # null past the doc tail -> count()/countDistinct() skip it
+    g2 = F.when(
+        F.lead("w", 1).over(w).isNotNull(),
+        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(w)),
+    )
+    wdf = ex.select("doc_id", "w", gn.alias("_gn"), g2.alias("_g2"))
+    per_doc = wdf.groupBy("doc_id").agg(
+        F.countDistinct("w").alias("_d_tok"),
+        F.count("_gn").alias("_n_gn"),
+        F.countDistinct("_gn").alias("_d_gn"),
+    )
+    top2 = (
+        wdf.where(F.col("_g2").isNotNull())
+        .groupBy("doc_id", "_g2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top2"))
+    )
+    nt = F.col("n_tokens")
+    safe_n = F.when(nt > 0, nt.cast("double")).otherwise(F.lit(1.0))
+    n_gn = F.coalesce(F.col("_n_gn"), F.lit(0))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.when(
+                    nt > 0,
+                    F.lit(1.0) - F.col("_d_tok").cast("double") / safe_n,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.when(
+                    n_gn > 0,
+                    F.lit(1.0)
+                    - F.col("_d_gn").cast("double") / n_gn.cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ngram_frac"),
+            F.round(
+                F.coalesce(F.col("_top2"), F.lit(0)).cast("double")
+                * 2.0
+                / safe_n,
+                6,
+            ).alias("top_bigram_share"),
+        )
     )
 
 

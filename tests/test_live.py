@@ -180,11 +180,19 @@ def test_event_log_empty_before_any_diff(spark, tmp_path):
 
 
 def test_refresh_concurrency_sublinear(spark, base_index, tmp_path, monkeypatch):
-    """Refresh wall must be ~max(query), not Σ(query): with 20
+    """Refresh must actually overlap query evaluation: with 20
     registered queries whose evaluation is stubbed to a fixed delay,
-    the pooled refresh (8 workers) must beat the serial baseline by
-    well over the flake margin, and both must produce identical
-    diffs/state."""
+    the pooled refresh (8 workers) must run many snapshots
+    CONCURRENTLY while the serial baseline runs exactly one at a time,
+    and both must produce identical diffs/state.
+
+    Asserted on injected-delay interval accounting (recorded
+    start/end per snapshot call), NOT on a wall-clock ratio: this
+    host has documented multi-second page-fault stall episodes
+    (BASELINE.md §4.5) that made the previous `pool < serial/2`
+    wall-time margin flake at 1.83x while the concurrency itself was
+    working."""
+    import threading
     import time as _t
 
     from spark_search import live as live_mod
@@ -203,32 +211,80 @@ def test_refresh_concurrency_sublinear(spark, base_index, tmp_path, monkeypatch)
     lv_serial = make("live_serial")
     lv_pool = make("live_pool")
 
-    # large enough that the injected (perfectly parallelizable) delay
-    # dominates the real per-query Spark work (~0.3-0.5 s each, which
-    # only partially overlaps through the driver): at 0.75 s x 20
-    # queries the serial floor is 15 s of sleep vs ~1.9 s pooled, so
-    # the /2 margin is safe even on a weather-disturbed host
-    delay = 0.75
+    delay = 0.3
     real_snapshot = LiveResults._snapshot
+    intervals = []
+    lock = threading.Lock()
 
     def slow_snapshot(self, reader, terms, mode, k):
+        t0 = _t.monotonic()
         _t.sleep(delay)
-        return real_snapshot(self, reader, terms, mode, k)
+        out = real_snapshot(self, reader, terms, mode, k)
+        with lock:
+            intervals.append((t0, _t.monotonic()))
+        return out
+
+    def max_concurrency():
+        events = sorted(
+            [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals]
+        )
+        cur = peak = 0
+        for _, d in events:
+            cur += d
+            peak = max(peak, cur)
+        return peak
 
     # patch AFTER registration so only the refresh path pays the delay
     monkeypatch.setattr(live_mod.LiveResults, "_snapshot", slow_snapshot)
 
-    t0 = _t.time()
     diff_serial = lv_serial.refresh(index_dir=gen2, max_workers=1).collect()
-    serial_wall = _t.time() - t0
+    serial_peak = max_concurrency()
 
-    t0 = _t.time()
+    intervals.clear()
     diff_pool = lv_pool.refresh(index_dir=gen2, max_workers=8).collect()
-    pool_wall = _t.time() - t0
+    pool_peak = max_concurrency()
 
     key = lambda r: (r["query"], r["event"], r["doc_id"])  # noqa: E731
     assert sorted(map(key, diff_pool)) == sorted(map(key, diff_serial))
     assert len(diff_pool) > 0  # doc 4 was tombstoned: REMOVEs must appear
-    # 20 x 0.15 s = 3 s of injected delay serial vs ~0.45 s pooled;
-    # require 2x to stay far from both the flake floor and Spark jitter
-    assert pool_wall < serial_wall / 2, (pool_wall, serial_wall)
+    assert serial_peak == 1, serial_peak  # max_workers=1 stays serial
+    # 20 tasks over 8 workers with a 0.3 s floor each: a working pool
+    # must show >=4 snapshots in flight at once even if the host stalls
+    # individual threads (stalls LENGTHEN intervals, which can only
+    # increase observed overlap, never fake serialism)
+    assert pool_peak >= 4, pool_peak
+
+
+def test_event_log_file_count_bounded(spark, base_index, tmp_path, monkeypatch):
+    """Frequent refreshes must not grow the event log's file count
+    without bound: each refresh appends one coalesce(1) part-file, and
+    past the compaction threshold the log is rewritten into one file —
+    with no rows lost."""
+    from spark_search import live as live_mod
+
+    monkeypatch.setattr(live_mod, "_LOG_COMPACT_FILES", 4)
+
+    gen2 = str(tmp_path / "gen2")
+    delete_docs(spark, base_index, gen2, [4])
+
+    lv = LiveResults(spark, str(tmp_path / "live_bounded"))
+    lv.register("q", ["mila"], k=10, index_dir=base_index)
+
+    def parts():
+        d = os.path.join(str(tmp_path / "live_bounded"), "log")
+        if not os.path.isdir(d):
+            return 0
+        return len([
+            f for f in os.listdir(d)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ])
+
+    total = 0
+    # alternate generations so every refresh emits a non-empty diff
+    for i in range(16):
+        gen = gen2 if i % 2 == 0 else base_index
+        total += lv.refresh(index_dir=gen).count()
+        assert parts() <= 4, parts()
+
+    assert lv.event_log().count() == total
+    assert total > 0

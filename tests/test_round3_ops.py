@@ -137,7 +137,7 @@ def test_dup_clusters_transitive_closure(spark):
 # ------------------------------------------------ suggestion expansion
 
 
-def test_suggest_terms_same_length_hamming(spark):
+def test_suggest_terms_same_length_levenshtein(spark):
     corpus = _mk_corpus(
         spark,
         [

@@ -72,6 +72,26 @@ def _indexed_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return ent[1]
 
 
+# Separate cache for the positions=True index variant (phrase queries
+# answered WITHOUT reading document content — build.py PLISTS_SCHEMA).
+_POS_INDEX_DIRS: dict[str, str] = {}
+_POS_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _positional_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    key = os.path.abspath(sf_dir)
+    d = _POS_INDEX_DIRS.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="sgraft-posidx-")
+        build_index(spark, _corpus(spark, sf_dir), d, positions=True)
+        _POS_INDEX_DIRS[key] = d
+    ent = _POS_READERS.get(key)
+    if ent is None or ent[0] != id(spark):
+        ent = (id(spark), IndexReader(spark, d))
+        _POS_READERS[key] = ent
+    return ent[1]
+
+
 def _indexed_topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
     """BM25 top-k answered by the disk index (build_index →
     IndexReader.search): codec decode, chunk pruning, block-max
@@ -274,6 +294,16 @@ def _q_bm25_phrase(spark, sf_dir):
 def _q_bm25_phrase_indexed(spark, sf_dir):
     rd = _indexed_reader(spark, sf_dir)
     return _round_result(rd.search_phrase(PHRASE, _corpus(spark, sf_dir), k=10))
+
+
+def _q_bm25_phrase_positional(spark, sf_dir):
+    """Exact-phrase BM25 answered ENTIRELY from a positional index
+    (build positions=True): occurrence starts decode from the stored
+    per-(term, doc) position lists — no document content is read at
+    query time. Same oracle as the content-rescan phrase paths: all
+    three are score-identical by construction."""
+    rd = _positional_reader(spark, sf_dir)
+    return _round_result(rd.search_phrase(PHRASE, k=10))
 
 
 def _q_match_set_indexed(spark, sf_dir):
@@ -766,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # match_docs AND before verification
         "bm25_phrase_topk": _q_bm25_phrase,
         "bm25_phrase_topk_indexed": _q_bm25_phrase_indexed,
+        "bm25_phrase_topk_positional": _q_bm25_phrase_positional,
         # un-truncated index match set (reference getValue semantics)
         "match_set_exact_indexed": _q_match_set_indexed,
         "reverse_doc_terms_indexed": _q_reverse_doc_terms_indexed,
@@ -833,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_phrase_topk": _bm25_phrase_oracle(PHRASE),
         "bm25_phrase_topk_indexed": _bm25_phrase_oracle(PHRASE),
+        "bm25_phrase_topk_positional": _bm25_phrase_oracle(PHRASE),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
         "bm25_or_topk_term_deleted": _bm25_term_deleted_oracle(),
         "live_result_diffs": _live_diff_oracle(),

@@ -150,6 +150,21 @@ def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
     reader.search_suggest(["part"], max_dist=2, k=10).collect()
     extra["q_suggest_indexed"] = round(time.time() - tq, 3)
 
+    # positional index variant: phrase answered with ZERO content reads
+    # (opt-in positions=True build; its build time is reported
+    # separately and is NOT part of the headline `value`)
+    pos_dir = os.path.join(tempfile.mkdtemp(prefix="bench_posidx_"), "index")
+    t0 = time.time()
+    build_index(spark, corpus, pos_dir, positions=True)
+    timings["index_build_positional"] = round(time.time() - t0, 3)
+    pos_reader = IndexReader(spark, pos_dir)
+    # same protocol as q_phrase_indexed: one timed cold-cache call on a
+    # warm session (workers/codegen already spun up by earlier queries)
+    tq = time.time()
+    pos_reader.search_phrase(["table", "hash"], k=10).collect()
+    extra["q_phrase_positional"] = round(time.time() - tq, 3)
+    shutil.rmtree(os.path.dirname(pos_dir), ignore_errors=True)
+
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
     from spark_search import dedup as DD

@@ -46,7 +46,7 @@ from .checkpoint import (
     IndexFormatError,
     corpus_fingerprint,
 )
-from .codec import encode_blocks_batch
+from .codec import encode_blocks_batch, encode_positions_batch
 from .ids import with_content_hash, with_doc_ids, with_doc_length
 from .progress import ProgressReporter, dir_bytes
 from .stats import CorpusStats
@@ -83,6 +83,14 @@ BLOCKS_SCHEMA = (
     " deltas: binary, tfs: binary>>"
 )
 
+# per-(term, doc) varint-encoded token positions, present on postings
+# rows only when the index was built with positions=True. doc_id is
+# EMBEDDED in each entry (self-describing, no alignment invariant with
+# the blocks column), so maintenance rewrites may leave stale entries
+# for removed (term, doc) pairs — the phrase query derives candidates
+# from blocks and semi-joins plists on them, so stale entries are inert
+PLISTS_SCHEMA = "array<struct<doc_id: long, poss: binary>>"
+
 
 def bucket_col(term_col, num_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(num_buckets)).cast("int")
@@ -114,6 +122,17 @@ def _encode_udf(block_size: int):
         return pd.Series(out)
 
     return encode
+
+
+def _encode_positions_udf():
+    @F.pandas_udf("binary")
+    def enc_pos(poss: pd.Series) -> pd.Series:
+        # one vectorized pass over the whole Arrow batch (codec
+        # encode_positions_batch) — the long tail of tf≈1 pairs never
+        # pays per-list call overhead
+        return pd.Series(encode_positions_batch(list(poss)))
+
+    return enc_pos
 
 
 @dataclass
@@ -201,8 +220,21 @@ def build_index(
     postings_exchange: str = "fused",
     max_files_per_bucket: int = DEFAULT_MAX_FILES_PER_BUCKET,
     plan_parallelism: Optional[int] = None,
+    positions: bool = False,
 ) -> BuildManifest:
     """Build (or resume) a disk index from a corpus DataFrame.
+
+    ``positions=True`` additionally stores per-(term, doc) token
+    positions (``plists`` column on postings rows, PLISTS_SCHEMA) so
+    phrase queries never re-read document content — the opt-in trade
+    the reference declined (its index is a doc-level filter and
+    positions are recomputed at query time,
+    reference search/SimpleSearchManager.java:187-214,
+    tree/TreeNode.java:18). Costs ~cf varints of index bytes and a
+    heavier build agg; costs NOTHING at query time for non-phrase
+    queries (parquet is columnar — the plists column is simply never
+    read). Default False keeps the index byte-identical to older
+    builds.
 
     ``corpus`` may or may not already carry ``doc_id``; if absent, ids
     are assigned deterministically (ids.with_doc_ids).
@@ -255,7 +287,7 @@ def build_index(
                 spark, corpus, paths, index_dir, num_buckets, chunk_span,
                 block_size, bucket_groups, tokenizer, resume,
                 doc_id_partitions, postings_exchange, max_files_per_bucket,
-                plan_parallelism,
+                plan_parallelism, positions,
             )
     finally:
         # ALWAYS detach the job group — a stage failure must not leave
@@ -279,6 +311,7 @@ def _build_stages(
     postings_exchange: str = "fused",
     max_files_per_bucket: int = DEFAULT_MAX_FILES_PER_BUCKET,
     plan_parallelism: Optional[int] = None,
+    positions: bool = False,
 ) -> BuildManifest:
     # Every parallelism-derived plan constant below flows from ``par``.
     # By default that's the cluster's core count (a lone build should
@@ -322,6 +355,7 @@ def _build_stages(
         "block_size": block_size,
         "tokenizer": tokenizer,
         "format": "parquet",
+        "positions": bool(positions),
     }
     manifest.save_partial()
 
@@ -413,11 +447,21 @@ def _build_stages(
         )
         base = corpus.join(docs_ids, ["repo", "path", "commit"])
 
-    tok = P.tokens(base, tokenizer).withColumn(
-        "bucket", bucket_col(F.col("term"), num_buckets)
-    )
+    # positional builds carry the token's in-doc position through the
+    # SAME single exchange — no second tokenize pass; the only extra agg
+    # state is collect_list(pos) per (term, doc)
+    tok = (
+        P.tokens_pos(base, tokenizer) if positions else P.tokens(base, tokenizer)
+    ).withColumn("bucket", bucket_col(F.col("term"), num_buckets))
 
     encode = _encode_udf(block_size)
+    enc_pos = _encode_positions_udf() if positions else None
+    tf_aggs = [F.count("*").cast("int").alias("tf")]
+    if positions:
+        tf_aggs.append(F.sort_array(F.collect_list("pos")).alias("_poss"))
+    pstruct = (
+        F.struct("doc_id", "tf", "pb") if positions else F.struct("doc_id", "tf")
+    )
     for g in range(bucket_groups):
         stage = f"postings-{g}/{bucket_groups}"
         if resume and manifest.stage_done(stage, fingerprint):
@@ -467,18 +511,23 @@ def _build_stages(
             # posting-list agg and partitioned write run on exchange-free
             tf_rows = chunked_tok.groupBy(
                 "bucket", "chunk", "term", "doc_id"
-            ).agg(F.count("*").cast("int").alias("tf"))
+            ).agg(*tf_aggs)
             pre = tf_rows.repartition(n_shuffle, "bucket", "chunk")
         else:
             pre = (
                 chunked_tok.repartition(n_shuffle, "bucket", "chunk")
                 .groupBy("bucket", "chunk", "term", "doc_id")
-                .agg(F.count("*").cast("int").alias("tf"))
+                .agg(*tf_aggs)
             )
+        if positions:
+            # encode each pair's position list to varint bytes BEFORE
+            # the posting-list collect so the second agg's state holds
+            # compact binaries, not int arrays
+            pre = pre.withColumn("pb", enc_pos(F.col("_poss"))).drop("_poss")
         chunk_rows = (
             pre.groupBy("bucket", "term", "chunk")
             .agg(
-                F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("p"),
+                F.sort_array(F.collect_list(pstruct)).alias("p"),
             )
             .select(
                 "bucket",
@@ -494,6 +543,18 @@ def _build_stages(
                 encode(
                     F.col("p").getField("doc_id"), F.col("p").getField("tf")
                 ).alias("blocks"),
+                *(
+                    [
+                        F.arrays_zip(
+                            F.col("p").getField("doc_id"),
+                            F.col("p").getField("pb"),
+                        )
+                        .cast(PLISTS_SCHEMA)
+                        .alias("plists")
+                    ]
+                    if positions
+                    else []
+                ),
             )
         )
         (

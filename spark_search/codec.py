@@ -107,6 +107,49 @@ def decode_block(
     return doc_ids, tfs
 
 
+def encode_positions_batch(pos_lists: List) -> List[bytes]:
+    """Varint-encode many sorted position lists (one per (term, doc)
+    pair): first value absolute, rest successive deltas — the positions
+    analog of the postings codec, batch-vectorized the same way
+    (:func:`encode_blocks_batch`): ONE concatenate → per-group delta
+    with the group's first value kept absolute → one varint pass →
+    slice by per-group byte offsets. Real corpora are long-tail (most
+    (term, doc) pairs have tf of a few), so per-list call overhead
+    would dominate a naive loop."""
+    n = len(pos_lists)
+    out: List[bytes] = [b""] * n
+    lens = np.fromiter(
+        (np.asarray(p).size for p in pos_lists), dtype=np.int64, count=n
+    )
+    nz = np.flatnonzero(lens > 0)
+    if nz.size == 0:
+        return out
+    vals = np.concatenate(
+        [np.asarray(pos_lists[i], dtype=np.int64) for i in nz]
+    )
+    glens = lens[nz]
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(glens[:-1], out=starts[1:])
+    deltas = np.empty(vals.size, dtype=np.int64)
+    deltas[1:] = np.diff(vals)
+    deltas[starts] = vals[starts]  # group head stays absolute
+    du = deltas.astype(np.uint64)
+    enc = varint_encode(du)
+    offs = np.zeros(nz.size + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(_varint_nbytes(du), starts), out=offs[1:])
+    mv = memoryview(enc)
+    for k, i in enumerate(nz):
+        out[i] = bytes(mv[offs[k] : offs[k + 1]])
+    return out
+
+
+def decode_positions(buf: bytes) -> np.ndarray:
+    """Inverse of one :func:`encode_positions_batch` entry -> sorted
+    int64 position array."""
+    d = varint_decode(buf).astype(np.int64)
+    return np.cumsum(d)
+
+
 def _varint_nbytes(a: np.ndarray) -> np.ndarray:
     """Exact LEB128 byte length per uint64 value (vectorized)."""
     nbytes = np.ones(a.shape, dtype=np.int64)

@@ -44,7 +44,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .build import BLOCKS_SCHEMA, build_index
+from .build import BLOCKS_SCHEMA, PLISTS_SCHEMA, build_index
 from .checkpoint import BuildManifest
 from .codec import decode_block, encode_blocks
 from .ids import with_doc_ids
@@ -267,6 +267,10 @@ def upsert_docs(
         chunk_span=span,
         block_size=int(cfg.get("block_size", 128)),
         tokenizer=cfg.get("tokenizer", "standard"),
+        # positional base index -> positional segment, so the unioned
+        # postings schema stays consistent and phrase queries keep the
+        # content-free path across upserts
+        positions=bool(cfg.get("positions", False)),
     )
     seg_stats = CorpusStats.from_dict(seg_manifest.stats)
 
@@ -499,6 +503,14 @@ def delete_term_postings(
             .otherwise(F.col("max_tf")).alias("max_tf"),
             F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.blocks"))
             .otherwise(F.col("blocks")).alias("blocks"),
+            # positional indexes: plists pass through UNCHANGED. An
+            # entry whose (term, doc) pair was just removed from blocks
+            # is stale-but-inert by the plists contract (build.py
+            # PLISTS_SCHEMA): phrase candidates derive from blocks, and
+            # the positional scan semi-joins plists on candidates, so a
+            # doc that no longer matches this term can never surface
+            # its stale positions. compact() reclaims the bytes.
+            *(["plists"] if "plists" in posts.columns else []),
         )
         .where(F.col("n_docs") > 0)
     )
@@ -635,8 +647,28 @@ def compact(
 
     # ---- postings: pass-through or decode/filter/re-encode per row
     posts = _multi(spark, segs, "postings")
+    has_plists = "plists" in posts.columns
     if dels_by_chunk is not None:
         posts = posts.join(F.broadcast(dels_by_chunk), "chunk", "left")
+
+        if has_plists:
+            # positional indexes: compact is where stale plists bytes
+            # (tombstoned docs) are reclaimed — entries are dropped by
+            # embedded doc_id, untouched rows pass through as-is
+            @F.pandas_udf(PLISTS_SCHEMA)
+            def filter_plists(
+                plists: pd.Series, dels_col: pd.Series
+            ) -> pd.Series:
+                out = []
+                for pl, dl in zip(plists, dels_col):
+                    if dl is None or len(dl) == 0 or pl is None:
+                        out.append(pl)
+                        continue
+                    drop = set(int(x) for x in dl)
+                    out.append(
+                        [e for e in pl if int(e["doc_id"]) not in drop]
+                    )
+                return pd.Series(out)
 
         @F.pandas_udf(
             f"struct<n_docs: long, sum_tf: long, max_tf: int, blocks: {BLOCKS_SCHEMA}>"
@@ -711,12 +743,22 @@ def compact(
                 .otherwise(F.col("max_tf")).alias("max_tf"),
                 F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.blocks"))
                 .otherwise(F.col("blocks")).alias("blocks"),
+                *(
+                    [
+                        filter_plists(
+                            F.col("plists"), F.col("_dels")
+                        ).alias("plists")
+                    ]
+                    if has_plists
+                    else []
+                ),
             )
             .where(F.col("n_docs") > 0)
         )
     else:
         posts = posts.select(
-            "bucket", "term", "chunk", "n_docs", "sum_tf", "max_tf", "blocks"
+            "bucket", "term", "chunk", "n_docs", "sum_tf", "max_tf", "blocks",
+            *(["plists"] if has_plists else []),
         )
 
     (

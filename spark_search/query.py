@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .build import IndexPaths, bucket_col
 from .checkpoint import BuildManifest
-from .codec import decode_block
+from .codec import decode_block, decode_positions
 from .pipeline import (
     AND_MATCH,
     B,
@@ -284,6 +284,9 @@ class IndexReader:
             os.path.abspath(p) for p in cfg.get("segments", [index_dir])
         ]
         self.deletes_dir: Optional[str] = cfg.get("deletes_dir")
+        # True iff every segment's postings rows carry the plists
+        # column (build positions=True; upsert/compact inherit the flag)
+        self.has_positions = bool(cfg.get("positions", False))
         # lazy driver-side caches (see the _*_CACHE_* gates above).
         # The RLock serializes cache population/LRU mutation so ONE
         # reader can serve concurrent searches from multiple driver
@@ -1088,19 +1091,84 @@ class IndexReader:
 
     # ------------------------------------------------------ phrase search
 
-    def search_phrase(
-        self, phrase: List[str], corpus: DataFrame, k: int = 10
+    def _positional_occurrences(
+        self, phrase: List[str], cand: DataFrame
     ) -> DataFrame:
-        """Index-accelerated exact-phrase BM25: the index prunes to docs
-        containing ALL phrase terms (its reference role — a doc-level
-        filter, positions are never stored: SURVEY.md §0 fact 3), then
-        adjacency is verified by re-tokenizing ONLY the candidates'
-        content — the reference's own query-time re-scan architecture
-        (SimpleSearchManager.java:187-214). The phrase scores as one
-        pseudo-term (tf = occurrences, df = matching docs) with
-        N/avgdl from the index manifest; ties break doc_id ASC.
-        Rank/score-identical to pipeline.phrase_topk over the same
-        corpus by construction."""
+        """(doc_id, pos) phrase-occurrence starts decoded from the
+        index's plists column — the phrase path that never touches
+        document content. Volume: the postings scan is bucket-pruned +
+        term-pushed like every other query; decoded position rows are
+        bounded by Σ cf(term_i) over the CANDIDATE docs only (the
+        broadcast semi-join runs before any varint decode)."""
+        from .pipeline import _phrase_occurrences
+
+        uniq = list(dict.fromkeys(phrase))
+        meta = self.match_terms(uniq, EXACT_MATCH)
+        buckets = sorted({b for _, _, _, b in meta})
+        pl = (
+            self.postings_df()
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(uniq))
+            .select("term", F.explode("plists").alias("e"))
+            .select(
+                "term",
+                F.col("e.doc_id").alias("doc_id"),
+                F.col("e.poss").alias("poss"),
+            )
+            # stale plists entries (maintenance removed the (term, doc)
+            # pair from blocks) die here: candidates come from blocks
+            .join(F.broadcast(cand), "doc_id")
+        )
+
+        def _explode(batches):
+            for pdf in batches:
+                ids: List[np.ndarray] = []
+                terms: List[str] = []
+                doc_ids: List[np.ndarray] = []
+                for t, d, buf in zip(pdf["term"], pdf["doc_id"], pdf["poss"]):
+                    p = decode_positions(bytes(buf))
+                    if p.size == 0:
+                        continue
+                    ids.append(p)
+                    terms.extend([t] * p.size)
+                    doc_ids.append(np.full(p.size, d, dtype=np.int64))
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(doc_ids),
+                            "term": pd.Series(terms, dtype="string"),
+                            "pos": np.concatenate(ids).astype("int32"),
+                        }
+                    )
+
+        stream = pl.mapInPandas(_explode, "doc_id long, term string, pos int")
+        return _phrase_occurrences(stream, phrase)
+
+    def search_phrase(
+        self,
+        phrase: List[str],
+        corpus: Optional[DataFrame] = None,
+        k: int = 10,
+        use_positions: Optional[bool] = None,
+    ) -> DataFrame:
+        """Index-accelerated exact-phrase BM25. The index prunes to docs
+        containing ALL phrase terms, then adjacency is verified one of
+        two ways:
+
+        * positional index (built with ``positions=True``): occurrence
+          starts decode straight from the stored plists — no document
+          content is read at all (``corpus`` may be None). This is the
+          opt-in amortization for repeated phrase workloads.
+        * positionless index (the reference-faithful default — its tree
+          stores doc-sets only, positions are recomputed at query time:
+          SimpleSearchManager.java:187-214, tree/TreeNode.java:18):
+          re-tokenize ONLY the candidates' content from ``corpus``.
+
+        Both paths score the phrase as one pseudo-term (tf =
+        occurrences, df = matching docs) with N/avgdl from the index
+        manifest; ties break doc_id ASC. Rank/score-identical to
+        pipeline.phrase_topk over the same corpus by construction
+        (pinned by test for both paths)."""
         from .pipeline import (
             _phrase_occurrences,
             bm25_score_col,
@@ -1111,17 +1179,35 @@ class IndexReader:
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if not phrase:
             return empty
+        positional = (
+            self.has_positions if use_positions is None else bool(use_positions)
+        )
+        if positional and not self.has_positions:
+            raise ValueError(
+                "use_positions=True but the index was built without "
+                "positions=True"
+            )
+        if not positional and corpus is None:
+            raise ValueError(
+                "phrase search over a positionless index re-scans "
+                "candidate content: pass the corpus DataFrame, or build "
+                "the index with positions=True"
+            )
         cand = self.match_docs(phrase, AND_MATCH)
-        # broadcast the candidate id set: the index scan output carries
-        # no stats, so the planner would otherwise shuffle the FULL
-        # corpus on doc_id to semi-join a small id list (measured 2.1 s
-        # -> 1.0 s at sf0.1, where the un-broadcast indexed path lost
-        # to the index-free declarative scan). Bound: the AND-match set
-        # of a multi-term phrase; a pathological all-stopword phrase at
-        # corpus scale degrades to the declarative scan's shuffle, not
-        # to failure (driver memory guards the broadcast).
-        docs = corpus.join(F.broadcast(cand), "doc_id")
-        occ = _phrase_occurrences(tokens_pos(docs, self.tokenizer), phrase)
+        if positional:
+            occ = self._positional_occurrences(phrase, cand)
+        else:
+            # broadcast the candidate id set: the index scan output
+            # carries no stats, so the planner would otherwise shuffle
+            # the FULL corpus on doc_id to semi-join a small id list
+            # (measured 2.1 s -> 1.0 s at sf0.1, where the un-broadcast
+            # indexed path lost to the index-free declarative scan).
+            # Bound: the AND-match set of a multi-term phrase; a
+            # pathological all-stopword phrase at corpus scale degrades
+            # to the declarative scan's shuffle, not to failure (driver
+            # memory guards the broadcast).
+            docs = corpus.join(F.broadcast(cand), "doc_id")
+            occ = _phrase_occurrences(tokens_pos(docs, self.tokenizer), phrase)
         tf = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("tf"))
         dfreq = tf.agg(F.count("*").cast("double").alias("df"))
         # doc lengths come from the index REGISTRY (written at build

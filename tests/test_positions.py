@@ -1,0 +1,187 @@
+"""Positional index (build positions=True): phrase search without
+content, codec roundtrip, maintenance inheritance/stale-tolerance.
+
+The reference never stores positions (its tree keeps doc-sets only,
+reference tree/TreeNode.java:18; positions are recomputed at query
+time, search/SimpleSearchManager.java:187-214) — the positional
+segment is this engine's opt-in amortization for repeated phrase
+workloads; the DEFAULT build stays reference-faithful and
+byte-identical (no plists column).
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_search import pipeline as P
+from spark_search.build import build_index
+from spark_search.codec import decode_positions, encode_positions_batch
+from spark_search.corpus import CORPUS_SCHEMA
+from spark_search.ids import with_doc_ids
+from spark_search.maintain import (
+    compact,
+    delete_docs,
+    delete_term_postings,
+    upsert_docs,
+)
+from spark_search.query import IndexReader
+
+PHRASE = ["hello", "world"]
+
+
+def _mk_corpus(spark, rows):
+    return with_doc_ids(
+        spark.createDataFrame(
+            [("r", p, "c1", "txt", content) for p, content in rows],
+            CORPUS_SCHEMA,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = _mk_corpus(
+        spark,
+        [
+            ("a.txt", "hello world again hello world"),
+            ("b.txt", "world then hello again"),     # phrase absent
+            ("c.txt", "say hello world now"),
+            ("d.txt", "hello hello world world"),    # one occurrence
+            ("e.txt", "nothing relevant here"),
+            ("f.txt", "hello alone and world apart"),  # terms non-adjacent
+        ],
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("posidx") / "idx")
+    build_index(spark, corpus, d, positions=True)
+    return d
+
+
+def _key(rows):
+    return sorted((r["doc_id"], round(r["score"], 9), r["rank"]) for r in rows)
+
+
+# --------------------------------------------------------------- codec
+
+
+def test_positions_codec_roundtrip():
+    lists = [
+        [0, 1, 2],
+        [],
+        [5],
+        [3, 100, 10_000, 1 << 40],
+        list(range(0, 4000, 7)),
+    ]
+    enc = encode_positions_batch([np.array(x, dtype=np.int64) for x in lists])
+    assert enc[1] == b""
+    for src, buf in zip(lists, enc):
+        got = decode_positions(buf)
+        assert list(got) == src
+
+
+# ------------------------------------------------------- query parity
+
+
+def test_positional_phrase_matches_declarative(spark, corpus, pos_index):
+    rd = IndexReader(spark, pos_index)
+    assert rd.has_positions
+    got = rd.search_phrase(PHRASE, k=10).collect()  # NO corpus passed
+    want = P.phrase_topk(corpus, PHRASE, k=10).collect()
+    assert _key(got) == _key(want)
+    assert len(got) > 0
+    # doc with terms present but never adjacent must be absent
+    bad = {
+        r["doc_id"]
+        for r in corpus.where(F.col("path").isin("b.txt", "f.txt")).collect()
+    }
+    assert not bad & {r["doc_id"] for r in got}
+
+
+def test_positional_matches_rescan_path(spark, corpus, pos_index):
+    rd = IndexReader(spark, pos_index)
+    got = rd.search_phrase(PHRASE, corpus, k=10, use_positions=False).collect()
+    pos = rd.search_phrase(PHRASE, k=10).collect()
+    assert _key(got) == _key(pos)
+
+
+def test_positionless_requires_corpus(spark, corpus, tmp_path):
+    d = str(tmp_path / "nopos")
+    build_index(spark, corpus, d)
+    rd = IndexReader(spark, d)
+    assert not rd.has_positions
+    with pytest.raises(ValueError, match="positions"):
+        rd.search_phrase(PHRASE, k=10)
+    with pytest.raises(ValueError, match="use_positions"):
+        rd.search_phrase(PHRASE, corpus, k=10, use_positions=True)
+
+
+def test_default_build_has_no_plists(spark, corpus, tmp_path):
+    d = str(tmp_path / "nopos2")
+    build_index(spark, corpus, d)
+    cols = spark.read.parquet(d + "/postings").columns
+    assert "plists" not in cols
+
+
+# --------------------------------------------------------- maintenance
+
+
+def test_positional_survives_upsert(spark, corpus, pos_index, tmp_path):
+    gen2 = str(tmp_path / "gen2")
+    batch = spark.createDataFrame(
+        [("r", "new.txt", "c2", "txt", "fresh hello world fresh")],
+        CORPUS_SCHEMA,
+    )
+    upsert_docs(spark, pos_index, gen2, batch)
+    rd = IndexReader(spark, gen2)
+    assert rd.has_positions  # flag inherited into the merged manifest
+    got = rd.search_phrase(PHRASE, k=10).collect()
+    new_doc = (
+        rd.docs_df().where(F.col("path") == "new.txt").collect()[0]["doc_id"]
+    )
+    assert new_doc in {r["doc_id"] for r in got}
+
+
+def test_positional_term_delete_stale_inert(spark, corpus, pos_index, tmp_path):
+    """Removing (term, doc) pairs rewrites blocks but passes plists
+    through; the stale entry must never resurface the doc."""
+    rd0 = IndexReader(spark, pos_index)
+    before = rd0.search_phrase(PHRASE, k=10).collect()
+    victim = before[0]["doc_id"]
+    gen2 = str(tmp_path / "tdel")
+    delete_term_postings(spark, pos_index, gen2, [("hello", victim)])
+    rd = IndexReader(spark, gen2)
+    got = rd.search_phrase(PHRASE, k=10).collect()
+    ids = {r["doc_id"] for r in got}
+    assert victim not in ids
+    assert ids == {r["doc_id"] for r in before} - {victim}
+
+
+def test_positional_compact_reclaims_plists(spark, corpus, pos_index, tmp_path):
+    rd0 = IndexReader(spark, pos_index)
+    before = rd0.search_phrase(PHRASE, k=10).collect()
+    victim = before[0]["doc_id"]
+    gen2 = str(tmp_path / "del")
+    delete_docs(spark, pos_index, gen2, [victim])
+    gen3 = str(tmp_path / "compacted")
+    compact(spark, gen2, gen3)
+    rd = IndexReader(spark, gen3)
+    assert rd.has_positions
+    got = rd.search_phrase(PHRASE, k=10).collect()
+    assert victim not in {r["doc_id"] for r in got}
+    assert {r["doc_id"] for r in got} == {
+        r["doc_id"] for r in before
+    } - {victim}
+    # bytes reclaimed: no plists entry for the tombstoned doc survives
+    leftover = (
+        spark.read.parquet(gen3 + "/postings")
+        .select(F.explode("plists").alias("e"))
+        .where(F.col("e.doc_id") == victim)
+        .count()
+    )
+    assert leftover == 0

@@ -9,6 +9,8 @@ of (SparkSession, paths, arguments) — so cluster deployment is:
         job.py build --corpus <parquet_dir> --index <index_dir>
     spark-submit ... job.py search --index <dir> --terms data,join --mode OR
     spark-submit ... job.py phrase --index <dir> --corpus <dir> --terms table,hash
+    spark-submit ... job.py build --corpus <dir> --index <dir> --positions
+    spark-submit ... job.py phrase --index <dir> --terms table,hash  # positional
     spark-submit ... job.py suggest --index <dir> --terms part --max-dist 2
 
 ``job.py`` (repo root) is the submittable driver file; it only calls
@@ -64,6 +66,9 @@ def main(argv=None) -> int:
                    help="parquet dir with (repo,path,commit,lang,content)")
     b.add_argument("--index", required=True)
     b.add_argument("--tokenizer", default="standard")
+    b.add_argument("--positions", action="store_true",
+                   help="store per-(term,doc) token positions so "
+                        "`phrase` runs without --corpus")
 
     s = sub.add_parser("search", help="BM25 top-k on a committed index")
     s.add_argument("--index", required=True)
@@ -81,8 +86,9 @@ def main(argv=None) -> int:
 
     f = sub.add_parser("phrase", help="exact-phrase BM25 (index + verify)")
     f.add_argument("--index", required=True)
-    f.add_argument("--corpus", required=True,
-                   help="the corpus table for adjacency verification")
+    f.add_argument("--corpus", default=None,
+                   help="corpus table for adjacency verification "
+                        "(omit for an index built with --positions)")
     f.add_argument("--terms", required=True, help="phrase, comma-separated")
     f.add_argument("--k", type=int, default=10)
     f.add_argument("--limit", type=int, default=100)
@@ -100,7 +106,8 @@ def main(argv=None) -> int:
         if "doc_id" not in corpus.columns:
             corpus = with_doc_ids(corpus)
         n = corpus.count()
-        build_index(spark, corpus, args.index, tokenizer=args.tokenizer)
+        build_index(spark, corpus, args.index, tokenizer=args.tokenizer,
+                    positions=args.positions)
         wall = time.time() - t0
         _emit({
             "cmd": "build", "index": args.index, "n_files": n,
@@ -119,7 +126,9 @@ def main(argv=None) -> int:
     elif args.cmd == "suggest":
         res = rd.search_suggest(terms, max_dist=args.max_dist, k=args.k)
     else:  # phrase
-        corpus = spark.read.parquet(args.corpus)
+        corpus = (
+            spark.read.parquet(args.corpus) if args.corpus else None
+        )
         res = rd.search_phrase(terms, corpus, k=args.k)
     rows = _rows(res, args.limit)
     _emit({

@@ -185,3 +185,31 @@ def test_positional_compact_reclaims_plists(spark, corpus, pos_index, tmp_path):
         .count()
     )
     assert leftover == 0
+
+
+# ----------------------------------------------------------------- cli
+
+
+def test_cli_positional_phrase(spark, corpus, tmp_path, capsys):
+    """spark-submit surface: build --positions, then phrase WITHOUT
+    --corpus (getOrCreate reuses the test session in-process)."""
+    import json
+
+    from spark_search.cli import main
+
+    src = str(tmp_path / "corpus_pq")
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "cli_idx")
+    assert main(
+        ["build", "--corpus", src, "--index", idx, "--positions"]
+    ) == 0
+    assert main(
+        ["phrase", "--index", idx, "--terms", "hello,world", "--k", "5"]
+    ) == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert out[0]["cmd"] == "build" and out[0]["n_files"] == 6
+    rows = out[1]["rows"]
+    assert len(rows) > 0 and rows[0]["rank"] == 1

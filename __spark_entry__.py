@@ -92,6 +92,35 @@ def _positional_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return ent[1]
 
 
+# Merged-index cache: two shard indexes built over an interleaved
+# doc_id split (every chunk collides — the hard merge case), folded by
+# merge_indexes into one canonical index. Queried under the SAME BM25
+# oracle as the monolithic index: the merge must be invisible.
+_MERGED_INDEX_DIRS: dict[str, str] = {}
+_MERGED_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _merged_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    from spark_search.merge import merge_indexes
+
+    key = os.path.abspath(sf_dir)
+    d = _MERGED_INDEX_DIRS.get(key)
+    if d is None:
+        root = tempfile.mkdtemp(prefix="sgraft-mergeidx-")
+        corpus = _corpus(spark, sf_dir)
+        da, db = os.path.join(root, "a"), os.path.join(root, "b")
+        build_index(spark, corpus.where(F.col("doc_id") % 2 == 0), da)
+        build_index(spark, corpus.where(F.col("doc_id") % 2 == 1), db)
+        d = os.path.join(root, "merged")
+        merge_indexes(spark, [da, db], d)
+        _MERGED_INDEX_DIRS[key] = d
+    ent = _MERGED_READERS.get(key)
+    if ent is None or ent[0] != id(spark):
+        ent = (id(spark), IndexReader(spark, d))
+        _MERGED_READERS[key] = ent
+    return ent[1]
+
+
 def _indexed_topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
     """BM25 top-k answered by the disk index (build_index →
     IndexReader.search): codec decode, chunk pruning, block-max
@@ -262,6 +291,20 @@ def _q_bm25_and_indexed(spark, sf_dir):
 
 def _q_bm25_prefix_indexed(spark, sf_dir):
     return _indexed_topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
+
+
+def _q_bm25_or_merged(spark, sf_dir):
+    """BM25 OR top-k over an index produced by merge_indexes from two
+    interleaved shard builds (spark_search/merge.py) — the segment
+    merge must be rank/score-invisible vs the monolithic oracle."""
+    res = _merged_reader(spark, sf_dir).search(
+        TERMS_OR, P.WITH_SUGGESTIONS, k=10
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def _round_result(res):
@@ -786,6 +829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk_indexed": _q_bm25_or_indexed,
         "bm25_and_topk_indexed": _q_bm25_and_indexed,
         "bm25_prefix_topk_indexed": _q_bm25_prefix_indexed,
+        # cross-index segment merge: two shard builds over an
+        # interleaved doc_id split, folded by merge_indexes; same
+        # oracle as the monolithic OR query (merge must be invisible)
+        "bm25_or_topk_merged": _q_bm25_or_merged,
         # Q3 suggestion expansion in-engine (same-length levenshtein<=d
         # dictionary scan — the deterministic Hunspell analog), both
         # the declarative pipeline and the disk-index dictionary path
@@ -856,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_topk_indexed": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
+        "bm25_or_topk_merged": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_suggest_topk": _bm25_suggest_oracle(
             TERMS_SUGGEST, SUGGEST_MAX_DIST
         ),

@@ -86,7 +86,9 @@ def _gate(max_wait_s: float) -> dict:
         time.sleep(15)
 
 
-def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
+def _measure(
+    spark, corpus, n_files: int, sf_dir: str, shard_dirs=None
+) -> dict:
     """One full measurement pass: build + queries + training ops, with
     a fault probe stamped around every section."""
     from spark_search import pipeline as P
@@ -164,6 +166,22 @@ def _measure(spark, corpus, n_files: int, sf_dir: str) -> dict:
     pos_reader.search_phrase(["table", "hash"], k=10).collect()
     extra["q_phrase_positional"] = round(time.time() - tq, 3)
     shutil.rmtree(os.path.dirname(pos_dir), ignore_errors=True)
+
+    # cross-index segment merge: fold the two pre-built interleaved
+    # shard indexes (built once per process, outside the timer) into
+    # one canonical index — the 100 TB "shard builds + merge" topology.
+    # Timed alone: the merge moves only encoded index bytes, so its
+    # wall vs `build` is the amortization a sharded pipeline buys.
+    if shard_dirs:
+        from spark_search.merge import merge_indexes
+
+        merge_out = os.path.join(
+            tempfile.mkdtemp(prefix="bench_mergeidx_"), "index"
+        )
+        t0 = time.time()
+        merge_indexes(spark, list(shard_dirs), merge_out)
+        timings["merge_indexes"] = round(time.time() - t0, 3)
+        shutil.rmtree(os.path.dirname(merge_out), ignore_errors=True)
 
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
@@ -281,6 +299,13 @@ def main() -> None:
     _bi(spark, corpus.where(F.col("doc_id") % 10 == 0), warm_dir)
     shutil.rmtree(os.path.dirname(warm_dir), ignore_errors=True)
 
+    # two interleaved shard indexes, built ONCE (outside every timed
+    # attempt) — each attempt times only merge_indexes over them
+    shard_root = tempfile.mkdtemp(prefix="bench_shards_")
+    shard_dirs = [os.path.join(shard_root, s) for s in ("a", "b")]
+    _bi(spark, corpus.where(F.col("doc_id") % 2 == 0), shard_dirs[0])
+    _bi(spark, corpus.where(F.col("doc_id") % 2 == 1), shard_dirs[1])
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
@@ -291,7 +316,7 @@ def main() -> None:
     tries = []
     while True:
         attempts += 1
-        res = _measure(spark, corpus, n_files, sf_dir)
+        res = _measure(spark, corpus, n_files, sf_dir, shard_dirs)
         tries.append(res)
         if _attempt_clean(res) or attempts > retries:
             break
@@ -304,6 +329,7 @@ def main() -> None:
     # dirty, but a faster wall under the same engine is strictly closer
     # to the engine's true number). All attempt totals are published so
     # the selection is auditable.
+    shutil.rmtree(shard_root, ignore_errors=True)
     clean = [t for t in tries if _attempt_clean(t)]
     res = clean[0] if clean else min(tries, key=lambda t: t["value"])
     out = {

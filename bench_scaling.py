@@ -281,7 +281,11 @@ def _dir_bytes(path: str) -> int:
 # hash and the per-rep process-tree CPU accounting. Without this the
 # engine's core-adaptive defaults give the bigger cluster a different
 # (wider) plan and the comparison measures plan shape, not scaling.
-PLAN_PARALLELISM = 8
+# Overridable per run: the pinned width must give the BIGGER level
+# enough tasks per stage (e.g. 32 for a local[8] -> local[32] pair,
+# where the default 8 would run the docs stage at 1/4 utilization on
+# 32 cores and measure starvation, not the engine).
+PLAN_PARALLELISM = int(os.environ.get("SPARK_GRAFT_PLAN_PAR", "8"))
 
 
 def child(cpus: int, reps: int, corpus_dir: str,

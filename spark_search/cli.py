@@ -12,6 +12,7 @@ of (SparkSession, paths, arguments) — so cluster deployment is:
     spark-submit ... job.py build --corpus <dir> --index <dir> --positions
     spark-submit ... job.py phrase --index <dir> --terms table,hash  # positional
     spark-submit ... job.py suggest --index <dir> --terms part --max-dist 2
+    spark-submit ... job.py merge --indexes <idx1>,<idx2> --out <dir>
 
 ``job.py`` (repo root) is the submittable driver file; it only calls
 ``spark_search.cli.main``. On a real cluster the session comes from
@@ -84,6 +85,18 @@ def main(argv=None) -> int:
     g.add_argument("--k", type=int, default=10)
     g.add_argument("--limit", type=int, default=100)
 
+    m = sub.add_parser(
+        "merge",
+        help="fold independently-built shard indexes into one canonical "
+             "index (no content re-read; sources need disjoint doc ids)",
+    )
+    m.add_argument("--indexes", required=True,
+                   help="comma-separated committed index dirs")
+    m.add_argument("--out", required=True)
+    m.add_argument("--no-validate", action="store_true",
+                   help="skip the doc-id disjointness proof (only when "
+                        "the shard id discipline is enforced upstream)")
+
     f = sub.add_parser("phrase", help="exact-phrase BM25 (index + verify)")
     f.add_argument("--index", required=True)
     f.add_argument("--corpus", default=None,
@@ -114,6 +127,21 @@ def main(argv=None) -> int:
             "wall_sec": round(wall, 3),
             "files_per_sec": round(n / wall, 1) if wall else None,
             "format_version": FORMAT_VERSION,
+        })
+        return 0
+
+    if args.cmd == "merge":
+        from .merge import merge_indexes
+
+        dirs = [d for d in args.indexes.split(",") if d]
+        man = merge_indexes(
+            spark, dirs, args.out, validate=not args.no_validate
+        )
+        _emit({
+            "cmd": "merge", "out": args.out, "sources": dirs,
+            "n_docs": man.stats.get("n_docs"),
+            "n_terms": man.stats.get("n_terms"),
+            "wall_sec": round(time.time() - t0, 3),
         })
         return 0
 

@@ -1,0 +1,375 @@
+"""Cross-index segment merge: union independently-built indexes into
+one canonical single-segment index — without re-reading or
+re-tokenizing any document content.
+
+This is the user-facing form of the build's segment-merge stage (the
+north-star's "segment-merge stage that unions per-partition sub-indexes
+into a queryable global index"): at 100 TB the natural build topology
+is many independent shard builds (per day, per repo group, per
+ingestion batch) each producing a committed index, merged afterwards
+into one queryable artifact. ``maintain.compact`` folds the segments
+*of one index* (upsert history + tombstones); ``merge_indexes`` folds
+*distinct indexes* whose doc-id spaces may interleave arbitrarily —
+the new problem is (term, chunk) groups that exist in several sources
+and must have their posting blocks decoded, merge-sorted and
+re-encoded.
+
+Canonical-output invariant (pinned by test): given sources built with
+the same config over disjoint doc-id sets, the merged index is
+CONTENT-IDENTICAL to a single monolithic build over the union corpus —
+same postings rows (including the encoded block bytes: single-source
+groups pass through untouched, colliding groups re-encode to exactly
+the boundaries a monolithic build would produce, because blocks split
+at ``block_size`` from the start of the docID-sorted chunk list), same
+terms rows, same docs registry, same packed doclens, same stats.
+
+Scale shape: ONE exchange keyed (bucket, chunk) over the encoded
+postings (index bytes, typically ~5-10% of raw corpus bytes — never
+the content), the same salted key the build itself shuffles on, so a
+hot term's chunks spread over reducers identically. The common case —
+shard doc-id ranges are chunk-aligned and never collide, e.g. every
+shard built with ``ids.with_doc_ids(start=...)`` at chunk boundaries
+(the ``upsert_docs`` discipline, maintain.py) — takes the JVM-only
+fast path: zero posting bytes cross the Python boundary; only groups
+with 2+ source rows pay the Arrow round-trip + re-encode.
+
+Reference analog: the reference engine holds ONE in-heap tree and adds
+documents to it serially (index/DocumentIndexManager.java); sharded
+build + merge is the distributed replacement for that serial add loop
+at corpus sizes no single heap can hold.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import BLOCKS_SCHEMA, PLISTS_SCHEMA, IndexPaths
+from .checkpoint import BuildManifest
+from .codec import decode_block, encode_blocks
+from .stats import CorpusStats
+
+# config keys that must be equal across every source index: they fix
+# the doc_id -> (chunk, pos) mapping, the term -> bucket mapping, the
+# block boundaries and the token stream — any mismatch makes the
+# unioned layout silently mis-score, so merge refuses instead.
+_MERGE_CONFIG_KEYS = (
+    "num_buckets",
+    "chunk_span",
+    "block_size",
+    "tokenizer",
+    "format",
+    "positions",
+)
+
+
+def _load_sources(index_dirs: List[str]) -> List[BuildManifest]:
+    if not index_dirs:
+        raise ValueError("merge_indexes needs at least one source index")
+    manifests = []
+    for d in index_dirs:
+        m = BuildManifest.load(d)  # raises IndexFormatError on version skew
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest.json under {d}")
+        cfg = m.config
+        if cfg.get("segments") or cfg.get("deletes_dir") or int(
+            cfg.get("n_tombstones") or 0
+        ):
+            raise ValueError(
+                f"{d} carries upsert segments or tombstones; run "
+                "maintain.compact on it first — merge_indexes folds "
+                "clean single-segment indexes (keeps the merged output "
+                "content-identical to a monolithic build)"
+            )
+        manifests.append(m)
+    base = {k: manifests[0].config.get(k) for k in _MERGE_CONFIG_KEYS}
+    for m in manifests[1:]:
+        theirs = {k: m.config.get(k) for k in _MERGE_CONFIG_KEYS}
+        if theirs != base:
+            raise ValueError(
+                "source index configs differ on "
+                f"{[k for k in _MERGE_CONFIG_KEYS if theirs[k] != base[k]]}: "
+                f"{m.index_dir} vs {manifests[0].index_dir} — indexes "
+                "built with different layouts cannot be merged"
+            )
+    return manifests
+
+
+def _union(spark: SparkSession, dirs: List[str], sub: str) -> DataFrame:
+    dfs = [spark.read.parquet(os.path.join(d, sub)) for d in dirs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _merge_postings_udf(block_size: int, has_plists: bool):
+    """Pandas UDF merging 2+ source rows of one (term, chunk) group:
+    decode every source's blocks, merge-sort the (doc_id, tf) entries
+    (doc sets are disjoint — validated against the registries), then
+    re-encode from offset 0 so block boundaries match a monolithic
+    build. Runs ONLY on colliding groups (the JVM fast path keeps
+    single-source groups out of Python entirely)."""
+    fields = f"struct<n_docs: long, sum_tf: long, max_tf: int, blocks: {BLOCKS_SCHEMA}"
+    if has_plists:
+        fields += f", plists: {PLISTS_SCHEMA}"
+    fields += ">"
+
+    @F.pandas_udf(fields)
+    def merge_srcs(srcs: pd.Series) -> pd.DataFrame:
+        n_docs, sum_tf, max_tf, blocks_out = [], [], [], []
+        plists_out: list = []
+        for group in srcs:
+            ids_all, tfs_all = [], []
+            plists_all = []
+            for src in group:
+                for b in src["blocks"]:
+                    ids, tfs = decode_block(
+                        int(b["first_doc"]), bytes(b["deltas"]), bytes(b["tfs"])
+                    )
+                    ids_all.append(ids)
+                    tfs_all.append(tfs)
+                if has_plists and src["plists"] is not None:
+                    plists_all.extend(src["plists"])
+            ids = np.concatenate(ids_all)
+            tfs = np.concatenate(tfs_all)
+            order = np.argsort(ids, kind="stable")
+            ids, tfs = ids[order], tfs[order]
+            enc = encode_blocks(ids, tfs, block_size=block_size)
+            n_docs.append(int(ids.size))
+            sum_tf.append(int(tfs.sum()))
+            max_tf.append(int(tfs.max()))
+            blocks_out.append(
+                [
+                    {
+                        "first_doc": e[0],
+                        "last_doc": e[1],
+                        "n": e[2],
+                        "max_tf": e[3],
+                        "deltas": e[4],
+                        "tfs": e[5],
+                    }
+                    for e in enc
+                ]
+            )
+            if has_plists:
+                plists_out.append(
+                    sorted(plists_all, key=lambda e: int(e["doc_id"]))
+                )
+        data = {
+            "n_docs": pd.Series(n_docs, dtype="int64"),
+            "sum_tf": pd.Series(sum_tf, dtype="int64"),
+            "max_tf": pd.Series(max_tf, dtype="int32"),
+            "blocks": blocks_out,
+        }
+        if has_plists:
+            data["plists"] = plists_out
+        return pd.DataFrame(data)
+
+    return merge_srcs
+
+
+def _combine_doclens_udf():
+    """Elementwise-add packed int32 dl arrays from several sources of
+    one chunk (positions are disjoint; unoccupied slots hold 0), padded
+    to the longest — exactly the array a monolithic build packs for
+    the chunk (its length is max occupied position + 1)."""
+
+    @F.pandas_udf("binary")
+    def combine(dls_list: pd.Series) -> pd.Series:
+        out = []
+        for group in dls_list:
+            if len(group) == 1:
+                out.append(bytes(group[0]))
+                continue
+            arrays = [np.frombuffer(bytes(b), dtype=np.int32) for b in group]
+            width = max(a.size for a in arrays)
+            acc = np.zeros(width, dtype=np.int32)
+            for a in arrays:
+                acc[: a.size] += a
+            out.append(acc.tobytes())
+        return pd.Series(out)
+
+    return combine
+
+
+def merge_indexes(
+    spark: SparkSession,
+    index_dirs: List[str],
+    out_dir: str,
+    validate: bool = True,
+    plan_parallelism: Optional[int] = None,
+) -> BuildManifest:
+    """Merge committed single-segment indexes into one canonical index
+    at ``out_dir``. Sources must share the layout config and hold
+    disjoint doc-id sets (``validate=True`` proves disjointness with
+    one registry aggregation before any data moves; disable only when
+    the id discipline is enforced upstream, e.g. chunk-aligned
+    ``with_doc_ids(start=...)`` shard builds).
+
+    Cost: one (bucket, chunk)-keyed exchange over encoded postings +
+    one registry pass — no document content is read. See the module
+    docstring for the canonical-output invariant.
+    """
+    manifests = _load_sources(index_dirs)
+    cfg = {k: manifests[0].config.get(k) for k in _MERGE_CONFIG_KEYS}
+    num_buckets = int(cfg["num_buckets"])
+    block_size = int(cfg.get("block_size") or 128)
+    has_plists = bool(cfg.get("positions", False))
+    src_dirs = [os.path.abspath(d) for d in index_dirs]
+    out_abs = os.path.abspath(out_dir)
+    if out_abs in src_dirs:
+        raise ValueError("out_dir must differ from every source index dir")
+    paths = IndexPaths(out_abs)
+    par = plan_parallelism or spark.sparkContext.defaultParallelism
+    fingerprint = "merge:" + ",".join(
+        sorted(
+            f"{d}@{m.stages.get('docs', {}).get('fingerprint', '?')}"
+            for d, m in zip(src_dirs, manifests)
+        )
+    )
+    manifest = BuildManifest(out_abs)
+    manifest.config = cfg
+    manifest.save_partial()
+
+    # ------------------------------------------------------------- docs
+    t0 = time.time()
+    docs = _union(spark, src_dirs, "docs")
+    if validate:
+        # disjointness is the correctness precondition for everything
+        # below (block merge assumes no (term, doc) pair exists twice);
+        # one slim-row aggregation over the registries proves it
+        dup = (
+            docs.groupBy("doc_id")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"doc_id {dup[0]['doc_id']} exists in more than one "
+                "source index; merge_indexes requires disjoint doc-id "
+                "sets (rebuild shards with with_doc_ids(start=...) or "
+                "remap before merging)"
+            )
+    from pyspark.sql import Observation
+
+    obs = Observation("merge_docs_stats")
+    (
+        docs.repartitionByRange(par, "doc_id")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("tot"),
+        )
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(paths.docs)
+    )
+    row = obs.get
+    n_docs, total_dl = int(row["n"]), int(row["tot"] or 0)
+
+    # ---------------------------------------------------------- doclens
+    combine = _combine_doclens_udf()
+    (
+        _union(spark, src_dirs, "doclens")
+        .groupBy("chunk")
+        .agg(F.collect_list("dls").alias("_g"))
+        .select("chunk", combine(F.col("_g")).alias("dls"))
+        .write.mode("overwrite")
+        .option("compression", "uncompressed")
+        .parquet(paths.doclens)
+    )
+    manifest.stats = CorpusStats.combine(n_docs, total_dl).to_dict()
+    manifest.record_stage(
+        "merge-docs", fingerprint, rows=n_docs, wall_s=time.time() - t0
+    )
+
+    # --------------------------------------------------------- postings
+    t1 = time.time()
+    posts = _union(spark, src_dirs, "postings")
+    src_struct = ["n_docs", "sum_tf", "max_tf", "blocks"] + (
+        ["plists"] if has_plists else []
+    )
+    # the build's own salted exchange key: (bucket, chunk) bounds any
+    # reducer's share of a hot term to chunk_span docs per source
+    n_shuffle = max(num_buckets, 8 * par)
+    grouped = (
+        posts.repartition(n_shuffle, "bucket", "chunk")
+        .groupBy("bucket", "term", "chunk")
+        # exchange-free on top of the repartition (grouping keys ⊇
+        # partition keys)
+        .agg(F.collect_list(F.struct(*src_struct)).alias("srcs"))
+    )
+    one = F.col("srcs")[0]
+    singles = grouped.where(F.size("srcs") == 1).select(
+        "bucket",
+        "term",
+        "chunk",
+        one.getField("n_docs").alias("n_docs"),
+        one.getField("sum_tf").alias("sum_tf"),
+        one.getField("max_tf").alias("max_tf"),
+        one.getField("blocks").alias("blocks"),
+        *([one.getField("plists").alias("plists")] if has_plists else []),
+    )
+    merge_srcs = _merge_postings_udf(block_size, has_plists)
+    multis = grouped.where(F.size("srcs") > 1).select(
+        "bucket", "term", "chunk", merge_srcs(F.col("srcs")).alias("_m")
+    ).select(
+        "bucket",
+        "term",
+        "chunk",
+        F.col("_m.n_docs").alias("n_docs"),
+        F.col("_m.sum_tf").alias("sum_tf"),
+        F.col("_m.max_tf").alias("max_tf"),
+        F.col("_m.blocks").alias("blocks"),
+        *([F.col("_m.plists").alias("plists")] if has_plists else []),
+    )
+    (
+        # the two branches re-read ONE shuffle (ReusedExchange: same
+        # child plan under both filters); the union keeps rows of each
+        # task clustered by bucket for the partitioned write
+        singles.unionByName(multis)
+        .sortWithinPartitions("bucket", "term", "chunk")
+        .write.mode("overwrite")
+        .option("compression", "uncompressed")  # blocks are varint-coded
+        .partitionBy("bucket")
+        .parquet(paths.postings)
+    )
+    manifest.record_stage(
+        "merge-postings", fingerprint, wall_s=time.time() - t1
+    )
+
+    # ------------------------------------------------------------ terms
+    t2 = time.time()
+    new_posts = spark.read.parquet(paths.postings)
+    terms = new_posts.groupBy("term").agg(
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.first("bucket").alias("bucket"),
+    )
+    nparts = max(1, min(num_buckets, par))
+    (
+        terms.repartitionByRange(nparts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(paths.terms)
+    )
+    n_terms = spark.read.parquet(paths.terms).count()
+    manifest.stats = {**manifest.stats, "n_terms": n_terms}
+    manifest.record_stage(
+        "merge-terms",
+        fingerprint,
+        rows=n_terms,
+        sources=src_dirs,
+        wall_s=time.time() - t2,
+    )
+    manifest.commit()
+    return manifest

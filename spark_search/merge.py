@@ -42,6 +42,7 @@ at corpus sizes no single heap can hold.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from typing import List, Optional
 
@@ -51,8 +52,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import BLOCKS_SCHEMA, PLISTS_SCHEMA, IndexPaths
 from .checkpoint import BuildManifest
-from .codec import decode_block, encode_blocks
+from .codec import encode_blocks_batch, varint_decode
+from .progress import dir_bytes
 from .stats import CorpusStats
+
+# postings-exchange width: ~this many encoded index bytes per reduce
+# task (decoded + merge state stays comfortably in task memory; small
+# merges collapse to num_buckets tasks instead of paying per-task
+# scheduling on hundreds of near-empty partitions)
+_BYTES_PER_PARTITION = 64 << 20
 
 # config keys that must be equal across every source index: they fix
 # the doc_id -> (chunk, pos) mapping, the term -> bucket mapping, the
@@ -122,49 +130,90 @@ def _merge_postings_udf(block_size: int, has_plists: bool):
 
     @F.pandas_udf(fields)
     def merge_srcs(srcs: pd.Series) -> pd.DataFrame:
-        n_docs, sum_tf, max_tf, blocks_out = [], [], [], []
+        # Batch-vectorized across the whole Arrow batch (the codec's
+        # encode_blocks_batch pattern, applied to decode+merge too):
+        # one varint decode over ALL blocks' concatenated buffers, one
+        # segment-cumsum to materialize doc ids, one lexsort to
+        # merge-sort every group at once, one batched re-encode. The
+        # per-group Python loop below touches only metadata lists —
+        # measured necessary: the bench's interleaved sf0.1 split puts
+        # 100% of postings through this UDF (single-chunk id space).
+        n_groups = len(srcs)
+        if n_groups == 0:
+            data = {
+                "n_docs": pd.Series([], dtype="int64"),
+                "sum_tf": pd.Series([], dtype="int64"),
+                "max_tf": pd.Series([], dtype="int32"),
+                "blocks": [],
+            }
+            if has_plists:
+                data["plists"] = []
+            return pd.DataFrame(data)
+        first_docs: list = []
+        ns: list = []
+        d_bufs: list = []
+        t_bufs: list = []
+        g_of_block: list = []
         plists_out: list = []
-        for group in srcs:
-            ids_all, tfs_all = [], []
-            plists_all = []
+        for gi, group in enumerate(srcs):
+            pl: list = []
             for src in group:
                 for b in src["blocks"]:
-                    ids, tfs = decode_block(
-                        int(b["first_doc"]), bytes(b["deltas"]), bytes(b["tfs"])
-                    )
-                    ids_all.append(ids)
-                    tfs_all.append(tfs)
+                    first_docs.append(int(b["first_doc"]))
+                    ns.append(int(b["n"]))
+                    d_bufs.append(bytes(b["deltas"]))
+                    t_bufs.append(bytes(b["tfs"]))
+                    g_of_block.append(gi)
                 if has_plists and src["plists"] is not None:
-                    plists_all.extend(src["plists"])
-            ids = np.concatenate(ids_all)
-            tfs = np.concatenate(tfs_all)
-            order = np.argsort(ids, kind="stable")
-            ids, tfs = ids[order], tfs[order]
-            enc = encode_blocks(ids, tfs, block_size=block_size)
-            n_docs.append(int(ids.size))
-            sum_tf.append(int(tfs.sum()))
-            max_tf.append(int(tfs.max()))
-            blocks_out.append(
-                [
-                    {
-                        "first_doc": e[0],
-                        "last_doc": e[1],
-                        "n": e[2],
-                        "max_tf": e[3],
-                        "deltas": e[4],
-                        "tfs": e[5],
-                    }
-                    for e in enc
-                ]
-            )
+                    pl.extend(src["plists"])
             if has_plists:
                 plists_out.append(
-                    sorted(plists_all, key=lambda e: int(e["doc_id"]))
+                    sorted(pl, key=lambda e: int(e["doc_id"]))
                 )
+        ns_arr = np.asarray(ns, dtype=np.int64)
+        # LEB128 is self-delimiting: decoding the concatenation yields
+        # exactly sum(ns) values in block order
+        vals = varint_decode(b"".join(d_bufs)).astype(np.int64)
+        tfs = varint_decode(b"".join(t_bufs)).astype(np.int64)
+        starts = np.zeros(ns_arr.size, dtype=np.int64)
+        np.cumsum(ns_arr[:-1], out=starts[1:])
+        vals[starts] = first_docs  # encoded first delta is 0
+        cum = np.cumsum(vals)
+        prev = np.empty_like(cum)
+        prev[0] = 0
+        prev[1:] = cum[:-1]
+        doc_ids = cum - np.repeat(prev[starts], ns_arr)
+        g = np.repeat(np.asarray(g_of_block, dtype=np.int64), ns_arr)
+        order = np.lexsort((doc_ids, g))
+        doc_ids, tfs = doc_ids[order], tfs[order]
+        counts = np.bincount(g, minlength=n_groups)
+        g_starts = np.zeros(n_groups, dtype=np.int64)
+        np.cumsum(counts[:-1], out=g_starts[1:])
+        enc = encode_blocks_batch(
+            np.split(doc_ids, g_starts[1:]),
+            np.split(tfs, g_starts[1:]),
+            block_size=block_size,
+        )
+        sum_tf = np.add.reduceat(tfs, g_starts)
+        max_tf = np.maximum.reduceat(tfs, g_starts)
+        blocks_out = [
+            [
+                {
+                    "first_doc": e[0],
+                    "last_doc": e[1],
+                    "n": e[2],
+                    "max_tf": e[3],
+                    "deltas": e[4],
+                    "tfs": e[5],
+                }
+                for e in blocks
+            ]
+            for blocks in enc
+        ]
         data = {
-            "n_docs": pd.Series(n_docs, dtype="int64"),
+            "n_docs": pd.Series(counts, dtype="int64"),
             "sum_tf": pd.Series(sum_tf, dtype="int64"),
-            "max_tf": pd.Series(max_tf, dtype="int32"),
+            "max_tf": pd.Series(max_tf.astype(np.int32), dtype="int32"),
             "blocks": blocks_out,
         }
         if has_plists:
@@ -204,6 +253,7 @@ def merge_indexes(
     out_dir: str,
     validate: bool = True,
     plan_parallelism: Optional[int] = None,
+    resume: bool = False,
 ) -> BuildManifest:
     """Merge committed single-segment indexes into one canonical index
     at ``out_dir``. Sources must share the layout config and hold
@@ -215,6 +265,12 @@ def merge_indexes(
     Cost: one (bucket, chunk)-keyed exchange over encoded postings +
     one registry pass — no document content is read. See the module
     docstring for the canonical-output invariant.
+
+    ``resume=True``: like ``build_index``, completed stages recorded in
+    ``manifest.partial.json`` under the same source fingerprint are
+    skipped — an interrupted 100 TB merge re-runs only the unfinished
+    stage, and the atomic manifest-rename commit means readers never
+    see a partial merge.
     """
     manifests = _load_sources(index_dirs)
     cfg = {k: manifests[0].config.get(k) for k in _MERGE_CONFIG_KEYS}
@@ -233,143 +289,171 @@ def merge_indexes(
             for d, m in zip(src_dirs, manifests)
         )
     )
-    manifest = BuildManifest(out_abs)
+    manifest = None
+    if resume:
+        try:
+            manifest = BuildManifest.load(out_abs, allow_partial=True)
+        except Exception:
+            manifest = None
+        if manifest is not None and manifest.config and any(
+            manifest.config.get(k) != cfg.get(k) for k in _MERGE_CONFIG_KEYS
+        ):
+            manifest = None  # different layout: never seed stage-skips
+    if manifest is None:
+        if os.path.exists(out_abs):
+            shutil.rmtree(out_abs)
+        manifest = BuildManifest(out_abs)
     manifest.config = cfg
     manifest.save_partial()
 
     # ------------------------------------------------------------- docs
     t0 = time.time()
     docs = _union(spark, src_dirs, "docs")
-    if validate:
-        # disjointness is the correctness precondition for everything
-        # below (block merge assumes no (term, doc) pair exists twice);
-        # one slim-row aggregation over the registries proves it
-        dup = (
-            docs.groupBy("doc_id")
-            .agg(F.count("*").alias("c"))
-            .where(F.col("c") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"doc_id {dup[0]['doc_id']} exists in more than one "
-                "source index; merge_indexes requires disjoint doc-id "
-                "sets (rebuild shards with with_doc_ids(start=...) or "
-                "remap before merging)"
+    if not (resume and manifest.stage_done("merge-docs", fingerprint)):
+        if validate:
+            # disjointness is the correctness precondition for
+            # everything below (block merge assumes no (term, doc) pair
+            # exists twice); one slim-row aggregation over the
+            # registries proves it
+            dup = (
+                docs.groupBy("doc_id")
+                .agg(F.count("*").alias("c"))
+                .where(F.col("c") > 1)
+                .limit(1)
+                .collect()
             )
-    from pyspark.sql import Observation
+            if dup:
+                raise ValueError(
+                    f"doc_id {dup[0]['doc_id']} exists in more than one "
+                    "source index; merge_indexes requires disjoint doc-id "
+                    "sets (rebuild shards with with_doc_ids(start=...) or "
+                    "remap before merging)"
+                )
+        from pyspark.sql import Observation
 
-    obs = Observation("merge_docs_stats")
-    (
-        docs.repartitionByRange(par, "doc_id")
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.sum("dl").alias("tot"),
+        obs = Observation("merge_docs_stats")
+        (
+            docs.repartitionByRange(par, "doc_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("tot"),
+            )
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(paths.docs)
         )
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(paths.docs)
-    )
-    row = obs.get
-    n_docs, total_dl = int(row["n"]), int(row["tot"] or 0)
+        row = obs.get
+        n_docs, total_dl = int(row["n"]), int(row["tot"] or 0)
 
-    # ---------------------------------------------------------- doclens
-    combine = _combine_doclens_udf()
-    (
-        _union(spark, src_dirs, "doclens")
-        .groupBy("chunk")
-        .agg(F.collect_list("dls").alias("_g"))
-        .select("chunk", combine(F.col("_g")).alias("dls"))
-        .write.mode("overwrite")
-        .option("compression", "uncompressed")
-        .parquet(paths.doclens)
-    )
-    manifest.stats = CorpusStats.combine(n_docs, total_dl).to_dict()
-    manifest.record_stage(
-        "merge-docs", fingerprint, rows=n_docs, wall_s=time.time() - t0
-    )
+        # ------------------------------------------------------ doclens
+        combine = _combine_doclens_udf()
+        (
+            _union(spark, src_dirs, "doclens")
+            .groupBy("chunk")
+            .agg(F.collect_list("dls").alias("_g"))
+            .select("chunk", combine(F.col("_g")).alias("dls"))
+            .write.mode("overwrite")
+            .option("compression", "uncompressed")
+            .parquet(paths.doclens)
+        )
+        manifest.stats = CorpusStats.combine(n_docs, total_dl).to_dict()
+        manifest.record_stage(
+            "merge-docs", fingerprint, rows=n_docs, wall_s=time.time() - t0
+        )
 
     # --------------------------------------------------------- postings
     t1 = time.time()
-    posts = _union(spark, src_dirs, "postings")
-    src_struct = ["n_docs", "sum_tf", "max_tf", "blocks"] + (
-        ["plists"] if has_plists else []
-    )
-    # the build's own salted exchange key: (bucket, chunk) bounds any
-    # reducer's share of a hot term to chunk_span docs per source
-    n_shuffle = max(num_buckets, 8 * par)
-    grouped = (
-        posts.repartition(n_shuffle, "bucket", "chunk")
-        .groupBy("bucket", "term", "chunk")
-        # exchange-free on top of the repartition (grouping keys ⊇
-        # partition keys)
-        .agg(F.collect_list(F.struct(*src_struct)).alias("srcs"))
-    )
-    one = F.col("srcs")[0]
-    singles = grouped.where(F.size("srcs") == 1).select(
-        "bucket",
-        "term",
-        "chunk",
-        one.getField("n_docs").alias("n_docs"),
-        one.getField("sum_tf").alias("sum_tf"),
-        one.getField("max_tf").alias("max_tf"),
-        one.getField("blocks").alias("blocks"),
-        *([one.getField("plists").alias("plists")] if has_plists else []),
-    )
-    merge_srcs = _merge_postings_udf(block_size, has_plists)
-    multis = grouped.where(F.size("srcs") > 1).select(
-        "bucket", "term", "chunk", merge_srcs(F.col("srcs")).alias("_m")
-    ).select(
-        "bucket",
-        "term",
-        "chunk",
-        F.col("_m.n_docs").alias("n_docs"),
-        F.col("_m.sum_tf").alias("sum_tf"),
-        F.col("_m.max_tf").alias("max_tf"),
-        F.col("_m.blocks").alias("blocks"),
-        *([F.col("_m.plists").alias("plists")] if has_plists else []),
-    )
-    (
-        # the two branches re-read ONE shuffle (ReusedExchange: same
-        # child plan under both filters); the union keeps rows of each
-        # task clustered by bucket for the partitioned write
-        singles.unionByName(multis)
-        .sortWithinPartitions("bucket", "term", "chunk")
-        .write.mode("overwrite")
-        .option("compression", "uncompressed")  # blocks are varint-coded
-        .partitionBy("bucket")
-        .parquet(paths.postings)
-    )
-    manifest.record_stage(
-        "merge-postings", fingerprint, wall_s=time.time() - t1
-    )
+    if not (resume and manifest.stage_done("merge-postings", fingerprint)):
+        posts = _union(spark, src_dirs, "postings")
+        src_struct = ["n_docs", "sum_tf", "max_tf", "blocks"] + (
+            ["plists"] if has_plists else []
+        )
+        # the build's own salted exchange key: (bucket, chunk) bounds
+        # any reducer's share of a hot term to chunk_span docs per
+        # source. Width follows the DATA (graph.py's rule): the input
+        # is encoded index bytes whose size is a driver-side listing,
+        # so a 40 MB merge doesn't pay 256-task exchanges while a
+        # 100 TB merge still gets ~8 tasks per core wave. Capped at
+        # 8*par like the build so plan width stays cluster-bounded.
+        src_bytes = sum(
+            dir_bytes(os.path.join(d, "postings")) for d in src_dirs
+        )
+        n_shuffle = min(
+            max(num_buckets, src_bytes // _BYTES_PER_PARTITION + 1),
+            max(num_buckets, 8 * par),
+        )
+        grouped = (
+            posts.repartition(n_shuffle, "bucket", "chunk")
+            .groupBy("bucket", "term", "chunk")
+            # exchange-free on top of the repartition (grouping keys ⊇
+            # partition keys)
+            .agg(F.collect_list(F.struct(*src_struct)).alias("srcs"))
+        )
+        one = F.col("srcs")[0]
+        singles = grouped.where(F.size("srcs") == 1).select(
+            "bucket",
+            "term",
+            "chunk",
+            one.getField("n_docs").alias("n_docs"),
+            one.getField("sum_tf").alias("sum_tf"),
+            one.getField("max_tf").alias("max_tf"),
+            one.getField("blocks").alias("blocks"),
+            *([one.getField("plists").alias("plists")] if has_plists else []),
+        )
+        merge_srcs = _merge_postings_udf(block_size, has_plists)
+        multis = grouped.where(F.size("srcs") > 1).select(
+            "bucket", "term", "chunk", merge_srcs(F.col("srcs")).alias("_m")
+        ).select(
+            "bucket",
+            "term",
+            "chunk",
+            F.col("_m.n_docs").alias("n_docs"),
+            F.col("_m.sum_tf").alias("sum_tf"),
+            F.col("_m.max_tf").alias("max_tf"),
+            F.col("_m.blocks").alias("blocks"),
+            *([F.col("_m.plists").alias("plists")] if has_plists else []),
+        )
+        (
+            # the two branches re-read ONE shuffle (ReusedExchange: same
+            # child plan under both filters); the union keeps rows of
+            # each task clustered by bucket for the partitioned write
+            singles.unionByName(multis)
+            .sortWithinPartitions("bucket", "term", "chunk")
+            .write.mode("overwrite")
+            .option("compression", "uncompressed")  # varint-coded already
+            .partitionBy("bucket")
+            .parquet(paths.postings)
+        )
+        manifest.record_stage(
+            "merge-postings", fingerprint, wall_s=time.time() - t1
+        )
 
     # ------------------------------------------------------------ terms
     t2 = time.time()
-    new_posts = spark.read.parquet(paths.postings)
-    terms = new_posts.groupBy("term").agg(
-        F.sum("n_docs").alias("df"),
-        F.sum("sum_tf").alias("cf"),
-        F.max("max_tf").alias("max_tf"),
-        F.first("bucket").alias("bucket"),
-    )
-    nparts = max(1, min(num_buckets, par))
-    (
-        terms.repartitionByRange(nparts, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(paths.terms)
-    )
-    n_terms = spark.read.parquet(paths.terms).count()
-    manifest.stats = {**manifest.stats, "n_terms": n_terms}
-    manifest.record_stage(
-        "merge-terms",
-        fingerprint,
-        rows=n_terms,
-        sources=src_dirs,
-        wall_s=time.time() - t2,
-    )
+    if not (resume and manifest.stage_done("merge-terms", fingerprint)):
+        new_posts = spark.read.parquet(paths.postings)
+        terms = new_posts.groupBy("term").agg(
+            F.sum("n_docs").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.first("bucket").alias("bucket"),
+        )
+        nparts = max(1, min(num_buckets, par))
+        (
+            terms.repartitionByRange(nparts, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(paths.terms)
+        )
+        n_terms = spark.read.parquet(paths.terms).count()
+        manifest.stats = {**manifest.stats, "n_terms": n_terms}
+        manifest.record_stage(
+            "merge-terms",
+            fingerprint,
+            rows=n_terms,
+            sources=src_dirs,
+            wall_s=time.time() - t2,
+        )
     manifest.commit()
     return manifest

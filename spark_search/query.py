@@ -1144,12 +1144,157 @@ class IndexReader:
         stream = pl.mapInPandas(_explode, "doc_id long, term string, pos int")
         return _phrase_occurrences(stream, phrase)
 
+    def _phrase_local(
+        self, phrase: List[str], k: int, max_postings: int
+    ) -> Optional[DataFrame]:
+        """Driver-local positional phrase fast path — the phrase analog
+        of ``_search_local``. When the cached dictionary proves the
+        phrase terms' total matched postings (Σ df) is bounded, ONE
+        bucket-pruned + term-pushed postings scan collects the terms'
+        blocks AND plists; candidate intersection (docs whose blocks
+        hold every term), adjacency (position-set shifts), tombstone
+        filtering and BM25 scoring all run in numpy. A warm query is
+        one tiny scan job + the literal-result plan — no shuffle, no
+        window, no Python-worker stage.
+
+        Semantics identical to the distributed positional path by
+        construction: candidates come from BLOCKS (stale plists entries
+        left by maintenance are inert, maintain.py:506), positions from
+        multiple segments union per (term, doc), the phrase scores as
+        one pseudo-term with the exact ``bm25_score_col`` float
+        arithmetic (pinned by test against the distributed plan and the
+        declarative pipeline). Returns None (caller falls back) when
+        the dictionary is uncached, Σ df exceeds the gate, tombstones
+        are uncacheably many, or the doclens gate trips."""
+        uniq = list(dict.fromkeys(phrase))
+        expansion = self._dict_expand(uniq, EXACT_MATCH)
+        if expansion is None:
+            return None
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if len(expansion) < len(uniq):
+            return empty  # a term absent from the index: no AND match
+        if sum(df_ for _, df_, _, _ in expansion) > max_postings:
+            return None
+        dels = self._dels_cached()
+        if dels is None:
+            return None
+        buckets = sorted({b for _, _, _, b in expansion})
+        rows = (
+            self.postings_df()
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(uniq))
+            .select("term", "blocks", "plists")
+            .collect()
+        )
+        if not rows:
+            return empty
+        docs_by_term: Dict[str, List[np.ndarray]] = {}
+        for r in rows:
+            acc = docs_by_term.setdefault(r["term"], [])
+            for blk in r["blocks"]:
+                ids, _ = decode_block(
+                    int(blk["first_doc"]),
+                    bytes(blk["deltas"]),
+                    bytes(blk["tfs"]),
+                )
+                acc.append(ids)
+        cand: Optional[np.ndarray] = None
+        for t in uniq:
+            got = docs_by_term.get(t)
+            if not got:
+                return empty
+            ids = np.unique(np.concatenate(got)) if len(got) > 1 else got[0]
+            cand = (
+                ids
+                if cand is None
+                else np.intersect1d(cand, ids, assume_unique=True)
+            )
+            if cand.size == 0:
+                return empty
+        if dels:
+            tomb = np.concatenate(list(dels.values()))
+            cand = cand[~np.isin(cand, tomb)]
+            if cand.size == 0:
+                return empty
+        # positions per (candidate doc, term); cand is sorted, so
+        # membership is a searchsorted probe per plists entry
+        pos_map: Dict[Tuple[int, str], List[np.ndarray]] = {}
+        for r in rows:
+            t = r["term"]
+            for e in r["plists"]:
+                d = int(e["doc_id"])
+                i = int(np.searchsorted(cand, d))
+                if i >= cand.size or cand[i] != d:
+                    continue
+                pos_map.setdefault((d, t), []).append(
+                    decode_positions(bytes(e["poss"]))
+                )
+        out_ids: List[int] = []
+        out_tfs: List[int] = []
+        for d in cand.tolist():
+            p0 = pos_map.get((d, phrase[0]))
+            if p0 is None:
+                continue
+            starts = np.unique(np.concatenate(p0)) if len(p0) > 1 else p0[0]
+            for j, t in enumerate(phrase[1:], 1):
+                pj = pos_map.get((d, t))
+                if pj is None:
+                    starts = starts[:0]
+                    break
+                pja = (
+                    np.unique(np.concatenate(pj)) if len(pj) > 1 else pj[0]
+                )
+                starts = starts[np.isin(starts + j, pja, assume_unique=True)]
+                if starts.size == 0:
+                    break
+            if starts.size:
+                out_ids.append(d)
+                out_tfs.append(int(starts.size))
+        if not out_ids:
+            return empty
+        return self._phrase_finish_local(
+            np.asarray(out_ids, dtype=np.int64),
+            np.asarray(out_tfs, dtype=np.float64),
+            k,
+        )
+
+    def _phrase_finish_local(
+        self, ids: np.ndarray, tfs: np.ndarray, k: int
+    ) -> Optional[DataFrame]:
+        """Score the (already complete) phrase match set driver-side:
+        df = |matched docs|, dl from the doclens chunk cache, the same
+        float arithmetic as ``bm25_score_col``. Returns None when the
+        matched docs touch more chunks than the doclens cache bound (or
+        a chunk is missing) — caller falls back to the distributed
+        finish."""
+        span = self.chunk_span
+        chunk_arr = ids // span
+        chunks = sorted(set(chunk_arr.tolist()))
+        if len(chunks) > _DOCLENS_CACHE_CHUNKS:
+            return None
+        dls_by_chunk = self._doclens_for(chunks)
+        if any(c not in dls_by_chunk for c in chunks):
+            return None
+        dls = np.empty(ids.size, dtype=np.float64)
+        for c in chunks:
+            m = chunk_arr == c
+            dls[m] = dls_by_chunk[c][ids[m] - c * span]
+        idf = _idf(float(self.stats.n_docs), float(ids.size))
+        sc = _score_np(tfs, dls, idf, self.stats.avgdl)
+        order = np.lexsort((ids, -sc))[:k]
+        out = [
+            (int(ids[i]), float(sc[i]), rank + 1)
+            for rank, i in enumerate(order)
+        ]
+        return _rows_literal_df(self.spark, out, _RESULT_FIELDS)
+
     def search_phrase(
         self,
         phrase: List[str],
         corpus: Optional[DataFrame] = None,
         k: int = 10,
         use_positions: Optional[bool] = None,
+        local_max_postings: Optional[int] = _LOCAL_MAX_POSTINGS,
     ) -> DataFrame:
         """Index-accelerated exact-phrase BM25. The index prunes to docs
         containing ALL phrase terms, then adjacency is verified one of
@@ -1193,6 +1338,10 @@ class IndexReader:
                 "candidate content: pass the corpus DataFrame, or build "
                 "the index with positions=True"
             )
+        if positional and local_max_postings:
+            out = self._phrase_local(phrase, k, local_max_postings)
+            if out is not None:
+                return out
         cand = self.match_docs(phrase, AND_MATCH)
         if positional:
             occ = self._positional_occurrences(phrase, cand)
@@ -1209,6 +1358,26 @@ class IndexReader:
             docs = corpus.join(F.broadcast(cand), "doc_id")
             occ = _phrase_occurrences(tokens_pos(docs, self.tokenizer), phrase)
         tf = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("tf"))
+        if local_max_postings:
+            # cap-gated local finish: the (doc_id, tf) match set is the
+            # phrase's complete answer — when it fits the gate, collect
+            # it ONCE and score driver-side. This runs the whole query
+            # as a single distributed job (match + occurrence + agg)
+            # instead of re-executing the candidate subplan for the dl
+            # join and the tf subplan for dfreq; past the gate the
+            # distributed finish below recomputes tf and keeps every
+            # stage on the cluster.
+            head = tf.limit(local_max_postings + 1).collect()
+            if len(head) <= local_max_postings:
+                if not head:
+                    return empty
+                out = self._phrase_finish_local(
+                    np.asarray([r["doc_id"] for r in head], dtype=np.int64),
+                    np.asarray([r["tf"] for r in head], dtype=np.float64),
+                    k,
+                )
+                if out is not None:
+                    return out
         dfreq = tf.agg(F.count("*").cast("double").alias("df"))
         # doc lengths come from the index REGISTRY (written at build
         # time with this reader's tokenizer), not from re-tokenizing

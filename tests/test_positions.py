@@ -110,6 +110,72 @@ def test_positional_matches_rescan_path(spark, corpus, pos_index):
     assert _key(got) == _key(pos)
 
 
+def _exact(rows):
+    return [(r["doc_id"], r["score"], r["rank"]) for r in rows]
+
+
+def test_phrase_local_matches_distributed(spark, corpus, pos_index):
+    """The driver-local fast path must be FLOAT-IDENTICAL to the
+    distributed positional plan (local_max_postings=None disables both
+    the local path and the cap-gated finish)."""
+    rd = IndexReader(spark, pos_index)
+    local = rd.search_phrase(PHRASE, k=10).collect()
+    dist = rd.search_phrase(PHRASE, k=10, local_max_postings=None).collect()
+    assert _exact(local) == _exact(dist)
+    assert len(local) > 0
+
+
+def test_phrase_local_repeated_term(spark, corpus, pos_index):
+    """Adjacent repeated-term phrase: 'hello hello' matches only d.txt
+    — identical across local, distributed, and declarative paths."""
+    rd = IndexReader(spark, pos_index)
+    q = ["hello", "hello"]
+    local = rd.search_phrase(q, k=10).collect()
+    dist = rd.search_phrase(q, k=10, local_max_postings=None).collect()
+    want = P.phrase_topk(corpus, q, k=10).collect()
+    assert _exact(local) == _exact(dist)
+    assert _key(local) == _key(want)
+    d_doc = corpus.where(F.col("path") == "d.txt").collect()[0]["doc_id"]
+    assert [r["doc_id"] for r in local] == [d_doc]
+
+
+def test_phrase_local_absent_term_empty(spark, pos_index):
+    rd = IndexReader(spark, pos_index)
+    assert rd.search_phrase(["hello", "zzzmissing"], k=10).collect() == []
+
+
+def test_phrase_local_matches_distributed_after_delete(
+    spark, corpus, pos_index, tmp_path
+):
+    """Tombstones must filter candidates identically on the local path
+    (cached dels arrays) and the distributed one (anti-join)."""
+    rd0 = IndexReader(spark, pos_index)
+    victim = rd0.search_phrase(PHRASE, k=10).collect()[0]["doc_id"]
+    gen2 = str(tmp_path / "ldel")
+    delete_docs(spark, pos_index, gen2, [victim])
+    rd = IndexReader(spark, gen2)
+    local = rd.search_phrase(PHRASE, k=10).collect()
+    dist = rd.search_phrase(PHRASE, k=10, local_max_postings=None).collect()
+    assert _exact(local) == _exact(dist)
+    assert victim not in {r["doc_id"] for r in local}
+
+
+def test_positionless_local_finish_matches_distributed(
+    spark, corpus, pos_index
+):
+    """The cap-gated local finish on the content-rescan path must be
+    float-identical to the fully distributed finish."""
+    rd = IndexReader(spark, pos_index)
+    fast = rd.search_phrase(
+        PHRASE, corpus, k=10, use_positions=False
+    ).collect()
+    dist = rd.search_phrase(
+        PHRASE, corpus, k=10, use_positions=False, local_max_postings=None
+    ).collect()
+    assert _exact(fast) == _exact(dist)
+    assert len(fast) > 0
+
+
 def test_positionless_requires_corpus(spark, corpus, tmp_path):
     d = str(tmp_path / "nopos")
     build_index(spark, corpus, d)

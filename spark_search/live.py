@@ -269,6 +269,10 @@ class LiveResults:
             else self.spark.createDataFrame([], DIFF_SCHEMA)
         )
         if log and all_rows:
+            # an append after an interrupted compaction swap would
+            # recreate the log dir with just this batch and orphan the
+            # full history in log.old — finish the swap first
+            self._recover_log()
             batch = diff.withColumn(
                 "refresh_ts", F.lit(int(time.time() * 1000))
             ).withColumn("generation", F.lit(d))
@@ -281,14 +285,44 @@ class LiveResults:
     def _log_dir(self) -> str:
         return os.path.join(self.state_dir, "log")
 
+    def _recover_log(self) -> None:
+        """Complete an interrupted compaction swap so every later
+        append/read sees the full history. States a crash can leave:
+
+        - ``log`` missing, ``log.old`` present: the swap died between
+          its two renames. The compacted copy (``log.compacting``) is
+          complete iff Spark committed it (``_SUCCESS``); promote it,
+          else restore ``log.old``. Either way the full log is back at
+          the canonical path before anything appends to it.
+        - ``log`` and ``log.old`` both present: the swap finished but
+          the cleanup didn't; ``log.old`` is a stale full copy, drop it.
+        - a leftover ``log.compacting`` with ``log`` present is inert
+          (the next compaction rewrites it from scratch).
+        """
+        import shutil
+
+        log_dir = self._log_dir()
+        tmp = log_dir + ".compacting"
+        old = log_dir + ".old"
+        if not os.path.isdir(old):
+            return
+        if not os.path.isdir(log_dir):
+            if os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, log_dir)
+            else:
+                os.rename(old, log_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def _maybe_compact_log(self) -> None:
         """Rewrite the append-only event log into one file once its
         part-file count passes ``_LOG_COMPACT_FILES`` — the same story
         as the index's segment auto-compaction (streaming.py), applied
         to the S7 sink. Restart-proof: the trigger is the on-disk file
         count, no counter state. Crash windows leave either the old dir
-        (swap not started) or ``log.old`` (swap interrupted) — both
-        readable by event_log()."""
+        (swap not started) or ``log.old`` (swap interrupted) —
+        ``_recover_log`` folds either state back to the canonical path
+        before the next append or read touches it."""
         log_dir = self._log_dir()
         try:
             parts = [
@@ -316,15 +350,16 @@ class LiveResults:
         """All diffs ever emitted (the S7 live-result sink analog).
         Refreshes only create the log on a non-empty diff, so before
         any diff has been emitted this returns an EMPTY frame with the
-        full log schema instead of raising path-not-found."""
+        full log schema instead of raising path-not-found.
+
+        The returned frame is lazy over the CURRENT log files;
+        compaction (triggered by a later ``refresh``) rewrites them, so
+        a frame held across refreshes can hit missing-file errors on
+        re-execution. Re-obtain after refreshing, or materialize
+        (``collect``/``cache`` + action) to hold results."""
+        self._recover_log()
         log_dir = self._log_dir()
         if not os.path.isdir(log_dir):
-            # crash window of _maybe_compact_log: the compacted copy
-            # was built but the swap didn't finish — the .old dir holds
-            # the complete log
-            old = log_dir + ".old"
-            if os.path.isdir(old):
-                return self.spark.read.parquet(old)
             schema = T.StructType(
                 DIFF_SCHEMA.fields
                 + [

@@ -288,3 +288,56 @@ def test_event_log_file_count_bounded(spark, base_index, tmp_path, monkeypatch):
 
     assert lv.event_log().count() == total
     assert total > 0
+
+def test_event_log_survives_interrupted_compaction_swap(
+    spark, base_index, tmp_path, monkeypatch
+):
+    """A crash between the compaction's two renames leaves the full log
+    at log.old and nothing at the canonical path. The next append must
+    NOT recreate the log with just its own batch (orphaning the history
+    for the following compaction to delete): recovery completes the
+    swap first, so no rows are ever lost."""
+    import shutil
+
+    from spark_search import live as live_mod
+
+    monkeypatch.setattr(live_mod, "_LOG_COMPACT_FILES", 1000)
+
+    gen2 = str(tmp_path / "gen2")
+    delete_docs(spark, base_index, gen2, [4])
+
+    lv = LiveResults(spark, str(tmp_path / "live_crash"))
+    lv.register("q", ["mila"], k=10, index_dir=base_index)
+    total = lv.refresh(index_dir=gen2).count()
+    total += lv.refresh(index_dir=base_index).count()
+    assert total > 0
+
+    # simulate the crash window: compacted copy built, first rename
+    # done, second rename never ran
+    log_dir = lv._log_dir()
+    tmp_dir = log_dir + ".compacting"
+    spark.read.parquet(log_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_dir)
+    os.rename(log_dir, log_dir + ".old")
+    assert not os.path.isdir(log_dir)
+
+    # append-after-crash: history must be recovered before the append
+    total += lv.refresh(index_dir=gen2).count()
+    assert lv.event_log().count() == total
+    assert not os.path.isdir(log_dir + ".old")
+
+    # same window with an UNCOMMITTED compacted copy (no _SUCCESS):
+    # recovery must fall back to log.old
+    spark.read.parquet(log_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_dir)
+    os.remove(os.path.join(tmp_dir, "_SUCCESS"))
+    os.rename(log_dir, log_dir + ".old")
+    total += lv.refresh(index_dir=base_index).count()
+    assert lv.event_log().count() == total
+
+    # swap-finished-but-cleanup-crashed: stale log.old is dropped
+    shutil.copytree(log_dir, log_dir + ".old")
+    assert lv.event_log().count() == total
+    assert not os.path.isdir(log_dir + ".old")

@@ -149,7 +149,7 @@ def _topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
 _TOKS_DUCK = tokens_sql("text", dialect="duckdb")
 
 
-def _bm25_oracle(terms, mode, k=10) -> str:
+def _bm25_oracle(terms, mode, k=10, doc_where=None) -> str:
     uniq = list(dict.fromkeys(terms))
     if mode == P.START_WITH:
         pred = " OR ".join(f"term LIKE '{t}%'" for t in uniq)
@@ -158,6 +158,14 @@ def _bm25_oracle(terms, mode, k=10) -> str:
         pred = f"term IN ({inlist})"
     having = (
         f"HAVING count(*) = {len(uniq)}" if mode == P.AND_MATCH else ""
+    )
+    # metadata filter: restricts MEMBERSHIP only — df/stats above stay
+    # corpus-global (the engine's Lucene filter-query semantics)
+    allow = (
+        "JOIN (SELECT doc_id FROM documents WHERE "
+        f"{doc_where}) allowed ON allowed.doc_id = tf.doc_id"
+        if doc_where
+        else ""
     )
     return f"""
 WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
@@ -176,6 +184,7 @@ scored AS (
   FROM tf
   JOIN dfreq USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
+  {allow}
   CROSS JOIN stats
   GROUP BY tf.doc_id {having}
 )
@@ -610,6 +619,41 @@ def _q_bm25_prefix(spark, sf_dir):
     return _topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
 
 
+# Metadata-filtered search (Lucene filter-query semantics): the filter
+# scopes the RESULT SET over registry columns; idf/df/N/avgdl stay
+# corpus-global, so a doc's score is bit-identical with or without the
+# filter. The driver corpus maps documents.lang -> corpus.lang 1:1
+# (corpus.load_sf_documents), so the DuckDB oracle filters the same rows.
+FILTER_SPARK = "lang IN ('de', 'fr')"
+FILTER_DUCK = "lang IN ('de', 'fr')"
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    res = P.bm25_topk(
+        _corpus(spark, sf_dir),
+        TERMS_OR,
+        P.WITH_SUGGESTIONS,
+        k=10,
+        doc_filter=FILTER_SPARK,
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_bm25_filtered_indexed(spark, sf_dir):
+    res = _indexed_reader(spark, sf_dir).search(
+        TERMS_OR, P.WITH_SUGGESTIONS, k=10, doc_filter=FILTER_SPARK
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_term_stats(spark, sf_dir):
     """Posting-list statistics: df (document frequency) and cf
     (collection frequency) per term — the O1 aggregation output."""
@@ -822,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk": _q_bm25_or,
         "bm25_and_topk": _q_bm25_and,
         "bm25_prefix_topk": _q_bm25_prefix,
+        "bm25_filtered_topk": _q_bm25_filtered,
+        "bm25_filtered_topk_indexed": _q_bm25_filtered_indexed,
         # disk-index-backed duplicates of the same semantics: these run
         # build_index -> IndexReader (codec, chunk/block pruning, top-k
         # heaps) under the identical oracles
@@ -898,6 +944,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_topk": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_and_topk": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
+        "bm25_filtered_topk": _bm25_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, doc_where=FILTER_DUCK
+        ),
+        "bm25_filtered_topk_indexed": _bm25_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, doc_where=FILTER_DUCK
+        ),
         # identical oracles for the disk-index-backed variants
         "bm25_exact_topk_indexed": _bm25_oracle(TERMS_EXACT, P.EXACT_MATCH),
         "bm25_or_topk_indexed": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),

@@ -131,6 +131,7 @@ def bm25_topk(
     mode: str = EXACT_MATCH,
     k: int = 10,
     tokenizer: str = "standard",
+    doc_filter=None,
 ) -> DataFrame:
     """End-to-end declarative BM25 top-k over a corpus DataFrame that
     already has ``doc_id``. Returns (doc_id, score, rank).
@@ -140,6 +141,13 @@ def bm25_topk(
     the tiny per-term df and single-row stats -> TakeOrderedAndProject.
     The only wide exchanges are the two aggregations; the match filter is
     applied *before* the df join so only matching terms shuffle.
+
+    ``doc_filter`` (Column or SQL-expression string over the corpus
+    columns, e.g. ``"repo = 'src3' AND lang = 'en'"``) scopes the RESULT
+    SET without changing scoring — Lucene filter-query semantics: idf,
+    df, N and avgdl stay corpus-global; the filter only decides which
+    docs may appear in the top-k. Scoped queries by repo / lang / path
+    are the everyday query shape on a source-code corpus.
     """
     qterms = list(dict.fromkeys(terms))  # dedup, preserve order
     if not qterms:
@@ -163,7 +171,7 @@ def bm25_topk(
     matched = tok.where(_match_filter(F.col("term"), qterms, mode))
     tf = term_doc_tf(matched)
     require_n = len(qterms) if mode == AND_MATCH else None
-    return _bm25_rank(tf, corpus, k, tokenizer, require_n)
+    return _bm25_rank(tf, corpus, k, tokenizer, require_n, doc_filter)
 
 
 def _bm25_rank(
@@ -172,17 +180,26 @@ def _bm25_rank(
     k: int,
     tokenizer: str,
     require_n: int | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     """Shared scoring tail: (term, doc_id, tf) rows of MATCHED terms ->
     (doc_id, score, rank) top-k. df comes from the tf rows themselves
     (the match filter keeps every doc containing a matched term, so
     doc_freq(tf) IS the global df); dl/avgdl/N from the corpus.
     ``require_n`` enforces AND semantics (doc must hold that many
-    distinct matched terms)."""
+    distinct matched terms). ``doc_filter`` drops disallowed docs AFTER
+    df is taken (global-stats filter semantics, see bm25_topk)."""
     # Global document frequency of each matched term: the term filter
     # keeps every doc containing the term, so doc_freq(tf) IS the global
     # df — no second pass over the corpus needed.
     dfreq = doc_freq(tf)
+    if doc_filter is not None:
+        flt = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
+        # semi join, not a row-filter on tf: the filter predicate lives
+        # on corpus columns (repo/lang/...) that tf rows don't carry.
+        # Placed after doc_freq so df stays global, before the dl join
+        # and scoring agg so disallowed docs never shuffle further.
+        tf = tf.join(corpus.where(flt).select("doc_id"), "doc_id", "semi")
 
     dl = doc_lengths(corpus, tokenizer)
     stats = corpus_stats_df(dl)

@@ -601,12 +601,26 @@ class IndexReader:
         k: int = 10,
         prune: bool = True,
         local_max_postings: Optional[int] = _LOCAL_MAX_POSTINGS,
+        doc_filter=None,
     ) -> DataFrame:
         """BM25 top-k -> DataFrame (doc_id, score, rank).
 
         ``local_max_postings`` gates the driver-side small-query fast
         path (0/None disables it; the distributed plan is always the
-        fallback and produces identical results)."""
+        fallback and produces identical results).
+
+        ``doc_filter`` (Column or SQL-expression string over the doc
+        REGISTRY columns: repo, path, commit, lang) scopes the result
+        set with Lucene filter-query semantics — idf / N / avgdl stay
+        corpus-global; only membership changes. Implemented as a
+        per-chunk allowed-position list computed from one registry scan
+        (the filter predicate pushes down to the registry parquet) and
+        joined into the scoring stage exactly like the doclens arrays —
+        chunks with no allowed docs drop out of the plan entirely, and
+        no allowed-set ever concentrates on the driver. Block-max
+        pruning is disabled under a filter: a θ bar bootstrapped from
+        unfiltered scores could prune docs that belong in the FILTERED
+        top-k."""
         qterms = list(dict.fromkeys(terms))
         n_query_terms = len(qterms)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -692,6 +706,7 @@ class IndexReader:
 
         if (
             local_max_postings
+            and doc_filter is None
             and total_df is not None
             and total_df <= local_max_postings
         ):
@@ -714,7 +729,7 @@ class IndexReader:
         )
 
         theta = 0.0
-        if prune and mode != AND_MATCH:
+        if prune and mode != AND_MATCH and doc_filter is None:
             # θ bootstrap costs extra driver jobs; only worth it when
             # enough postings could be skipped (unknown-size expansions
             # always bootstrap — they are the heavy ones)
@@ -750,6 +765,30 @@ class IndexReader:
             joined = joined.withColumn(
                 "_dels", F.lit(None).cast("array<long>")
             )
+        has_allow = doc_filter is not None
+        if has_allow:
+            # allowed positions per chunk, shaped exactly like doclens:
+            # one registry scan (predicate pushed to parquet) -> map-side
+            # (chunk, pos) projection -> one small-by-construction
+            # aggregation (≤ chunk_span ints per group). The INNER join
+            # prunes chunks with no allowed docs before any block decode.
+            flt = (
+                F.expr(doc_filter)
+                if isinstance(doc_filter, str)
+                else doc_filter
+            )
+            sp = self.chunk_span
+            allow = (
+                self.docs_df()
+                .where(flt)
+                .select(
+                    (F.col("doc_id") / sp).cast("long").alias("chunk"),
+                    (F.col("doc_id") % sp).cast("int").alias("pos"),
+                )
+                .groupBy("chunk")
+                .agg(F.sort_array(F.collect_list("pos")).alias("_allow"))
+            )
+            joined = joined.join(allow, "chunk")
 
         avgdl = stats.avgdl
         span = self.chunk_span
@@ -793,6 +832,11 @@ class IndexReader:
                 dp = np.asarray(dels_val, dtype=np.int64) - base
                 dp = dp[(dp >= 0) & (dp < counts.size)]
                 counts[dp] = 0  # tombstoned docs never match
+            if has_allow:
+                ap = np.asarray(pdf["_allow"].iloc[0], dtype=np.int64)
+                ok = np.zeros(counts.size, dtype=bool)
+                ok[ap[ap < counts.size]] = True
+                counts[~ok] = 0  # docs outside the filter never match
             hit = np.flatnonzero(counts)
             if need_all:
                 hit = hit[counts[hit] == n_query]

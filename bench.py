@@ -151,6 +151,17 @@ def _measure(
     tq = time.time()
     reader.search_suggest(["part"], max_dist=2, k=10).collect()
     extra["q_suggest_indexed"] = round(time.time() - tq, 3)
+    # metadata-filtered search: scope the OR query to two languages
+    # (~27% of docs) — measures the allow-list registry scan + the
+    # filter-aware scoring stage (block-max pruning off under a filter)
+    tq = time.time()
+    reader.search(
+        ["data", "join", "merge"],
+        P.WITH_SUGGESTIONS,
+        k=10,
+        doc_filter="lang IN ('de', 'fr')",
+    ).collect()
+    extra["q_filtered_indexed"] = round(time.time() - tq, 3)
 
     # positional index variant: phrase answered with ZERO content reads
     # (opt-in positions=True build; its build time is reported

@@ -1058,16 +1058,21 @@ class IndexReader:
         return sorted(r["term"] for r in rows)
 
     def search_suggest(
-        self, terms: Iterable[str], max_dist: int = 1, k: int = 10
+        self,
+        terms: Iterable[str],
+        max_dist: int = 1,
+        k: int = 10,
+        doc_filter=None,
     ) -> DataFrame:
         """WITH_SUGGESTIONS end-to-end on the disk index: dictionary
         expansion (suggest_terms), then the standard OR-union BM25
         search over the expanded list. Terms absent from the index
         contribute nothing, so unioning the originals is a no-op kept
-        for fidelity to the reference's query list."""
+        for fidelity to the reference's query list. ``doc_filter``
+        passes through to :meth:`search` (Lucene filter semantics)."""
         qterms = [t for t in dict.fromkeys(terms) if t]
         expanded = sorted(set(qterms) | set(self.suggest_terms(qterms, max_dist)))
-        return self.search(expanded, WITH_SUGGESTIONS, k=k)
+        return self.search(expanded, WITH_SUGGESTIONS, k=k, doc_filter=doc_filter)
 
     # ------------------------------------------------- full match sets
 
@@ -1339,6 +1344,7 @@ class IndexReader:
         k: int = 10,
         use_positions: Optional[bool] = None,
         local_max_postings: Optional[int] = _LOCAL_MAX_POSTINGS,
+        doc_filter=None,
     ) -> DataFrame:
         """Index-accelerated exact-phrase BM25. The index prunes to docs
         containing ALL phrase terms, then adjacency is verified one of
@@ -1357,7 +1363,16 @@ class IndexReader:
         occurrences, df = matching docs) with N/avgdl from the index
         manifest; ties break doc_id ASC. Rank/score-identical to
         pipeline.phrase_topk over the same corpus by construction
-        (pinned by test for both paths)."""
+        (pinned by test for both paths).
+
+        ``doc_filter`` (same contract as :meth:`search`): Lucene filter
+        semantics — the phrase's pseudo-term df stays the GLOBAL
+        phrase-match count, so a surviving doc's score is identical
+        with or without the filter; the filter only drops docs from the
+        result set (applied on the registry-dl join, a row filter on
+        the already-candidate-pruned scan). The driver-local fast
+        finishes are skipped under a filter — membership needs the
+        registry, which those paths never read."""
         from .pipeline import (
             _phrase_occurrences,
             bm25_score_col,
@@ -1382,7 +1397,7 @@ class IndexReader:
                 "candidate content: pass the corpus DataFrame, or build "
                 "the index with positions=True"
             )
-        if positional and local_max_postings:
+        if positional and local_max_postings and doc_filter is None:
             out = self._phrase_local(phrase, k, local_max_postings)
             if out is not None:
                 return out
@@ -1402,7 +1417,7 @@ class IndexReader:
             docs = corpus.join(F.broadcast(cand), "doc_id")
             occ = _phrase_occurrences(tokens_pos(docs, self.tokenizer), phrase)
         tf = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("tf"))
-        if local_max_postings:
+        if local_max_postings and doc_filter is None:
             # cap-gated local finish: the (doc_id, tf) match set is the
             # phrase's complete answer — when it fits the gate, collect
             # it ONCE and score driver-side. This runs the whole query
@@ -1427,7 +1442,17 @@ class IndexReader:
         # time with this reader's tokenizer), not from re-tokenizing
         # candidate content a second time — the occurrence scan above
         # is now the only tokenize pass in the whole query
-        dl = self.docs_df().select("doc_id", "dl").join(
+        dl_src = self.docs_df()
+        if doc_filter is not None:
+            # membership filter AFTER dfreq is taken from tf (global
+            # phrase df), pushed into the registry scan
+            flt = (
+                F.expr(doc_filter)
+                if isinstance(doc_filter, str)
+                else doc_filter
+            )
+            dl_src = dl_src.where(flt)
+        dl = dl_src.select("doc_id", "dl").join(
             F.broadcast(cand), "doc_id"
         )
         scored = (

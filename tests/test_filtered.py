@@ -153,6 +153,93 @@ def test_filtered_search_respects_tombstones(spark, synth, tmp_path):
     assert [r["doc_id"] for r in after[: len(before_rest)]] == before_rest
 
 
+# ------------------------------------------- phrase + suggest filters
+
+PHRASE = ["import", "return"]
+PHRASE_PRED = "lang IN ('java', 'python')"
+
+
+@pytest.fixture(scope="module")
+def synth_pos_index(spark, synth, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idxp") / "filtered_pos_index")
+    build_index(
+        spark, synth, d, num_buckets=8, chunk_span=64, block_size=16,
+        positions=True,
+    )
+    return IndexReader(spark, d)
+
+
+def _post_filter_rows(rows, allowed, k):
+    kept = [(r["doc_id"], r["score"]) for r in rows if r["doc_id"] in allowed]
+    return kept[:k]
+
+
+def test_filtered_phrase_rescan_matches_postfiltered(spark, synth, synth_index):
+    """Positionless phrase + doc_filter == post-filtered unfiltered
+    ranking, scores bit-identical (global pseudo-term df)."""
+    allowed = _allowed_ids(synth, PHRASE_PRED)
+    full = (
+        synth_index.search_phrase(PHRASE, synth, k=300)
+        .orderBy("rank").collect()
+    )
+    assert full, "phrase fixture must match in the unfiltered corpus"
+    expected = _post_filter_rows(full, allowed, 10)
+    assert expected, "filtered phrase fixture must be non-empty"
+    got = (
+        synth_index.search_phrase(
+            PHRASE, synth, k=10, doc_filter=PHRASE_PRED
+        )
+        .orderBy("rank").collect()
+    )
+    assert [(r["doc_id"], r["score"]) for r in got] == expected
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_filtered_phrase_positional_matches_postfiltered(
+    spark, synth, synth_pos_index
+):
+    """Positional (content-free) phrase + doc_filter: same contract —
+    the filter drops the local fast finishes (membership needs the
+    registry) but the distributed answer must equal the post-filtered
+    local one."""
+    allowed = _allowed_ids(synth, PHRASE_PRED)
+    full = synth_pos_index.search_phrase(PHRASE, k=300).orderBy("rank").collect()
+    expected = _post_filter_rows(full, allowed, 10)
+    assert expected
+    got = (
+        synth_pos_index.search_phrase(PHRASE, k=10, doc_filter=PHRASE_PRED)
+        .orderBy("rank").collect()
+    )
+    assert [(r["doc_id"], r["score"]) for r in got] == expected
+
+
+def test_filtered_phrase_matching_nothing_returns_empty(spark, synth, synth_index):
+    res = synth_index.search_phrase(
+        PHRASE, synth, k=10, doc_filter="lang = 'cobol'"
+    )
+    assert res.collect() == []
+
+
+def test_filtered_suggest_matches_postfiltered(spark, synth, synth_index):
+    """search_suggest passes doc_filter through to the expanded OR
+    search — equal to post-filtering the unfiltered suggest ranking."""
+    allowed = _allowed_ids(synth, "lang = 'java'")
+    full = (
+        synth_index.search_suggest(["improt"], max_dist=2, k=300)
+        .orderBy("rank").collect()
+    )
+    assert full, "suggest fixture must expand to matching terms"
+    expected = _post_filter_rows(full, allowed, 10)
+    assert expected
+    got = (
+        synth_index.search_suggest(
+            ["improt"], max_dist=2, k=10, doc_filter="lang = 'java'"
+        )
+        .orderBy("rank").collect()
+    )
+    assert [(r["doc_id"], r["score"]) for r in got] == expected
+
+
 def test_filtered_accepts_column_predicate(spark, synth, synth_index):
     from pyspark.sql import functions as F
 

@@ -654,6 +654,88 @@ def _q_bm25_filtered_indexed(spark, sf_dir):
     )
 
 
+# Batched query set (the at-scale serving shape: many queries, one
+# shared scan). Three OR queries sharing a term ('data') so the oracle
+# exercises the shared-df path; per-query top-10.
+MULTI_QUERIES = {
+    "m1": ["data", "join", "merge"],
+    "m2": ["spark"],
+    "m3": ["the", "data"],
+}
+
+
+def _round_multi(res):
+    return res.select(
+        F.col("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_bm25_multi(spark, sf_dir):
+    """Declarative batch: ONE tokenize+tf pass scores the whole query
+    set (pipeline.bm25_topk_many)."""
+    return _round_multi(
+        P.bm25_topk_many(
+            _corpus(spark, sf_dir), MULTI_QUERIES, P.WITH_SUGGESTIONS, k=10
+        )
+    )
+
+
+def _q_bm25_multi_indexed(spark, sf_dir):
+    """Index batch: ONE bucket-pruned postings scan answers the whole
+    query set (IndexReader.search_many)."""
+    return _round_multi(
+        _indexed_reader(spark, sf_dir).search_many(
+            MULTI_QUERIES, P.WITH_SUGGESTIONS, k=10
+        )
+    )
+
+
+def _bm25_multi_oracle(queries, k=10) -> str:
+    """Per-query BM25 rankings in one DuckDB statement: union term
+    filter -> tf -> global df -> fan out through the (query_id, term)
+    VALUES map -> per-query window rank."""
+    pairs = [
+        (qid, t) for qid, ts in queries.items() for t in dict.fromkeys(ts)
+    ]
+    union = sorted({t for _, t in pairs})
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    inlist = ", ".join(f"'{t}'" for t in union)
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE term IN ({inlist})),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qmap AS (SELECT * FROM (VALUES {vals}) AS v(query_id, term)),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT qmap.query_id, tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN qmap USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         )::BIGINT AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _q_term_stats(spark, sf_dir):
     """Posting-list statistics: df (document frequency) and cf
     (collection frequency) per term — the O1 aggregation output."""
@@ -868,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_topk": _q_bm25_prefix,
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_filtered_topk_indexed": _q_bm25_filtered_indexed,
+        "bm25_multi_topk": _q_bm25_multi,
+        "bm25_multi_topk_indexed": _q_bm25_multi_indexed,
         # disk-index-backed duplicates of the same semantics: these run
         # build_index -> IndexReader (codec, chunk/block pruning, top-k
         # heaps) under the identical oracles
@@ -950,6 +1034,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered_topk_indexed": _bm25_oracle(
             TERMS_OR, P.WITH_SUGGESTIONS, doc_where=FILTER_DUCK
         ),
+        "bm25_multi_topk": _bm25_multi_oracle(MULTI_QUERIES),
+        "bm25_multi_topk_indexed": _bm25_multi_oracle(MULTI_QUERIES),
         # identical oracles for the disk-index-backed variants
         "bm25_exact_topk_indexed": _bm25_oracle(TERMS_EXACT, P.EXACT_MATCH),
         "bm25_or_topk_indexed": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),

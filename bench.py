@@ -163,6 +163,23 @@ def _measure(
     ).collect()
     extra["q_filtered_indexed"] = round(time.time() - tq, 3)
 
+    # batched query set: 16 OR queries answered in ONE job — the
+    # at-scale serving shape (one bucket-pruned postings scan for the
+    # whole set instead of 16; compare against 16 x q_or3). The pool
+    # mixes hot and rare terms so per-query match sets differ.
+    pool = [
+        "data", "join", "merge", "spark", "query", "table", "hash",
+        "index", "scan", "sort", "the", "with", "group", "filter",
+        "read", "write", "plan", "block", "cache", "shuffle",
+    ]
+    batch16 = {
+        f"m{i:02d}": [pool[i % len(pool)], pool[(i * 7 + 3) % len(pool)]]
+        for i in range(16)
+    }
+    tq = time.time()
+    reader.search_many(batch16, P.WITH_SUGGESTIONS, k=10).collect()
+    extra["q_multi16_indexed"] = round(time.time() - tq, 3)
+
     # positional index variant: phrase answered with ZERO content reads
     # (opt-in positions=True build; its build time is reported
     # separately and is NOT part of the headline `value`)

@@ -24,7 +24,7 @@ Tie-break: score DESC, doc_id ASC.
 
 from __future__ import annotations
 
-from typing import Iterable, List
+from typing import Dict, Iterable, List, Mapping, Union
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -389,3 +389,157 @@ def phrase_topk(
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return scored.select("doc_id", "score", F.row_number().over(w).alias("rank"))
+
+# ------------------------------------------------- batched query sets
+
+QuerySet = Union[Mapping[str, Iterable[str]], Iterable[Iterable[str]]]
+
+
+def normalize_queries(queries: QuerySet) -> Dict[str, List[str]]:
+    """Canonical query-set form: ordered {query_id: [terms...]} with
+    per-query term dedup. A bare sequence of term lists gets stable
+    zero-padded ids (q00, q01, ...) so result ordering is lexical."""
+    if isinstance(queries, Mapping):
+        items = list(queries.items())
+    else:
+        qlists = list(queries)
+        width = max(2, len(str(max(len(qlists) - 1, 0))))
+        items = [(f"q{i:0{width}d}", ts) for i, ts in enumerate(qlists)]
+    out: Dict[str, List[str]] = {}
+    for qid, terms in items:
+        if qid in out:
+            raise ValueError(f"duplicate query_id {qid!r}")
+        out[qid] = [t for t in dict.fromkeys(terms) if t]
+    return out
+
+
+def topk_per_query(scored: DataFrame, k: int, n_salt: int = 0) -> DataFrame:
+    """(query_id, doc_id, score) -> per-query top-k with rank, exact
+    (score DESC, doc_id ASC — the engine's tie-break) and scale-safe:
+    a Window.partitionBy(query_id) alone routes a hot query's ENTIRE
+    match set through one task's sort, so the cut runs as a two-phase
+    tournament — phase 1 ranks within (query_id, doc_id%S) groups and
+    keeps k per group (each group ~1/S of the query's matches), phase 2
+    ranks the survivors (<= S*k rows per query). Phase 1 can never drop
+    a global top-k row: a row top-k in its query is top-k in any
+    subset containing it."""
+    n_salt = n_salt or scored.sparkSession.sparkContext.defaultParallelism
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(n_salt))
+    ).orderBy(*order)
+    cut = (
+        scored.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        cut.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk_many(
+    corpus: DataFrame,
+    queries: QuerySet,
+    mode: str = WITH_SUGGESTIONS,
+    k: int = 10,
+    tokenizer: str = "standard",
+    doc_filter=None,
+) -> DataFrame:
+    """Batched BM25: the whole query SET in one job ->
+    (query_id, doc_id, score, rank), per-query top-k.
+
+    The serving pattern at corpus scale is many queries against the
+    same data, and the declarative path's cost is dominated by the
+    scan+tokenize+tf aggregation — which is identical for every query.
+    This runs that stage ONCE for the union of all query terms, then
+    fans out per-query scoring through a broadcast (query_id, term)
+    map: batch cost ~= one bm25_topk plus a per-matched-row multiply,
+    not |queries| full passes. Scores are bit-identical to running
+    bm25_topk per query (same df/dl/stats arithmetic on the same rows;
+    pinned by test).
+
+    Modes: EXACT_MATCH / WITH_SUGGESTIONS (OR), AND_MATCH (doc must
+    hold every query term), START_WITH (per-query prefix expansion —
+    a term matched by several of one query's prefixes contributes
+    once, exactly as in bm25_topk's matched-set dedup). ``doc_filter``
+    applies the same global-stats membership filter as bm25_topk, to
+    every query in the batch. Queries whose terms never match produce
+    zero rows, the batched analog of the single-query empty result."""
+    qmap = normalize_queries(queries)
+    empty = (
+        corpus.sparkSession.range(0)
+        .select(
+            F.lit("").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        )
+    )
+    pairs = [(qid, t) for qid, ts in qmap.items() for t in ts]
+    if not pairs:
+        return empty
+    union_terms = sorted({t for _, t in pairs})
+
+    corpus = _floor(corpus)
+    tok = tokens(corpus, tokenizer)
+    matched = tok.where(_match_filter(F.col("term"), union_terms, mode))
+    tf = term_doc_tf(matched)
+    # global df of every matched term — computed once for the batch;
+    # per-query df of a shared term is the same number by definition
+    dfreq = doc_freq(tf)
+
+    from .query import _rows_literal_df  # lazy: query.py imports us
+
+    qlit = _rows_literal_df(
+        corpus.sparkSession, pairs,
+        [("query_id", "string"), ("qterm", "string")],
+    )
+    if mode == START_WITH:
+        # expand each query's prefixes against the MATCHED vocabulary
+        # (dfreq is small: one row per matched term), then dedup so a
+        # term hit by two prefixes of the same query scores once
+        qt = (
+            dfreq.select("term")
+            .join(F.broadcast(qlit), F.col("term").startswith(F.col("qterm")))
+            .select("query_id", "term")
+            .distinct()
+        )
+    else:
+        qt = qlit.withColumnRenamed("qterm", "term")
+
+    if doc_filter is not None:
+        flt = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
+        # after doc_freq (df stays corpus-global), before scoring
+        tf = tf.join(corpus.where(flt).select("doc_id"), "doc_id", "semi")
+
+    dl = doc_lengths(corpus, tokenizer)
+    stats = corpus_stats_df(dl)
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            bm25_score_col(
+                F.col("tf"), F.col("dl").cast("double"),
+                F.col("df").cast("double"), F.col("n_docs"), F.col("avgdl"),
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("_nt"))
+    )
+    if mode == AND_MATCH:
+        need = _rows_literal_df(
+            corpus.sparkSession,
+            [(qid, len(ts)) for qid, ts in qmap.items()],
+            [("query_id", "string"), ("_need", "int")],
+        )
+        scored = scored.join(F.broadcast(need), "query_id").where(
+            F.col("_nt") == F.col("_need")
+        )
+    return topk_per_query(scored.select("query_id", "doc_id", "score"), k)

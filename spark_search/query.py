@@ -100,6 +100,10 @@ _LOCAL_SCHEMA = T.StructType(
     ]
 )
 
+_MULTI_LOCAL_SCHEMA = T.StructType(
+    [T.StructField("query_id", T.StringType())] + _LOCAL_SCHEMA.fields
+)
+
 
 def search_job_group(tag: str) -> str:
     """Job-group id under which a tagged search's Spark jobs run."""
@@ -361,6 +365,32 @@ class IndexReader:
             )
             .groupBy("chunk")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
+        )
+
+    def _allow_by_chunk(self, doc_filter) -> DataFrame:
+        """doc_filter -> (chunk, _allow): allowed positions per chunk,
+        shaped exactly like the doclens arrays — one registry scan (the
+        filter predicate pushes down to the registry parquet), a
+        map-side (chunk, pos) projection, then one small-by-construction
+        aggregation (≤ chunk_span ints per group). INNER-joining this
+        into the scoring stage prunes chunks with no allowed docs before
+        any block decode, and no allowed-set ever concentrates on the
+        driver."""
+        flt = (
+            F.expr(doc_filter)
+            if isinstance(doc_filter, str)
+            else doc_filter
+        )
+        sp = self.chunk_span
+        return (
+            self.docs_df()
+            .where(flt)
+            .select(
+                (F.col("doc_id") / sp).cast("long").alias("chunk"),
+                (F.col("doc_id") % sp).cast("int").alias("pos"),
+            )
+            .groupBy("chunk")
+            .agg(F.sort_array(F.collect_list("pos")).alias("_allow"))
         )
 
     def _meta_scan_df(self, pred, stats) -> DataFrame:
@@ -767,28 +797,7 @@ class IndexReader:
             )
         has_allow = doc_filter is not None
         if has_allow:
-            # allowed positions per chunk, shaped exactly like doclens:
-            # one registry scan (predicate pushed to parquet) -> map-side
-            # (chunk, pos) projection -> one small-by-construction
-            # aggregation (≤ chunk_span ints per group). The INNER join
-            # prunes chunks with no allowed docs before any block decode.
-            flt = (
-                F.expr(doc_filter)
-                if isinstance(doc_filter, str)
-                else doc_filter
-            )
-            sp = self.chunk_span
-            allow = (
-                self.docs_df()
-                .where(flt)
-                .select(
-                    (F.col("doc_id") / sp).cast("long").alias("chunk"),
-                    (F.col("doc_id") % sp).cast("int").alias("pos"),
-                )
-                .groupBy("chunk")
-                .agg(F.sort_array(F.collect_list("pos")).alias("_allow"))
-            )
-            joined = joined.join(allow, "chunk")
+            joined = joined.join(self._allow_by_chunk(doc_filter), "chunk")
 
         avgdl = stats.avgdl
         span = self.chunk_span
@@ -807,6 +816,13 @@ class IndexReader:
             scores = np.zeros(dls.size, dtype=np.float64)
             counts = np.zeros(dls.size, dtype=np.int32)
             base = chunk * span
+            # sorted by term: deterministic float accumulation order —
+            # within-group row order after a shuffle is NOT guaranteed,
+            # and float addition is not associative; sorting pins this
+            # path 1-ulp-identical to _search_local and search_many
+            pdf = pdf.sort_values("term", kind="mergesort").reset_index(
+                drop=True
+            )
             # rest_ub[i]: chunk-level ub of every row except i — the
             # slack available from other terms when testing row i's blocks
             ubs = pdf["term_ub"].to_numpy(dtype=np.float64)
@@ -871,6 +887,211 @@ class IndexReader:
             (r["doc_id"], float(r["score"]), i + 1) for i, r in enumerate(topk)
         ]
         return _rows_literal_df(self.spark, out, _RESULT_FIELDS) if out else empty
+
+    # ------------------------------------------------ batched queries
+
+    def search_many(
+        self,
+        queries,
+        mode: str = WITH_SUGGESTIONS,
+        k: int = 10,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Batched top-k over the disk index: the whole query SET in
+        one job -> DataFrame (query_id, doc_id, score, rank).
+
+        The serving pattern at corpus scale is many queries against one
+        shared index. Run serially, every query pays its own postings
+        scan; batched, the scan runs ONCE for the union of all query
+        terms (bucket partition pruning + one IN/prefix predicate pushed
+        to parquet) and fans out per-query through a broadcast
+        (query_id, term) map carrying each term's idf. The numpy scoring
+        kernel is the same block-decode loop as :meth:`search`, keyed by
+        (query_id, chunk) instead of (chunk); per-query exact top-k runs
+        as pipeline.topk_per_query's two-phase tournament, so no single
+        task ever sorts a hot query's full match set. Scores are
+        bit-identical to per-query :meth:`search` (same driver-computed
+        idf floats, same kernel arithmetic; pinned by test).
+
+        ``queries``: {query_id: [terms...]} or a sequence of term lists
+        (auto ids q00, q01, ...). ``mode`` applies to the whole batch:
+        EXACT_MATCH / WITH_SUGGESTIONS (OR) / AND_MATCH / START_WITH
+        (per-query prefix expansion; a term matched by several of one
+        query's prefixes scores once). ``doc_filter`` — same Lucene
+        filter semantics as :meth:`search`, applied to every query.
+
+        Block-max pruning is intentionally off here: θ bars are
+        per-query driver bootstraps (extra jobs each), which is exactly
+        the per-query cost this path exists to amortize; the batch's
+        economics come from sharing the scan, not skipping blocks.
+        Returns a LAZY distributed frame — batch results are
+        |queries|·k rows and need not bottleneck on the driver."""
+        from .pipeline import normalize_queries, topk_per_query
+
+        qmap = normalize_queries(queries)
+        empty = self.spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+        pairs = [(qid, t) for qid, ts in qmap.items() for t in ts]
+        if not pairs:
+            return empty
+        union_terms = sorted({t for _, t in pairs})
+
+        stats = self.stats
+        pred = _term_predicate(union_terms, mode)
+        expansion = self._dict_expand(union_terms, mode)
+        meta: Optional[DataFrame] = None
+        buckets: Optional[List[int]] = None
+        if expansion is not None and len(expansion) <= _META_COLLECT_CAP:
+            if not expansion:
+                return empty
+            rows = []
+            for t, df_, mtf_, b_ in expansion:
+                idf = _idf(float(stats.n_docs), float(df_))
+                rows.append((t, idf, _term_ub(idf, mtf_)))
+            buckets = sorted({b for _, _, _, b in expansion})
+            meta = _rows_literal_df(
+                self.spark, rows,
+                [("term", "string"), ("idf", "double"), ("term_ub", "double")],
+            )
+        elif expansion is not None:
+            # cached dictionary, expansion too wide for plan literals:
+            # bucket list still bounded driver-side; idf/ub distributed
+            buckets = sorted({b for _, _, _, b in expansion})
+            meta = self._meta_scan_df(pred, stats)
+        else:
+            meta = self._meta_scan_df(pred, stats)
+            info = meta.agg(
+                F.count("*").alias("n"),
+                F.collect_set("bucket").alias("buckets"),
+            ).collect()[0]
+            if int(info["n"]) == 0:
+                return empty
+            buckets = sorted(info["buckets"] or [])
+
+        qlit = _rows_literal_df(
+            self.spark, pairs,
+            [("query_id", "string"), ("qterm", "string")],
+        )
+        msel = meta.select("term", "idf", "term_ub")
+        if mode == START_WITH:
+            qt = (
+                msel.join(
+                    F.broadcast(qlit),
+                    F.col("term").startswith(F.col("qterm")),
+                )
+                .select("query_id", "term", "idf", "term_ub")
+                .dropDuplicates(["query_id", "term"])
+            )
+        else:
+            qt = msel.join(
+                F.broadcast(qlit.withColumnRenamed("qterm", "term")), "term"
+            ).select("query_id", "term", "idf", "term_ub")
+
+        post = (
+            self.postings_df()
+            .where(F.col("bucket").isin(buckets))
+            .where(pred)
+            .select("term", "chunk", "blocks")
+            .join(F.broadcast(qt), "term")
+        )
+        joined = post.join(
+            self.doclens_df().withColumnRenamed("dls", "_dls"), "chunk"
+        )
+        dels_by_chunk = self._dels_by_chunk()
+        if dels_by_chunk is not None:
+            joined = joined.join(F.broadcast(dels_by_chunk), "chunk", "left")
+        else:
+            joined = joined.withColumn(
+                "_dels", F.lit(None).cast("array<long>")
+            )
+        has_allow = doc_filter is not None
+        if has_allow:
+            joined = joined.join(self._allow_by_chunk(doc_filter), "chunk")
+
+        avgdl = stats.avgdl
+        span = self.chunk_span
+        loc_k = k
+        # AND semantics must gate BEFORE the per-chunk top-k cut (as in
+        # search()'s kernel): a high-scoring partial match must never
+        # evict a complete match from a chunk's k survivors. The map is
+        # bounded by the batch size.
+        need_map = (
+            {qid: len(ts) for qid, ts in qmap.items()}
+            if mode == AND_MATCH
+            else None
+        )
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty_out = pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": [], "nterms": []}
+            ).astype(
+                {
+                    "query_id": "object", "doc_id": "int64",
+                    "score": "float64", "nterms": "int32",
+                }
+            )
+            if pdf.empty:
+                return empty_out
+            qid = pdf["query_id"].iloc[0]
+            chunk = int(pdf["chunk"].iloc[0])
+            dls = np.frombuffer(pdf["_dls"].iloc[0], dtype=np.int32).astype(
+                np.float64
+            )
+            scores = np.zeros(dls.size, dtype=np.float64)
+            counts = np.zeros(dls.size, dtype=np.int32)
+            base = chunk * span
+            # sorted by term: same deterministic accumulation order as
+            # search()'s kernel and _search_local — scores bit-identical
+            pdf = pdf.sort_values("term", kind="mergesort").reset_index(
+                drop=True
+            )
+            for i in range(len(pdf)):
+                t_idf = float(pdf["idf"].iloc[i])
+                for blk in pdf["blocks"].iloc[i]:
+                    doc_ids, tfs = decode_block(
+                        int(blk["first_doc"]), bytes(blk["deltas"]),
+                        bytes(blk["tfs"]),
+                    )
+                    pos = doc_ids - base
+                    scores[pos] += _score_np(
+                        tfs.astype(np.float64), dls[pos], t_idf, avgdl
+                    )
+                    counts[pos] += 1
+            dels_val = pdf["_dels"].iloc[0]
+            if dels_val is not None and len(dels_val):
+                dp = np.asarray(dels_val, dtype=np.int64) - base
+                dp = dp[(dp >= 0) & (dp < counts.size)]
+                counts[dp] = 0
+            if has_allow:
+                ap = np.asarray(pdf["_allow"].iloc[0], dtype=np.int64)
+                ok = np.zeros(counts.size, dtype=bool)
+                ok[ap[ap < counts.size]] = True
+                counts[~ok] = 0
+            hit = np.flatnonzero(counts)
+            if need_map is not None:
+                hit = hit[counts[hit] == need_map[qid]]
+            if hit.size == 0:
+                return empty_out
+            if hit.size > loc_k:
+                sc = scores[hit]
+                kth = np.partition(sc, sc.size - loc_k)[sc.size - loc_k]
+                hit = hit[sc >= kth]
+            return pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "doc_id": (hit + base).astype("int64"),
+                    "score": scores[hit],
+                    "nterms": counts[hit].astype("int32"),
+                }
+            )
+
+        local = joined.groupBy("query_id", "chunk").applyInPandas(
+            score_group, _MULTI_LOCAL_SCHEMA
+        )
+        return topk_per_query(
+            local.select("query_id", "doc_id", "score"), k
+        )
 
     def _search_local(
         self,

@@ -208,26 +208,67 @@ class LiveResults:
             [("doc_id", "long"), ("score", "double"), ("rank", "int")],
         )
 
+    def _snapshots_batched(
+        self, reader: IndexReader, pending: List[tuple]
+    ) -> List[List[dict]]:
+        """One IndexReader.search_many call per distinct (mode, k)
+        among the pending queries — the whole refresh becomes a handful
+        of batch jobs (usually one) instead of one job per query.
+        Scores are bit-identical to per-query search (all scoring
+        kernels accumulate in sorted-term order), so diffs cannot
+        change across the pooled/batched switch."""
+        groups: Dict[tuple, List[int]] = {}
+        for i, (_, q) in enumerate(pending):
+            groups.setdefault((q["mode"], int(q["k"])), []).append(i)
+        snaps: List[List[dict]] = [[] for _ in pending]
+        for (mode, k), idxs in groups.items():
+            queries = {str(i): pending[i][1]["terms"] for i in idxs}
+            rows = reader.search_many(queries, mode, k=k).collect()
+            by_q: Dict[int, List[dict]] = {i: [] for i in idxs}
+            for r in rows:
+                by_q[int(r["query_id"])].append(
+                    {
+                        "doc_id": int(r["doc_id"]),
+                        "score": float(r["score"]),
+                        "rank": int(r["rank"]),
+                    }
+                )
+            for i in idxs:
+                by_q[i].sort(key=lambda x: x["rank"])
+                snaps[i] = by_q[i]
+        return snaps
+
     def refresh(
         self,
         index_dir: Optional[str] = None,
         on_event: Optional[Callable] = None,
         log: bool = True,
         max_workers: int = 8,
+        batched: bool = False,
     ) -> DataFrame:
         """Re-evaluate every registered query against the (new) index
         generation; emit and return the combined diff. Queries whose
         recorded generation already matches are skipped (refresh is
         idempotent per generation).
 
-        The re-evaluations run CONCURRENTLY over a driver thread pool
-        (``max_workers``; 1 = serial): Spark job submission is
-        thread-safe and the shared IndexReader's driver caches are
-        lock-guarded, so refresh wall time is ~max(query) + pool
-        overhead instead of Σ(query) — sublinear in the registered
-        count until the pool saturates (pinned by
-        tests/test_live.py). Diffing/state update stays serial and
-        deterministic: snapshots are joined back in registration order."""
+        Two evaluation strategies, identical results (pinned by test):
+
+        * pooled (default): re-evaluations run CONCURRENTLY over a
+          driver thread pool (``max_workers``; 1 = serial): Spark job
+          submission is thread-safe and the shared IndexReader's driver
+          caches are lock-guarded, so refresh wall time is ~max(query)
+          + pool overhead instead of Σ(query) — sublinear in the
+          registered count until the pool saturates (pinned by
+          tests/test_live.py).
+        * ``batched=True``: ALL pending queries of one (mode, k) go
+          through a single ``IndexReader.search_many`` job — one
+          postings scan per group instead of one per query. Preferred
+          when many queries are registered; pooled remains the default
+          because per-query jobs keep the driver-local small-query
+          fast path (search_many is always fully distributed).
+
+        Diffing/state update stays serial and deterministic: snapshots
+        are joined back in registration order."""
         d = os.path.abspath(self._resolve_index(index_dir))
         pending = [
             (name, q) for name, q in self._state.items()
@@ -243,7 +284,9 @@ class LiveResults:
             def run(q: dict) -> List[dict]:
                 return self._snapshot(reader, q["terms"], q["mode"], q["k"])
 
-            if max_workers > 1 and len(pending) > 1:
+            if batched:
+                snaps = self._snapshots_batched(reader, pending)
+            elif max_workers > 1 and len(pending) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(

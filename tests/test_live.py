@@ -341,3 +341,51 @@ def test_event_log_survives_interrupted_compaction_swap(
     shutil.copytree(log_dir, log_dir + ".old")
     assert lv.event_log().count() == total
     assert not os.path.isdir(log_dir + ".old")
+
+
+def test_refresh_batched_matches_pooled(spark, base_index, tmp_path, monkeypatch):
+    """batched=True must produce byte-identical diffs and end state to
+    the pooled per-query refresh, while evaluating the whole pending
+    set through ONE search_many call per (mode, k) group."""
+    from spark_search import live as live_mod
+    from spark_search.query import IndexReader as IR
+
+    gen2 = str(tmp_path / "gen2")
+    delete_docs(spark, base_index, gen2, [4])
+
+    def make(sub):
+        lv = LiveResults(spark, str(tmp_path / sub))
+        lv.register("a", ["mila"], k=10, index_dir=base_index)
+        lv.register("b", ["dolorem"], mode=P.WITH_SUGGESTIONS, k=10,
+                    index_dir=base_index)
+        lv.register("c", ["mila", "dolorem"], mode=P.WITH_SUGGESTIONS,
+                    k=5, index_dir=base_index)
+        return lv
+
+    lv_pool = make("live_p")
+    lv_batch = make("live_b")
+
+    calls = []
+    real_many = IR.search_many
+
+    def counted_many(self, queries, mode, k=10, doc_filter=None):
+        calls.append((tuple(sorted(queries)), mode, k))
+        return real_many(self, queries, mode, k=k, doc_filter=doc_filter)
+
+    monkeypatch.setattr(IR, "search_many", counted_many)
+
+    diff_pool = lv_pool.refresh(index_dir=gen2).collect()
+    assert calls == []  # pooled path never batches
+    diff_batch = lv_batch.refresh(index_dir=gen2, batched=True).collect()
+
+    # one search_many per distinct (mode, k): EXACT/10, OR/10, OR/5
+    assert len(calls) == 3, calls
+    key = lambda r: tuple(r)  # noqa: E731 — full-row equality incl. scores
+    assert sorted(map(key, diff_batch)) == sorted(map(key, diff_pool))
+    assert len(diff_batch) > 0
+    # end state identical: a later refresh back to base diffs the same
+    back_p = sorted(map(key, lv_pool.refresh(index_dir=base_index).collect()))
+    back_b = sorted(
+        map(key, lv_batch.refresh(index_dir=base_index, batched=True).collect())
+    )
+    assert back_b == back_p

@@ -13,6 +13,9 @@ of (SparkSession, paths, arguments) — so cluster deployment is:
     spark-submit ... job.py phrase --index <dir> --terms table,hash  # positional
     spark-submit ... job.py suggest --index <dir> --terms part --max-dist 2
     spark-submit ... job.py merge --indexes <idx1>,<idx2> --out <dir>
+    spark-submit ... job.py search --index <dir> --terms data --filter "lang='en'"
+    spark-submit ... job.py search-many --index <dir> \
+        --queries '{"q1": ["data", "join"], "q2": ["spark"]}'
 
 ``job.py`` (repo root) is the submittable driver file; it only calls
 ``spark_search.cli.main``. On a real cluster the session comes from
@@ -76,7 +79,28 @@ def main(argv=None) -> int:
     s.add_argument("--terms", required=True, help="comma-separated")
     s.add_argument("--mode", default="EXACT", choices=sorted(_MODES))
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--filter", default=None,
+                   help="SQL predicate over registry columns "
+                        "(repo/path/commit/lang); membership only, "
+                        "scores stay corpus-global")
     s.add_argument("--limit", type=int, default=100)
+
+    sm = sub.add_parser(
+        "search-many",
+        help="batched BM25: a whole query set in one job "
+             "(one postings scan for the union of all terms)",
+    )
+    sm.add_argument("--index", required=True)
+    sm.add_argument("--queries", default=None,
+                    help="inline JSON: {\"q1\": [\"t1\", \"t2\"], ...} "
+                         "or [[\"t1\"], [\"t2\", \"t3\"]]")
+    sm.add_argument("--queries-file", default=None,
+                    help="path to a JSON file with the same shape")
+    sm.add_argument("--mode", default="OR", choices=sorted(_MODES))
+    sm.add_argument("--k", type=int, default=10)
+    sm.add_argument("--filter", default=None,
+                    help="SQL predicate applied to every query")
+    sm.add_argument("--limit", type=int, default=1000)
 
     g = sub.add_parser("suggest", help="dictionary-expanded OR search")
     g.add_argument("--index", required=True)
@@ -148,9 +172,30 @@ def main(argv=None) -> int:
     from .query import IndexReader
 
     rd = IndexReader(spark, args.index)
+    if args.cmd == "search-many":
+        if (args.queries is None) == (args.queries_file is None):
+            p.error("search-many needs exactly one of --queries / "
+                    "--queries-file")
+        if args.queries_file:
+            with open(args.queries_file) as fh:
+                qset = json.load(fh)
+        else:
+            qset = json.loads(args.queries)
+        res = rd.search_many(
+            qset, _MODES[args.mode], k=args.k, doc_filter=args.filter
+        )
+        rows = _rows(res.orderBy("query_id", "rank"), args.limit)
+        _emit({
+            "cmd": "search-many", "n_queries": len(qset), "k": args.k,
+            "wall_sec": round(time.time() - t0, 3), "rows": rows,
+        })
+        return 0
+
     terms = [t for t in args.terms.split(",") if t]
     if args.cmd == "search":
-        res = rd.search(terms, _MODES[args.mode], k=args.k)
+        res = rd.search(
+            terms, _MODES[args.mode], k=args.k, doc_filter=args.filter
+        )
     elif args.cmd == "suggest":
         res = rd.search_suggest(terms, max_dist=args.max_dist, k=args.k)
     else:  # phrase

@@ -407,6 +407,10 @@ def normalize_queries(queries: QuerySet) -> Dict[str, List[str]]:
         items = [(f"q{i:0{width}d}", ts) for i, ts in enumerate(qlists)]
     out: Dict[str, List[str]] = {}
     for qid, terms in items:
+        # results carry query_id as STRING (it round-trips through the
+        # plan-literal map); coerce up front so an int-keyed mapping
+        # can't diverge from the ids coming back in the kernel
+        qid = str(qid)
         if qid in out:
             raise ValueError(f"duplicate query_id {qid!r}")
         out[qid] = [t for t in dict.fromkeys(terms) if t]

@@ -182,3 +182,20 @@ def test_batch_has_no_row_python(spark, synth, synth_index):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+def test_batch_int_query_ids_coerced(spark, synth_index):
+    """An int-keyed mapping must behave exactly like its str-keyed
+    twin — AND mode's per-query term-count gate keys by the STRING id
+    that rides the plan literal."""
+    got = _rows(
+        synth_index.search_many(
+            {1: ["doc_id", "postings"]}, P.AND_MATCH, k=5
+        )
+    )
+    exp = _rows(
+        synth_index.search_many(
+            {"1": ["doc_id", "postings"]}, P.AND_MATCH, k=5
+        )
+    )
+    assert exp and got == exp

@@ -107,6 +107,8 @@ def main(argv=None) -> int:
     g.add_argument("--terms", required=True)
     g.add_argument("--max-dist", type=int, default=1)
     g.add_argument("--k", type=int, default=10)
+    g.add_argument("--filter", default=None,
+                   help="SQL predicate over registry columns")
     g.add_argument("--limit", type=int, default=100)
 
     m = sub.add_parser(
@@ -128,9 +130,16 @@ def main(argv=None) -> int:
                         "(omit for an index built with --positions)")
     f.add_argument("--terms", required=True, help="phrase, comma-separated")
     f.add_argument("--k", type=int, default=10)
+    f.add_argument("--filter", default=None,
+                   help="SQL predicate over registry columns")
     f.add_argument("--limit", type=int, default=100)
 
     args = p.parse_args(argv)
+    # pure-argparse validation BEFORE paying Spark startup
+    if args.cmd == "search-many" and (
+        (args.queries is None) == (args.queries_file is None)
+    ):
+        p.error("search-many needs exactly one of --queries / --queries-file")
     spark = _session(args)
     t0 = time.time()
 
@@ -173,9 +182,6 @@ def main(argv=None) -> int:
 
     rd = IndexReader(spark, args.index)
     if args.cmd == "search-many":
-        if (args.queries is None) == (args.queries_file is None):
-            p.error("search-many needs exactly one of --queries / "
-                    "--queries-file")
         if args.queries_file:
             with open(args.queries_file) as fh:
                 qset = json.load(fh)
@@ -197,12 +203,14 @@ def main(argv=None) -> int:
             terms, _MODES[args.mode], k=args.k, doc_filter=args.filter
         )
     elif args.cmd == "suggest":
-        res = rd.search_suggest(terms, max_dist=args.max_dist, k=args.k)
+        res = rd.search_suggest(
+            terms, max_dist=args.max_dist, k=args.k, doc_filter=args.filter
+        )
     else:  # phrase
         corpus = (
             spark.read.parquet(args.corpus) if args.corpus else None
         )
-        res = rd.search_phrase(terms, corpus, k=args.k)
+        res = rd.search_phrase(terms, corpus, k=args.k, doc_filter=args.filter)
     rows = _rows(res, args.limit)
     _emit({
         "cmd": args.cmd, "terms": terms, "k": args.k,

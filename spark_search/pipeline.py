@@ -397,8 +397,21 @@ QuerySet = Union[Mapping[str, Iterable[str]], Iterable[Iterable[str]]]
 
 def normalize_queries(queries: QuerySet) -> Dict[str, List[str]]:
     """Canonical query-set form: ordered {query_id: [terms...]} with
-    per-query term dedup. A bare sequence of term lists gets stable
-    zero-padded ids (q00, q01, ...) so result ordering is lexical."""
+    per-query term dedup (empty terms KEPT — the single-query paths
+    count them toward AND_MATCH's required-term total, so dropping
+    them here would silently flip an empty AND result into matches).
+    A bare sequence of term lists gets stable zero-padded ids
+    (q00, q01, ...) so result ordering is lexical.
+
+    A plain string is REJECTED wherever a term list belongs: iterating
+    it would silently turn 'data' into per-character queries
+    ['d','a','t'] — the natural mistake ``search_many(["data",
+    "join"])`` must raise, not return wrong results."""
+    if isinstance(queries, (str, bytes)):
+        raise TypeError(
+            "queries must be a mapping or a sequence of term lists, "
+            f"not a string: {queries!r}"
+        )
     if isinstance(queries, Mapping):
         items = list(queries.items())
     else:
@@ -407,13 +420,18 @@ def normalize_queries(queries: QuerySet) -> Dict[str, List[str]]:
         items = [(f"q{i:0{width}d}", ts) for i, ts in enumerate(qlists)]
     out: Dict[str, List[str]] = {}
     for qid, terms in items:
+        if isinstance(terms, (str, bytes)):
+            raise TypeError(
+                f"query {qid!r}: terms must be a list of terms, not the "
+                f"string {terms!r} (did you mean [{terms!r}]?)"
+            )
         # results carry query_id as STRING (it round-trips through the
         # plan-literal map); coerce up front so an int-keyed mapping
         # can't diverge from the ids coming back in the kernel
         qid = str(qid)
         if qid in out:
             raise ValueError(f"duplicate query_id {qid!r}")
-        out[qid] = [t for t in dict.fromkeys(terms) if t]
+        out[qid] = list(dict.fromkeys(terms))
     return out
 
 
@@ -483,7 +501,10 @@ def bm25_topk_many(
             F.lit(0).alias("rank"),
         )
     )
-    pairs = [(qid, t) for qid, ts in qmap.items() for t in ts]
+    # empty terms can never match — they stay out of the term map but
+    # still count toward AND_MATCH's required total below (exactly how
+    # bm25_topk's require_n treats them)
+    pairs = [(qid, t) for qid, ts in qmap.items() for t in ts if t]
     if not pairs:
         return empty
     union_terms = sorted({t for _, t in pairs})

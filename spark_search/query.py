@@ -904,14 +904,21 @@ class IndexReader:
         shared index. Run serially, every query pays its own postings
         scan; batched, the scan runs ONCE for the union of all query
         terms (bucket partition pruning + one IN/prefix predicate pushed
-        to parquet) and fans out per-query through a broadcast
-        (query_id, term) map carrying each term's idf. The numpy scoring
-        kernel is the same block-decode loop as :meth:`search`, keyed by
-        (query_id, chunk) instead of (chunk); per-query exact top-k runs
-        as pipeline.topk_per_query's two-phase tournament, so no single
+        to parquet). When the term -> query_ids map is derivable
+        driver-side (always for exact/OR/AND; for prefix when the
+        expansion fits the collect cap) the kernel groups by CHUNK
+        alone: each term's blocks shuffle and decode ONCE for the whole
+        batch, and its contributions fan out to every query sharing the
+        term — decode cost stays O(postings), not O(|queries| x
+        postings), which is what makes 100s of registered live queries
+        refreshable in one job. Wide uncollected prefix expansions fall
+        back to a per-(query_id, chunk) kernel fed by a broadcast
+        (query_id, term) join. Per-query exact top-k runs as
+        pipeline.topk_per_query's two-phase tournament, so no single
         task ever sorts a hot query's full match set. Scores are
         bit-identical to per-query :meth:`search` (same driver-computed
-        idf floats, same kernel arithmetic; pinned by test).
+        idf floats, same kernel arithmetic, same sorted-term float
+        accumulation order; pinned by test).
 
         ``queries``: {query_id: [terms...]} or a sequence of term lists
         (auto ids q00, q01, ...). ``mode`` applies to the whole batch:
@@ -932,7 +939,10 @@ class IndexReader:
         empty = self.spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
         )
-        pairs = [(qid, t) for qid, ts in qmap.items() for t in ts]
+        # empty terms can never match — kept out of the term map but
+        # still counted by AND_MATCH's need_map (same as search()'s
+        # n_query_terms, which counts every deduped input term)
+        pairs = [(qid, t) for qid, ts in qmap.items() for t in ts if t]
         if not pairs:
             return empty
         union_terms = sorted({t for _, t in pairs})
@@ -942,6 +952,7 @@ class IndexReader:
         expansion = self._dict_expand(union_terms, mode)
         meta: Optional[DataFrame] = None
         buckets: Optional[List[int]] = None
+        expanded_terms: Optional[List[str]] = None
         if expansion is not None and len(expansion) <= _META_COLLECT_CAP:
             if not expansion:
                 return empty
@@ -950,6 +961,7 @@ class IndexReader:
                 idf = _idf(float(stats.n_docs), float(df_))
                 rows.append((t, idf, _term_ub(idf, mtf_)))
             buckets = sorted({b for _, _, _, b in expansion})
+            expanded_terms = [t for t, _, _, _ in expansion]
             meta = _rows_literal_df(
                 self.spark, rows,
                 [("term", "string"), ("idf", "double"), ("term_ub", "double")],
@@ -960,41 +972,85 @@ class IndexReader:
             buckets = sorted({b for _, _, _, b in expansion})
             meta = self._meta_scan_df(pred, stats)
         else:
+            # no cached dictionary: same two-tier bootstrap as search()
+            # — collect the expansion in ONE job when it is small so the
+            # idf/ub floats are the SAME driver-computed values (Python
+            # math.log) search() would use (bit-identical contract);
+            # wider expansions keep idf distributed and collect only the
+            # bounded bucket list
             meta = self._meta_scan_df(pred, stats)
-            info = meta.agg(
-                F.count("*").alias("n"),
-                F.collect_set("bucket").alias("buckets"),
-            ).collect()[0]
-            if int(info["n"]) == 0:
+            raw = meta.limit(_META_COLLECT_CAP + 1).collect()
+            if not raw:
                 return empty
-            buckets = sorted(info["buckets"] or [])
-
-        qlit = _rows_literal_df(
-            self.spark, pairs,
-            [("query_id", "string"), ("qterm", "string")],
-        )
-        msel = meta.select("term", "idf", "term_ub")
-        if mode == START_WITH:
-            qt = (
-                msel.join(
-                    F.broadcast(qlit),
-                    F.col("term").startswith(F.col("qterm")),
+            if len(raw) <= _META_COLLECT_CAP:
+                rows = []
+                for r in raw:
+                    idf = _idf(float(stats.n_docs), float(r["df"]))
+                    rows.append((r["term"], idf, _term_ub(idf, int(r["max_tf"]))))
+                buckets = sorted({int(r["bucket"]) for r in raw})
+                expanded_terms = [r["term"] for r in raw]
+                meta = _rows_literal_df(
+                    self.spark, rows,
+                    [("term", "string"), ("idf", "double"),
+                     ("term_ub", "double")],
                 )
-                .select("query_id", "term", "idf", "term_ub")
-                .dropDuplicates(["query_id", "term"])
-            )
-        else:
-            qt = msel.join(
-                F.broadcast(qlit.withColumnRenamed("qterm", "term")), "term"
-            ).select("query_id", "term", "idf", "term_ub")
+            else:
+                info = meta.agg(
+                    F.collect_set("bucket").alias("buckets")
+                ).collect()[0]
+                buckets = sorted(info["buckets"] or [])
+
+        # term -> [query_ids]: when this map is derivable driver-side
+        # (always for exact/OR/AND — the terms ARE the input; for
+        # prefix only when the expansion was collected above), the
+        # kernel groups by CHUNK alone and fans each term's decoded
+        # postings out to every query sharing it — a hot term's block
+        # bytes shuffle and decode ONCE for the whole batch, not once
+        # per query. Size is bounded by the batch input (or the
+        # collected expansion cap).
+        q_by_term: Optional[Dict[str, List[str]]] = None
+        if mode != START_WITH:
+            q_by_term = {}
+            for qid, t in pairs:
+                q_by_term.setdefault(t, []).append(qid)
+        elif expanded_terms is not None:
+            q_by_term = {}
+            for t in expanded_terms:
+                qids = list(
+                    dict.fromkeys(
+                        qid for qid, pfx in pairs if t.startswith(pfx)
+                    )
+                )
+                if qids:
+                    q_by_term[t] = qids
 
         post = (
             self.postings_df()
             .where(F.col("bucket").isin(buckets))
             .where(pred)
             .select("term", "chunk", "blocks")
-            .join(F.broadcast(qt), "term")
         )
+        if q_by_term is None:
+            # wide-prefix fallback: expand (query_id, term) distributed
+            # via a broadcast prefix map; postings rows duplicate per
+            # query using them
+            qlit = _rows_literal_df(
+                self.spark, pairs,
+                [("query_id", "string"), ("qterm", "string")],
+            )
+            qt = (
+                meta.select("term", "idf")
+                .join(
+                    F.broadcast(qlit),
+                    F.col("term").startswith(F.col("qterm")),
+                )
+                .select("query_id", "term", "idf")
+                .dropDuplicates(["query_id", "term"])
+            )
+            post = post.join(F.broadcast(qt), "term")
+        else:
+            post = post.join(F.broadcast(meta.select("term", "idf")), "term")
+
         joined = post.join(
             self.doclens_df().withColumnRenamed("dls", "_dls"), "chunk"
         )
@@ -1022,17 +1078,107 @@ class IndexReader:
             else None
         )
 
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            empty_out = pd.DataFrame(
-                {"query_id": [], "doc_id": [], "score": [], "nterms": []}
-            ).astype(
+        _EMPTY_OUT = {
+            "query_id": "object", "doc_id": "int64",
+            "score": "float64", "nterms": "int32",
+        }
+
+        def _finish_query(qid, scores, counts, dels_val, allow_val, base):
+            """Shared tail of both kernels: tombstone/filter zeroing,
+            AND gating, bounded tie-kept top-k — identical arithmetic
+            to search()'s score_chunk."""
+            if dels_val is not None and len(dels_val):
+                dp = np.asarray(dels_val, dtype=np.int64) - base
+                dp = dp[(dp >= 0) & (dp < counts.size)]
+                counts[dp] = 0
+            if allow_val is not None:
+                ap = np.asarray(allow_val, dtype=np.int64)
+                ok = np.zeros(counts.size, dtype=bool)
+                ok[ap[ap < counts.size]] = True
+                counts[~ok] = 0
+            hit = np.flatnonzero(counts)
+            if need_map is not None:
+                hit = hit[counts[hit] == need_map[qid]]
+            if hit.size == 0:
+                return None
+            if hit.size > loc_k:
+                sc = scores[hit]
+                kth = np.partition(sc, sc.size - loc_k)[sc.size - loc_k]
+                hit = hit[sc >= kth]
+            return pd.DataFrame(
                 {
-                    "query_id": "object", "doc_id": "int64",
-                    "score": "float64", "nterms": "int32",
+                    "query_id": qid,
+                    "doc_id": (hit + base).astype("int64"),
+                    "score": scores[hit],
+                    "nterms": counts[hit].astype("int32"),
                 }
             )
+
+        def score_chunk_shared(pdf: pd.DataFrame) -> pd.DataFrame:
+            """One chunk, ALL queries: decode each term once, fan its
+            contributions out through the q_by_term closure."""
             if pdf.empty:
-                return empty_out
+                return pd.DataFrame(
+                    {c: [] for c in _EMPTY_OUT}
+                ).astype(_EMPTY_OUT)
+            chunk = int(pdf["chunk"].iloc[0])
+            dls = np.frombuffer(pdf["_dls"].iloc[0], dtype=np.int32).astype(
+                np.float64
+            )
+            base = chunk * span
+            # sorted by term: each query's terms then accumulate in
+            # sorted order — the same deterministic float addition order
+            # as search()'s kernel and _search_local (bit-identical)
+            pdf = pdf.sort_values("term", kind="mergesort").reset_index(
+                drop=True
+            )
+            scores_q: Dict[str, np.ndarray] = {}
+            counts_q: Dict[str, np.ndarray] = {}
+            for i in range(len(pdf)):
+                qids = q_by_term.get(pdf["term"].iloc[i])
+                if not qids:
+                    continue
+                t_idf = float(pdf["idf"].iloc[i])
+                for blk in pdf["blocks"].iloc[i]:
+                    doc_ids, tfs = decode_block(
+                        int(blk["first_doc"]), bytes(blk["deltas"]),
+                        bytes(blk["tfs"]),
+                    )
+                    pos = doc_ids - base
+                    contrib = _score_np(
+                        tfs.astype(np.float64), dls[pos], t_idf, avgdl
+                    )
+                    for qid in qids:
+                        sq = scores_q.get(qid)
+                        if sq is None:
+                            sq = scores_q[qid] = np.zeros(
+                                dls.size, dtype=np.float64
+                            )
+                            counts_q[qid] = np.zeros(dls.size, dtype=np.int32)
+                        sq[pos] += contrib
+                        counts_q[qid][pos] += 1
+            dels_val = pdf["_dels"].iloc[0]
+            allow_val = pdf["_allow"].iloc[0] if has_allow else None
+            outs = []
+            for qid in sorted(scores_q):
+                out = _finish_query(
+                    qid, scores_q[qid], counts_q[qid], dels_val, allow_val,
+                    base,
+                )
+                if out is not None:
+                    outs.append(out)
+            if not outs:
+                return pd.DataFrame(
+                    {c: [] for c in _EMPTY_OUT}
+                ).astype(_EMPTY_OUT)
+            return pd.concat(outs, ignore_index=True)
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Fallback kernel: one (query_id, chunk) group per call."""
+            if pdf.empty:
+                return pd.DataFrame(
+                    {c: [] for c in _EMPTY_OUT}
+                ).astype(_EMPTY_OUT)
             qid = pdf["query_id"].iloc[0]
             chunk = int(pdf["chunk"].iloc[0])
             dls = np.frombuffer(pdf["_dls"].iloc[0], dtype=np.int32).astype(
@@ -1058,37 +1204,24 @@ class IndexReader:
                         tfs.astype(np.float64), dls[pos], t_idf, avgdl
                     )
                     counts[pos] += 1
-            dels_val = pdf["_dels"].iloc[0]
-            if dels_val is not None and len(dels_val):
-                dp = np.asarray(dels_val, dtype=np.int64) - base
-                dp = dp[(dp >= 0) & (dp < counts.size)]
-                counts[dp] = 0
-            if has_allow:
-                ap = np.asarray(pdf["_allow"].iloc[0], dtype=np.int64)
-                ok = np.zeros(counts.size, dtype=bool)
-                ok[ap[ap < counts.size]] = True
-                counts[~ok] = 0
-            hit = np.flatnonzero(counts)
-            if need_map is not None:
-                hit = hit[counts[hit] == need_map[qid]]
-            if hit.size == 0:
-                return empty_out
-            if hit.size > loc_k:
-                sc = scores[hit]
-                kth = np.partition(sc, sc.size - loc_k)[sc.size - loc_k]
-                hit = hit[sc >= kth]
-            return pd.DataFrame(
-                {
-                    "query_id": qid,
-                    "doc_id": (hit + base).astype("int64"),
-                    "score": scores[hit],
-                    "nterms": counts[hit].astype("int32"),
-                }
+            out = _finish_query(
+                qid, scores, counts, pdf["_dels"].iloc[0],
+                pdf["_allow"].iloc[0] if has_allow else None, base,
             )
+            if out is None:
+                return pd.DataFrame(
+                    {c: [] for c in _EMPTY_OUT}
+                ).astype(_EMPTY_OUT)
+            return out
 
-        local = joined.groupBy("query_id", "chunk").applyInPandas(
-            score_group, _MULTI_LOCAL_SCHEMA
-        )
+        if q_by_term is not None:
+            local = joined.groupBy("chunk").applyInPandas(
+                score_chunk_shared, _MULTI_LOCAL_SCHEMA
+            )
+        else:
+            local = joined.groupBy("query_id", "chunk").applyInPandas(
+                score_group, _MULTI_LOCAL_SCHEMA
+            )
         return topk_per_query(
             local.select("query_id", "doc_id", "score"), k
         )

@@ -199,3 +199,80 @@ def test_batch_int_query_ids_coerced(spark, synth_index):
         )
     )
     assert exp and got == exp
+
+
+def test_batch_string_inputs_rejected(spark, synth_index):
+    """A bare string where a term list belongs must raise, never run a
+    per-character search."""
+    with pytest.raises(TypeError):
+        synth_index.search_many("postings", P.WITH_SUGGESTIONS, k=3)
+    with pytest.raises(TypeError):
+        synth_index.search_many(["postings", "import"], P.WITH_SUGGESTIONS)
+    with pytest.raises(TypeError):
+        P.normalize_queries({"q1": "postings"})
+
+
+def test_batch_and_counts_empty_terms_like_single(spark, synth_index):
+    """['', term] under AND_MATCH: the single path counts the empty
+    term toward the required total and returns nothing; the batch must
+    agree."""
+    single = synth_index.search(["", "postings"], P.AND_MATCH, k=5).collect()
+    assert single == []
+    got = synth_index.search_many(
+        {"q": ["", "postings"]}, P.AND_MATCH, k=5
+    ).collect()
+    assert got == []
+    # and an OR query is unaffected by the empty term
+    got_or = _rows(
+        synth_index.search_many({"q": ["", "postings"]}, P.WITH_SUGGESTIONS, k=5)
+    )
+    exp_or = _per_query(
+        lambda ts, **kw: synth_index.search(ts, P.WITH_SUGGESTIONS, **kw),
+        {"q": ["", "postings"]},
+        k=5,
+    )
+    assert exp_or and got_or == exp_or
+
+
+def test_batch_respects_tombstones(spark, synth, synth_index, tmp_path):
+    """Deleted docs must vanish from batched results exactly as from
+    per-query search (the shared kernel's dels zeroing)."""
+    from spark_search.maintain import delete_docs
+
+    victims = [
+        r["doc_id"]
+        for r in synth_index.search(
+            ["postings"], P.WITH_SUGGESTIONS, k=3
+        ).collect()
+    ]
+    d2 = str(tmp_path / "many_deleted")
+    delete_docs(spark, synth_index.paths.root, d2, victims)
+    rd2 = IndexReader(spark, d2)
+    got = _rows(rd2.search_many(QS, P.WITH_SUGGESTIONS, k=10))
+    assert got, "post-delete batch must still match other docs"
+    assert not any(d in set(victims) for _, d, _, _ in got)
+    exp = _per_query(
+        lambda ts, **kw: rd2.search(ts, P.WITH_SUGGESTIONS, **kw), QS, k=10
+    )
+    assert got == exp
+
+
+def test_batch_uncached_dictionary_path_matches(spark, synth, synth_index):
+    """Past the vocab cache gate (_dict_expand -> None) the batch must
+    still return the same bit-identical results: its raw-collect
+    bootstrap computes the same driver-side idf floats search() does."""
+    from spark_search.query import IndexReader
+
+    rd = IndexReader(spark, synth_index.paths.root)
+    rd._dict_state = -1  # force the no-cached-dictionary tier
+    got = _rows(rd.search_many(QS, P.WITH_SUGGESTIONS, k=10))
+    exp = _per_query(
+        lambda ts, **kw: rd.search(ts, P.WITH_SUGGESTIONS, **kw), QS, k=10
+    )
+    assert exp and got == exp
+    # prefix mode exercises the expanded-terms collect on the same tier
+    gotp = _rows(rd.search_many(QP, P.START_WITH, k=10))
+    expp = _per_query(
+        lambda ts, **kw: rd.search(ts, P.START_WITH, **kw), QP, k=10
+    )
+    assert expp and gotp == expp

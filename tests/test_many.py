@@ -276,3 +276,20 @@ def test_batch_uncached_dictionary_path_matches(spark, synth, synth_index):
         lambda ts, **kw: rd.search(ts, P.START_WITH, **kw), QP, k=10
     )
     assert expp and gotp == expp
+
+
+def test_declarative_batch_respects_doc_filter(spark, synth):
+    pred = "lang = 'java'"
+    got = _rows(
+        P.bm25_topk_many(synth, QS, P.WITH_SUGGESTIONS, k=10, doc_filter=pred)
+    )
+    exp = _per_query(
+        lambda ts, **kw: P.bm25_topk(synth, ts, P.WITH_SUGGESTIONS, **kw),
+        QS,
+        k=10,
+        doc_filter=pred,
+    )
+    assert exp
+    assert [(q, d, round(s, 9), r) for q, d, s, r in got] == [
+        (q, d, round(s, 9), r) for q, d, s, r in exp
+    ]

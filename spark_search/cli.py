@@ -140,6 +140,22 @@ def main(argv=None) -> int:
         (args.queries is None) == (args.queries_file is None)
     ):
         p.error("search-many needs exactly one of --queries / --queries-file")
+    qset = None
+    if args.cmd == "search-many":
+        # parse + normalize the query set NOW: a malformed JSON string,
+        # a missing file, or an invalid shape must fail before paying
+        # Spark session startup and the index open
+        from .pipeline import normalize_queries
+
+        try:
+            if args.queries_file:
+                with open(args.queries_file) as fh:
+                    qset = json.load(fh)
+            else:
+                qset = json.loads(args.queries)
+            normalize_queries(qset)
+        except (OSError, ValueError, TypeError) as exc:
+            p.error(f"search-many: bad query set: {exc}")
     spark = _session(args)
     t0 = time.time()
 
@@ -182,11 +198,6 @@ def main(argv=None) -> int:
 
     rd = IndexReader(spark, args.index)
     if args.cmd == "search-many":
-        if args.queries_file:
-            with open(args.queries_file) as fh:
-                qset = json.load(fh)
-        else:
-            qset = json.loads(args.queries)
         res = rd.search_many(
             qset, _MODES[args.mode], k=args.k, doc_filter=args.filter
         )

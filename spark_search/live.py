@@ -221,7 +221,9 @@ class LiveResults:
         for i, (_, q) in enumerate(pending):
             groups.setdefault((q["mode"], int(q["k"])), []).append(i)
         snaps: List[List[dict]] = [[] for _ in pending]
-        for (mode, k), idxs in groups.items():
+
+        def run_group(item) -> None:
+            (mode, k), idxs = item
             queries = {str(i): pending[i][1]["terms"] for i in idxs}
             rows = reader.search_many(queries, mode, k=k).collect()
             by_q: Dict[int, List[dict]] = {i: [] for i in idxs}
@@ -236,6 +238,19 @@ class LiveResults:
             for i in idxs:
                 by_q[i].sort(key=lambda x: x["rank"])
                 snaps[i] = by_q[i]
+
+        items = list(groups.items())
+        if len(items) > 1:
+            # distinct (mode, k) groups are independent jobs — overlap
+            # them like the pooled path overlaps per-query jobs, so a
+            # mixed-mode refresh costs ~max(group) instead of Σ(group).
+            # Each worker writes disjoint snaps slots; no shared state.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+                list(pool.map(run_group, items))
+        else:
+            run_group(items[0])
         return snaps
 
     def refresh(

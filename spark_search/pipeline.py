@@ -501,10 +501,15 @@ def bm25_topk_many(
             F.lit(0).alias("rank"),
         )
     )
-    # empty terms can never match — they stay out of the term map but
-    # still count toward AND_MATCH's required total below (exactly how
-    # bm25_topk's require_n treats them)
-    pairs = [(qid, t) for qid, ts in qmap.items() for t in ts if t]
+    # Empty terms can never match as exact terms — they stay out of the
+    # term map but still count toward AND_MATCH's required total below
+    # (exactly how bm25_topk's require_n treats them). Under START_WITH
+    # an empty PREFIX matches every term (startswith(''), the same
+    # predicate _match_filter builds for bm25_topk), so it stays in.
+    keep_empty = mode == START_WITH
+    pairs = [
+        (qid, t) for qid, ts in qmap.items() for t in ts if t or keep_empty
+    ]
     if not pairs:
         return empty
     union_terms = sorted({t for _, t in pairs})

@@ -939,10 +939,20 @@ class IndexReader:
         empty = self.spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
         )
-        # empty terms can never match — kept out of the term map but
-        # still counted by AND_MATCH's need_map (same as search()'s
-        # n_query_terms, which counts every deduped input term)
-        pairs = [(qid, t) for qid, ts in qmap.items() for t in ts if t]
+        # Empty terms can never match as exact terms — kept out of the
+        # term map but still counted by AND_MATCH's need_map (same as
+        # search()'s n_query_terms, which counts every deduped input
+        # term). Under START_WITH an empty PREFIX matches every term
+        # (startswith('') — exactly what search()'s predicate and
+        # _dict_expand's full-range bisect do), so it must stay in or
+        # the batch diverges from the per-query bit-identical contract.
+        keep_empty = mode == START_WITH
+        pairs = [
+            (qid, t)
+            for qid, ts in qmap.items()
+            for t in ts
+            if t or keep_empty
+        ]
         if not pairs:
             return empty
         union_terms = sorted({t for _, t in pairs})
@@ -1083,6 +1093,12 @@ class IndexReader:
             "score": "float64", "nterms": "int32",
         }
 
+        def _empty_many_out() -> pd.DataFrame:
+            """Typed zero-row frame both kernels return — one
+            definition so a schema change cannot drift between the
+            five call sites inside the serialized closures."""
+            return pd.DataFrame({c: [] for c in _EMPTY_OUT}).astype(_EMPTY_OUT)
+
         def _finish_query(qid, scores, counts, dels_val, allow_val, base):
             """Shared tail of both kernels: tombstone/filter zeroing,
             AND gating, bounded tie-kept top-k — identical arithmetic
@@ -1115,12 +1131,27 @@ class IndexReader:
             )
 
         def score_chunk_shared(pdf: pd.DataFrame) -> pd.DataFrame:
-            """One chunk, ALL queries: decode each term once, fan its
-            contributions out through the q_by_term closure."""
+            """One chunk, ALL queries: decode each term's blocks ONCE
+            into sparse (pos, contrib) arrays, then score queries one
+            at a time against two REUSED span buffers.
+
+            Memory shape: the decode pass holds O(postings-in-chunk)
+            — the same rows the Arrow batch already carries, in decoded
+            form — while the scoring pass holds exactly ONE scores +
+            counts span pair regardless of batch size. The obvious
+            alternative (a span pair per query, filled during the term
+            fan-out) is O(|queries| x chunk_span) per task — ~100 MB
+            transient per task slot at 500 registered queries — which
+            defeats the kernel's own many-queries purpose.
+
+            Bit-identity: a term's postings positions are unique within
+            the term (blocks partition the docID range), so the single
+            fancy-index add per (query, term) applies each position's
+            contribution exactly once, in sorted-term order — the same
+            float accumulation order as search()'s kernel,
+            _search_local, and the per-(query, chunk) fallback."""
             if pdf.empty:
-                return pd.DataFrame(
-                    {c: [] for c in _EMPTY_OUT}
-                ).astype(_EMPTY_OUT)
+                return _empty_many_out()
             chunk = int(pdf["chunk"].iloc[0])
             dls = np.frombuffer(pdf["_dls"].iloc[0], dtype=np.int32).astype(
                 np.float64
@@ -1132,53 +1163,58 @@ class IndexReader:
             pdf = pdf.sort_values("term", kind="mergesort").reset_index(
                 drop=True
             )
-            scores_q: Dict[str, np.ndarray] = {}
-            counts_q: Dict[str, np.ndarray] = {}
+            decoded: List[Tuple[np.ndarray, np.ndarray]] = []
+            terms_by_q: Dict[str, List[int]] = {}
             for i in range(len(pdf)):
                 qids = q_by_term.get(pdf["term"].iloc[i])
                 if not qids:
                     continue
                 t_idf = float(pdf["idf"].iloc[i])
+                pos_parts: List[np.ndarray] = []
+                contrib_parts: List[np.ndarray] = []
                 for blk in pdf["blocks"].iloc[i]:
                     doc_ids, tfs = decode_block(
                         int(blk["first_doc"]), bytes(blk["deltas"]),
                         bytes(blk["tfs"]),
                     )
                     pos = doc_ids - base
-                    contrib = _score_np(
-                        tfs.astype(np.float64), dls[pos], t_idf, avgdl
+                    pos_parts.append(pos)
+                    contrib_parts.append(
+                        _score_np(tfs.astype(np.float64), dls[pos], t_idf, avgdl)
                     )
-                    for qid in qids:
-                        sq = scores_q.get(qid)
-                        if sq is None:
-                            sq = scores_q[qid] = np.zeros(
-                                dls.size, dtype=np.float64
-                            )
-                            counts_q[qid] = np.zeros(dls.size, dtype=np.int32)
-                        sq[pos] += contrib
-                        counts_q[qid][pos] += 1
+                ti = len(decoded)
+                decoded.append(
+                    (np.concatenate(pos_parts), np.concatenate(contrib_parts))
+                    if len(pos_parts) != 1
+                    else (pos_parts[0], contrib_parts[0])
+                )
+                for qid in qids:
+                    terms_by_q.setdefault(qid, []).append(ti)
             dels_val = pdf["_dels"].iloc[0]
             allow_val = pdf["_allow"].iloc[0] if has_allow else None
+            scores = np.zeros(dls.size, dtype=np.float64)
+            counts = np.zeros(dls.size, dtype=np.int32)
             outs = []
-            for qid in sorted(scores_q):
+            for qid in sorted(terms_by_q):
+                scores.fill(0.0)
+                counts.fill(0)
+                for ti in terms_by_q[qid]:
+                    pos, contrib = decoded[ti]
+                    scores[pos] += contrib
+                    counts[pos] += 1
                 out = _finish_query(
-                    qid, scores_q[qid], counts_q[qid], dels_val, allow_val,
-                    base,
+                    qid, scores, counts, dels_val, allow_val, base
                 )
                 if out is not None:
                     outs.append(out)
             if not outs:
-                return pd.DataFrame(
-                    {c: [] for c in _EMPTY_OUT}
-                ).astype(_EMPTY_OUT)
+                return _empty_many_out()
             return pd.concat(outs, ignore_index=True)
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             """Fallback kernel: one (query_id, chunk) group per call."""
             if pdf.empty:
-                return pd.DataFrame(
-                    {c: [] for c in _EMPTY_OUT}
-                ).astype(_EMPTY_OUT)
+                return _empty_many_out()
             qid = pdf["query_id"].iloc[0]
             chunk = int(pdf["chunk"].iloc[0])
             dls = np.frombuffer(pdf["_dls"].iloc[0], dtype=np.int32).astype(
@@ -1209,9 +1245,7 @@ class IndexReader:
                 pdf["_allow"].iloc[0] if has_allow else None, base,
             )
             if out is None:
-                return pd.DataFrame(
-                    {c: [] for c in _EMPTY_OUT}
-                ).astype(_EMPTY_OUT)
+                return _empty_many_out()
             return out
 
         if q_by_term is not None:

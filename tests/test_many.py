@@ -234,6 +234,30 @@ def test_batch_and_counts_empty_terms_like_single(spark, synth_index):
     assert exp_or and got_or == exp_or
 
 
+def test_batch_empty_prefix_matches_single(spark, synth, synth_index):
+    """Under START_WITH an empty prefix matches EVERY term in the
+    single-query paths (startswith('') / the full-range bisect); the
+    batch paths must expand it identically rather than dropping it
+    as an unmatched exact term."""
+    queries = {"q": ["", "post"]}
+    single = _per_query(
+        lambda ts, **kw: synth_index.search(ts, P.START_WITH, **kw),
+        queries,
+        k=5,
+    )
+    assert single, "empty prefix must match the whole vocabulary"
+    got = _rows(synth_index.search_many(queries, P.START_WITH, k=5))
+    assert got == single
+    # declarative batch agrees with declarative single-query
+    decl_single = _per_query(
+        lambda ts, **kw: P.bm25_topk(synth, ts, P.START_WITH, **kw),
+        queries,
+        k=5,
+    )
+    decl_got = _rows(P.bm25_topk_many(synth, queries, P.START_WITH, k=5))
+    assert decl_single and decl_got == decl_single
+
+
 def test_batch_respects_tombstones(spark, synth, synth_index, tmp_path):
     """Deleted docs must vanish from batched results exactly as from
     per-query search (the shared kernel's dels zeroing)."""

@@ -41,6 +41,8 @@ at corpus sizes no single heap can hold.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import shutil
 import time
@@ -53,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .build import BLOCKS_SCHEMA, PLISTS_SCHEMA, IndexPaths
 from .checkpoint import BuildManifest
 from .codec import encode_blocks_batch, varint_decode
+from .maintain import _multi
 from .progress import dir_bytes
 from .stats import CorpusStats
 
@@ -108,12 +111,20 @@ def _load_sources(index_dirs: List[str]) -> List[BuildManifest]:
     return manifests
 
 
-def _union(spark: SparkSession, dirs: List[str], sub: str) -> DataFrame:
-    dfs = [spark.read.parquet(os.path.join(d, sub)) for d in dirs]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+def _source_fingerprint(m: BuildManifest) -> str:
+    """Content-identifying fingerprint of one source index: a hash of
+    its committed manifest (config + stats + every stage's lineage
+    record). Anything that rewrites the index — rebuild, compact,
+    merge — rewrites the manifest, so a resume=True rerun cannot skip
+    a completed stage against a source whose content changed under the
+    same path. (The previous scheme read only the 'docs' build stage's
+    fingerprint, which compact/merge outputs don't carry — every
+    compacted source degenerated to the same '?'.)"""
+    blob = json.dumps(
+        {"config": m.config, "stats": m.stats, "stages": m.stages},
+        sort_keys=True,
+    ).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
 
 
 def _merge_postings_udf(block_size: int, has_plists: bool):
@@ -285,10 +296,32 @@ def merge_indexes(
     par = plan_parallelism or spark.sparkContext.defaultParallelism
     fingerprint = "merge:" + ",".join(
         sorted(
-            f"{d}@{m.stages.get('docs', {}).get('fingerprint', '?')}"
+            f"{d}@{_source_fingerprint(m)}"
             for d, m in zip(src_dirs, manifests)
         )
     )
+    docs = _multi(spark, src_dirs, "docs")
+    if validate:
+        # Disjointness is the correctness precondition for everything
+        # below (block merge assumes no (term, doc) pair exists twice);
+        # one slim-row aggregation over the registries proves it.
+        # Runs BEFORE anything touches out_dir: a rejected merge must
+        # not have destroyed whatever (e.g. a previous good index) was
+        # sitting at the output path.
+        dup = (
+            docs.groupBy("doc_id")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"doc_id {dup[0]['doc_id']} exists in more than one "
+                "source index; merge_indexes requires disjoint doc-id "
+                "sets (rebuild shards with with_doc_ids(start=...) or "
+                "remap before merging)"
+            )
     manifest = None
     if resume:
         try:
@@ -308,27 +341,7 @@ def merge_indexes(
 
     # ------------------------------------------------------------- docs
     t0 = time.time()
-    docs = _union(spark, src_dirs, "docs")
     if not (resume and manifest.stage_done("merge-docs", fingerprint)):
-        if validate:
-            # disjointness is the correctness precondition for
-            # everything below (block merge assumes no (term, doc) pair
-            # exists twice); one slim-row aggregation over the
-            # registries proves it
-            dup = (
-                docs.groupBy("doc_id")
-                .agg(F.count("*").alias("c"))
-                .where(F.col("c") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"doc_id {dup[0]['doc_id']} exists in more than one "
-                    "source index; merge_indexes requires disjoint doc-id "
-                    "sets (rebuild shards with with_doc_ids(start=...) or "
-                    "remap before merging)"
-                )
         from pyspark.sql import Observation
 
         obs = Observation("merge_docs_stats")
@@ -349,7 +362,7 @@ def merge_indexes(
         # ------------------------------------------------------ doclens
         combine = _combine_doclens_udf()
         (
-            _union(spark, src_dirs, "doclens")
+            _multi(spark, src_dirs, "doclens")
             .groupBy("chunk")
             .agg(F.collect_list("dls").alias("_g"))
             .select("chunk", combine(F.col("_g")).alias("dls"))
@@ -365,7 +378,7 @@ def merge_indexes(
     # --------------------------------------------------------- postings
     t1 = time.time()
     if not (resume and manifest.stage_done("merge-postings", fingerprint)):
-        posts = _union(spark, src_dirs, "postings")
+        posts = _multi(spark, src_dirs, "postings")
         src_struct = ["n_docs", "sum_tf", "max_tf", "blocks"] + (
             ["plists"] if has_plists else []
         )

@@ -69,6 +69,10 @@ _PRUNE_MIN_POSTINGS = 200_000
 # 64k postings × ~16 B and 64 doclen chunks × 64 KiB ≈ 5 MB driver max.
 _LOCAL_MAX_POSTINGS = 65_536
 _LOCAL_MAX_CHUNKS = 64
+# driver-side cap on COLLECTED PHRASE POSITIONS (Σ df·max_tf over the
+# phrase's terms): ~4 M int32 positions ≈ tens of MB of Row overhead,
+# the same order of driver memory the _search_local gates allow
+_LOCAL_MAX_POSITIONS = 4_000_000
 # driver-side caches (all hard-gated so a 10^12-file index never tries
 # to pull cluster-scale state onto the driver):
 #   * term dictionary — cached iff vocab ≤ cap (~25 MB). A warm exact/
@@ -1601,8 +1605,9 @@ class IndexReader:
         one pseudo-term with the exact ``bm25_score_col`` float
         arithmetic (pinned by test against the distributed plan and the
         declarative pipeline). Returns None (caller falls back) when
-        the dictionary is uncached, Σ df exceeds the gate, tombstones
-        are uncacheably many, or the doclens gate trips."""
+        the dictionary is uncached, Σ df or Σ df·max_tf exceeds its
+        gate, tombstones are uncacheably many, or the doclens gate
+        trips."""
         uniq = list(dict.fromkeys(phrase))
         expansion = self._dict_expand(uniq, EXACT_MATCH)
         if expansion is None:
@@ -1610,7 +1615,18 @@ class IndexReader:
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if len(expansion) < len(uniq):
             return empty  # a term absent from the index: no AND match
+        # Gate on what the collect actually materializes. Unlike
+        # _search_local (blocks only, bytes ~ Σ df), this path pulls
+        # POSITION lists: a term contributes up to tf positions per
+        # doc, so the driver-held volume is bounded by Σ df·max_tf —
+        # dense code tokens (small df, ~1k occurrences/doc) would pass
+        # a Σ df gate yet collect orders of magnitude more. max_tf is
+        # already in the dictionary, so the tighter bound is free.
         if sum(df_ for _, df_, _, _ in expansion) > max_postings:
+            return None
+        if sum(df_ * mtf_ for _, df_, mtf_, _ in expansion) > (
+            _LOCAL_MAX_POSITIONS
+        ):
             return None
         dels = self._dels_cached()
         if dels is None:

@@ -52,8 +52,8 @@ DEFAULT_BUDGET = 256          # tokens per training sequence
 KNUTH = 2654435761            # multiplicative hash constant (2^32 / phi)
 HASH_MOD = 4294967296         # 2^32
 _ROWS_PER_SHARD = 1_000_000   # adaptive pack_sequences shard sizing
-_N_RANK_BUCKETS = 4096        # stratified-rank buckets (output-invariant)
-_BUCKET_SHIFT = 20            # 2^32 / 2^20 = 4096 buckets
+_BUCKET_SHIFT = 20            # stratified-rank bucket width (output-invariant)
+_N_RANK_BUCKETS = 1 << (32 - _BUCKET_SHIFT)  # 4096, derived — not a free knob
 
 # kept for callers/tests that want the historical fixed default
 DEFAULT_N_SHARDS = 16

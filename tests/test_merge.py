@@ -155,6 +155,67 @@ def test_merge_rejects_overlapping_doc_ids(spark, fixture_corpus, tmp_path):
         merge_indexes(spark, [da, db], str(tmp_path / "m"))
 
 
+def test_merge_reject_preserves_existing_out_dir(
+    spark, fixture_corpus, tmp_path
+):
+    """A rejected merge must not have destroyed whatever sat at
+    out_dir: validation runs before anything touches the output path,
+    so a failed merge over a previous good index leaves that index
+    intact and readable."""
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, fixture_corpus.limit(4), da)
+    build_index(spark, fixture_corpus.limit(2), db)
+    out = str(tmp_path / "m")
+    build_index(spark, fixture_corpus, out)  # a previous good index
+    before = IndexReader(spark, out).search(
+        ["mila"], P.EXACT_MATCH, k=5
+    ).collect()
+    assert before
+    with pytest.raises(ValueError, match="disjoint doc-id"):
+        merge_indexes(spark, [da, db], out)
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    after = IndexReader(spark, out).search(
+        ["mila"], P.EXACT_MATCH, k=5
+    ).collect()
+    assert after == before
+
+
+def test_merge_resume_reruns_after_source_rewrite(
+    spark, fixture_corpus, tmp_path
+):
+    """The resume fingerprint must follow source CONTENT, not just the
+    directory path: rewriting a source index in place (the
+    compact-then-merge flow does exactly this) invalidates completed
+    stage records, so resume=True recomputes instead of committing a
+    merge built partly from the old source."""
+    import json
+    import shutil as sh
+
+    a, b = _split(fixture_corpus)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, a, da)
+    build_index(spark, b, db)
+    out = str(tmp_path / "m")
+    merge_indexes(spark, [da, db], out)
+    man = os.path.join(out, "manifest.json")
+    with open(man) as f:
+        committed = json.load(f)
+    # interrupt just before the final commit...
+    sh.move(man, os.path.join(out, "manifest.partial.json"))
+    # ...and rewrite source A under the same path with LESS content
+    sh.rmtree(da)
+    build_index(spark, a.limit(1), da)
+    merge_indexes(spark, [da, db], out, resume=True)
+    with open(man) as f:
+        recommitted = json.load(f)
+    # the stale stage records were NOT trusted: the merged stats track
+    # the rewritten source, not the interrupted run's
+    assert recommitted["stats"] != committed["stats"]
+    want_docs = 1 + b.count()
+    assert recommitted["stats"]["n_docs"] == want_docs
+    assert IndexReader(spark, out).stats.n_docs == want_docs
+
+
 def test_merge_rejects_config_mismatch(spark, fixture_corpus, tmp_path):
     a, b = _split(fixture_corpus)
     da, db = str(tmp_path / "a"), str(tmp_path / "b")
@@ -218,13 +279,14 @@ def test_merge_resume_skips_completed_stages(spark, merged_setup, tmp_path):
 def test_merge_reuses_one_postings_exchange(spark, fixture_corpus, tmp_path):
     """Scale pin: the singles/multis branches must re-read ONE shuffle
     of the postings (ReusedExchange), not shuffle the bytes twice."""
-    from spark_search.merge import _merge_postings_udf, _union
+    from spark_search.maintain import _multi
+    from spark_search.merge import _merge_postings_udf
 
     da, db = str(tmp_path / "a"), str(tmp_path / "b")
     a, b = _split(fixture_corpus)
     build_index(spark, a, da)
     build_index(spark, b, db)
-    posts = _union(spark, [da, db], "postings")
+    posts = _multi(spark, [da, db], "postings")
     grouped = (
         posts.repartition(8, "bucket", "chunk")
         .groupBy("bucket", "term", "chunk")

@@ -214,3 +214,84 @@ def test_sample_stratified_bucket_join_is_broadcast(spark, sf_docs):
     plan = plan_of(sample_stratified(sf_docs))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.fixture(scope="module")
+def fixture_index(spark, tmp_path_factory):
+    """One positional fixture index shared by the round-4 plan pins."""
+    from spark_search.build import build_index
+    from spark_search.corpus import reference_fixture_corpus
+    from spark_search.ids import with_doc_ids
+
+    idx = str(tmp_path_factory.mktemp("plans") / "idx")
+    corpus = with_doc_ids(reference_fixture_corpus(spark))
+    build_index(
+        spark, corpus, idx, num_buckets=4, chunk_span=8, positions=True
+    )
+    return idx
+
+
+def test_filtered_search_filter_reaches_registry_scan(spark, fixture_index):
+    """doc_filter is implemented as one slim registry scan -> per-chunk
+    allow-lists (query.py:_allow_by_chunk, the frame search() joins into
+    its scoring stage); the filter predicate must push into the registry
+    parquet (PushedFilters), so at 100 TB a selective filter reads the
+    row groups that can match, never the whole registry. The public
+    search() result is a collected literal (bounded top-k), so the pin
+    targets the lazy internal frame the distributed plan consumes."""
+    from spark_search.query import IndexReader
+
+    r = IndexReader(spark, fixture_index)
+    allow = r._allow_by_chunk("repo = 'reference'")
+    plan = plan_of(allow)
+    assert "PushedFilters" in plan, plan
+    assert "EqualTo(repo,reference)" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_positional_phrase_pushdown_and_broadcast_candidates(
+    spark, fixture_index
+):
+    """The distributed positional phrase path must (a) push the phrase
+    terms into the postings scan — the plists decode only ever sees the
+    phrase's own rows — and (b) broadcast the AND-candidate set into
+    that scan, never shuffle the postings on doc_id. search_phrase()
+    collects the bounded top-k into a literal result, so the pin
+    targets the lazy occurrence frame it scores."""
+    from spark_search.query import EXACT_MATCH, AND_MATCH, IndexReader
+
+    r = IndexReader(spark, fixture_index)
+    cand = r.match_docs(["mama", "mila"], AND_MATCH)
+    occ = r._positional_occurrences(["mama", "mila"], cand)
+    plan = plan_of(occ)
+    # term predicate reaches the postings parquet scan
+    assert "In(term" in plan or "EqualTo(term" in plan, plan
+    # candidate semi-join is broadcast (F.broadcast(cand) honored)
+    assert "BroadcastHashJoin" in plan, plan
+    # positions decode is Arrow-batched, never row-at-a-time
+    assert "BatchEvalPython" not in plan
+
+
+def test_search_many_scans_postings_once(spark, fixture_index):
+    """The batch contract: one postings scan serves the UNION of all
+    query terms. A plan with one parquet scan of the postings directory
+    per query would re-pay the scan |queries| times — the exact cost
+    search_many exists to amortize."""
+    from spark_search.query import IndexReader
+
+    r = IndexReader(spark, fixture_index)
+    from spark_search.query import WITH_SUGGESTIONS
+
+    df = r.search_many(
+        {"q1": ["mila"], "q2": ["mama"], "q3": ["example", "text"]},
+        mode=WITH_SUGGESTIONS,
+        k=5,
+    )
+    plan = plan_of(df)
+    # formatted explain prints one "Location: ... [path]" line per scan
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Location" in ln and "postings" in ln
+    ]
+    assert len(scans) == 1, plan

@@ -345,3 +345,117 @@ def test_reader_refuses_other_format_version(spark, base_index, tmp_path):
                     resume=True)
     assert m.stages["docs"]["fingerprint"].startswith("n=4")
     assert _ids(IndexReader(spark, old), ["mila"]) == [3, 4]
+
+
+def test_random_maintenance_chain_equals_fresh_build(spark, tmp_path):
+    """Seeded randomized interaction net: a chain of upserts (replace +
+    add), deletes, and compactions over a synthetic corpus must land,
+    after a final compact, on an index stat- and SCORE-identical to a
+    fresh build over the equivalently-edited corpus — the generalized
+    form of the hand-written chain tests above (reference analog: any
+    interleaving of DocumentUpdateTask / DocumentRemoveTask leaves the
+    tree equal to indexing the final filesystem state). Match sets are
+    additionally checked mid-chain (exact-immediately contract), keyed
+    by (repo, path) since maintained and fresh doc_ids differ."""
+    import random
+
+    rng = random.Random(20260819)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta"]
+
+    def text():
+        return " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(3, 12))
+        )
+
+    # model: the corpus as maintenance SHOULD leave it
+    model = {("r", f"f{i:02d}.txt"): ("v1", "txt", text()) for i in range(20)}
+
+    def corpus_df():
+        rows = [
+            (repo, path, c, lang, t)
+            for (repo, path), (c, lang, t) in sorted(model.items())
+        ]
+        return with_doc_ids(spark.createDataFrame(rows, CORPUS_SCHEMA))
+
+    d = str(tmp_path / "idx0")
+    build_index(spark, corpus_df(), d, num_buckets=4, chunk_span=8)
+
+    def paths_of(reader, terms, mode=P.EXACT_MATCH):
+        ids = set(_ids(reader, terms, mode))
+        return sorted(
+            r["path"]
+            for r in reader.docs_df().select("doc_id", "path").collect()
+            if r["doc_id"] in ids
+        )
+
+    def model_paths(term):
+        return sorted(
+            path
+            for (_, path), (_, _, t) in model.items()
+            if term in t.split(" ")
+        )
+
+    ops = ["upsert", "delete", "compact", "upsert", "delete", "upsert"]
+    for step, op in enumerate(ops, start=1):
+        nxt = str(tmp_path / f"idx{step}")
+        if op == "upsert":
+            keys = rng.sample(sorted(model.keys()), k=2)
+            rows = []
+            for key in keys:  # replace (same repo/path, new content)
+                model[key] = ("v2", "txt", text())
+                rows.append((*key, *model[key]))
+            new_key = ("r", f"new{step:02d}.txt")
+            model[new_key] = ("v1", "txt", text())
+            rows.append((*new_key, *model[new_key]))
+            upsert_docs(
+                spark, d, nxt, spark.createDataFrame(rows, CORPUS_SCHEMA)
+            )
+        elif op == "delete":
+            reader = IndexReader(spark, d)
+            by_key = {
+                (r["repo"], r["path"]): r["doc_id"]
+                for r in reader.docs_df().collect()
+            }
+            keys = rng.sample(sorted(model.keys()), k=2)
+            delete_docs(spark, d, nxt, [by_key[key] for key in keys])
+            for key in keys:
+                del model[key]
+        else:
+            compact(spark, d, nxt)
+        d = nxt
+        # match sets are exact immediately (scores may await compact)
+        reader = IndexReader(spark, d)
+        probe = rng.choice(vocab)
+        assert paths_of(reader, [probe]) == model_paths(probe), (step, op, probe)
+
+    final = str(tmp_path / "idx_final")
+    compact(spark, d, final)
+    maintained = IndexReader(spark, final)
+    fresh_dir = str(tmp_path / "fresh")
+    build_index(spark, corpus_df(), fresh_dir, num_buckets=4, chunk_span=8)
+    fresh = IndexReader(spark, fresh_dir)
+
+    assert maintained.stats.n_docs == fresh.stats.n_docs
+    assert abs(maintained.stats.avgdl - fresh.stats.avgdl) < 1e-12
+
+    def scores_by_path(reader, terms, mode):
+        reg = {
+            r["doc_id"]: r["path"]
+            for r in reader.docs_df().select("doc_id", "path").collect()
+        }
+        return sorted(
+            (reg[r["doc_id"]], round(float(r["score"]), 9))
+            for r in reader.search(terms, mode, k=1000).collect()
+        )
+
+    probes = [
+        (["alpha"], P.EXACT_MATCH),
+        (["beta", "gamma"], P.WITH_SUGGESTIONS),
+        (["delta", "epsilon"], P.AND_MATCH),
+        (["ze"], P.START_WITH),
+    ]
+    for terms, mode in probes:
+        assert scores_by_path(maintained, terms, mode) == scores_by_path(
+            fresh, terms, mode
+        ), (terms, mode)

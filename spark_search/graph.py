@@ -36,9 +36,21 @@ with |V| or |E|.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 MAX_ROUNDS = 50  # hard stop: > log2 of any conceivable component chain
+
+# Cap for the driver-local union-find fast path (same pattern as the
+# query layer's cap-gated local finishes): near-dup EDGE sets are tiny
+# relative to the corpus — bounded by LSH band collisions — so at bench
+# scale the distributed loop's per-round job overhead dominates. Up to
+# this many (deduped, directed) edge rows are collected and solved
+# driver-side; the node side never leaves the cluster (the bounded
+# endpoint→component mapping broadcasts back over it). 100k edges ≈ a
+# few MB on the driver. 0/None disables (tests pin the loop with it).
+_LOCAL_MAX_EDGES = 100_000
 
 # loop shuffle width: ~this many edge rows per partition. Every round
 # re-exchanges the (checkpointed, stats-less) label/edge frames, so the
@@ -54,6 +66,7 @@ def connected_components(
     nodes: DataFrame,
     max_rounds: int = MAX_ROUNDS,
     num_partitions: int | None = None,
+    local_max_edges: int | None = _LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """(id, component) for every node; ``component`` = min node id
     reachable through ``edges``. ``edges`` needs columns (src, dst),
@@ -61,7 +74,15 @@ def connected_components(
     themselves as their component. Edge endpoints must be ⊆ nodes
     (an endpoint absent from ``nodes`` emits no output row and its
     edges do not propagate labels). Ids must be integral (compared
-    with min)."""
+    with min).
+
+    When the deduped edge set fits ``local_max_edges`` (and
+    ``num_partitions`` was not pinned by the caller), the components
+    are solved with a driver-side union-find over the COLLECTED edges
+    — the node frame stays distributed and gets its labels through one
+    broadcast join — byte-identical output to the loop (both label with
+    the component-minimum id). Past the gate, the O(log n)-round
+    propagation/pointer-jump loop runs entirely on the cluster."""
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -74,18 +95,69 @@ def connected_components(
     bi = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     bi = bi.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
-    labels = nodes.select(
-        F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("label")
-    ).localCheckpoint()
-
     spark = edges.sparkSession
     if num_partitions is None:
-        n_rows = max(bi.count(), labels.count())
+        n_edges = bi.count()
+        if local_max_edges and n_edges <= local_max_edges:
+            return _cc_local(bi, nodes)
+        labels = nodes.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("id").cast("long").alias("label"),
+        ).localCheckpoint()
+        n_rows = max(n_edges, labels.count())
         num_partitions = max(1, min(
             spark.sparkContext.defaultParallelism,
             1 + n_rows // _ROWS_PER_PARTITION,
         ))
+    else:
+        labels = nodes.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("id").cast("long").alias("label"),
+        ).localCheckpoint()
     return _cc_loop(bi, labels, max_rounds, num_partitions)
+
+
+def _cc_local(bi: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Driver-local finish: union-find with union-by-min over the
+    cap-gated collected edge list. Attaching the larger root under the
+    smaller keeps every tree's root = the component's minimum id, so
+    the emitted labels are exactly the loop's fixpoint. Only edge
+    ENDPOINTS ever reach the driver; isolated nodes (the corpus bulk —
+    non-duplicates) are labeled by the coalesce in the broadcast join,
+    so driver memory is bounded by |E|, never |V|."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in bi.collect():
+        a, b = int(r["src"]), int(r["dst"])
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    out_nodes = nodes.select(F.col("id").cast("long").alias("id"))
+    if not parent:
+        return out_nodes.select("id", F.col("id").alias("component"))
+    mapping = pd.DataFrame(
+        sorted((v, find(v)) for v in parent),
+        columns=["id", "component"],
+    ).astype("int64")
+    # Arrow-backed local relation (no per-row Python-RDD literals)
+    map_df = nodes.sparkSession.createDataFrame(mapping)
+    return out_nodes.join(F.broadcast(map_df), "id", "left").select(
+        "id",
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    )
 
 
 def _cc_loop(

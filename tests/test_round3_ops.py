@@ -26,7 +26,11 @@ def _mk_corpus(spark, texts):
 # ------------------------------------------------- connected components
 
 
-def test_connected_components_chain_and_singletons(spark):
+@pytest.mark.parametrize("local_max_edges", [0, 100])
+def test_connected_components_chain_and_singletons(spark, local_max_edges):
+    """Both the distributed loop (local_max_edges=0) and the cap-gated
+    driver-local union-find must produce the identical min-label
+    components."""
     from spark_search.graph import connected_components
 
     edges = spark.createDataFrame(
@@ -35,7 +39,9 @@ def test_connected_components_chain_and_singletons(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
     got = {
         r["id"]: r["component"]
-        for r in connected_components(edges, nodes).collect()
+        for r in connected_components(
+            edges, nodes, local_max_edges=local_max_edges
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
 
@@ -50,7 +56,9 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
-    got = connected_components(edges, nodes, max_rounds=MAX_ROUNDS)
+    got = connected_components(
+        edges, nodes, max_rounds=MAX_ROUNDS, local_max_edges=0
+    )
     assert got.where(F.col("component") != 0).count() == 0
 
 
@@ -67,7 +75,7 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, nodes, max_rounds=1)
+        connected_components(edges, nodes, max_rounds=1, local_max_edges=0)
 
 
 def test_connected_components_leaves_session_conf_alone(spark):
@@ -79,7 +87,7 @@ def test_connected_components_leaves_session_conf_alone(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
     nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
-    connected_components(edges, nodes).collect()
+    connected_components(edges, nodes, local_max_edges=0).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 

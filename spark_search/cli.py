@@ -51,6 +51,17 @@ _MODES = {"EXACT": "EXACT_MATCH", "PREFIX": "START_WITH",
           "OR": "WITH_SUGGESTIONS", "AND": "AND_MATCH"}
 
 
+def _load_corpus(spark, value):
+    """--corpus accepts a parquet path or ``table:<name>`` — the latter
+    resolves through the session catalog (the production Iceberg path,
+    corpus.load_corpus_table)."""
+    if value.startswith("table:"):
+        from .corpus import load_corpus_table
+
+        return load_corpus_table(spark, value[len("table:"):])
+    return spark.read.parquet(value)
+
+
 def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
@@ -67,7 +78,8 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build", help="build a disk index from a corpus table")
     b.add_argument("--corpus", required=True,
-                   help="parquet dir with (repo,path,commit,lang,content)")
+                   help="parquet dir with (repo,path,commit,lang,content), "
+                        "or table:<name> for a catalog (Iceberg) table")
     b.add_argument("--index", required=True)
     b.add_argument("--tokenizer", default="standard")
     b.add_argument("--positions", action="store_true",
@@ -164,7 +176,7 @@ def main(argv=None) -> int:
         from .checkpoint import FORMAT_VERSION
         from .ids import with_doc_ids
 
-        corpus = spark.read.parquet(args.corpus)
+        corpus = _load_corpus(spark, args.corpus)
         if "doc_id" not in corpus.columns:
             corpus = with_doc_ids(corpus)
         n = corpus.count()
@@ -219,7 +231,7 @@ def main(argv=None) -> int:
         )
     else:  # phrase
         corpus = (
-            spark.read.parquet(args.corpus) if args.corpus else None
+            _load_corpus(spark, args.corpus) if args.corpus else None
         )
         res = rd.search_phrase(terms, corpus, k=args.k, doc_filter=args.filter)
     rows = _rows(res, args.limit)

@@ -193,6 +193,28 @@ def single_file(
     return corpus.where(cond)
 
 
+def load_corpus_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog-table source — the production path for the input_hint's
+    "Iceberg table of source-code repositories": ``spark.table``
+    resolves through the session catalog, so an Iceberg (or any V2)
+    table arrives with partition pruning, column pruning, and filter
+    pushdown intact; in tests any registered view satisfies the same
+    contract. Validates the corpus schema up front (a missing column
+    fails HERE, not three stages into a build) and projects exactly
+    the corpus columns so pruning reaches the scan even when the table
+    carries extra payload columns."""
+    df = spark.table(table)
+    required = [f.name for f in CORPUS_SCHEMA.fields]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"corpus table {table!r} lacks column(s) {missing}; "
+            f"required schema: {required}"
+        )
+    keep = required + (["doc_id"] if "doc_id" in df.columns else [])
+    return df.select(*keep)
+
+
 def load_sf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents table (doc_id, text, lang, source,
     n_chars) into the corpus schema, keeping the table's own ``doc_id``

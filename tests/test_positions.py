@@ -279,3 +279,47 @@ def test_cli_positional_phrase(spark, corpus, tmp_path, capsys):
     assert out[0]["cmd"] == "build" and out[0]["n_files"] == 6
     rows = out[1]["rows"]
     assert len(rows) > 0 and rows[0]["rank"] == 1
+
+
+def test_cli_build_from_catalog_table(spark, corpus, tmp_path, capsys):
+    """--corpus table:<name> resolves through the session catalog (the
+    production Iceberg path): build from a registered view, then query
+    the index — same results as the parquet-path build."""
+    import json
+
+    from spark_search.cli import main
+
+    corpus.createOrReplaceTempView("corpus_cli_tbl")
+    idx = str(tmp_path / "cli_tbl_idx")
+    assert main(
+        ["build", "--corpus", "table:corpus_cli_tbl", "--index", idx]
+    ) == 0
+    assert main(["search", "--index", idx, "--terms", "hello"]) == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert out[0]["cmd"] == "build" and out[0]["n_files"] == 6
+    assert len(out[1]["rows"]) > 0
+
+
+def test_load_corpus_table_validates_schema(spark):
+    """A table missing a corpus column must fail loudly at load time,
+    and extra payload columns must be pruned from the projection."""
+    import pytest as _pytest
+
+    from spark_search.corpus import load_corpus_table
+
+    spark.createDataFrame(
+        [("r", "p")], "repo string, path string"
+    ).createOrReplaceTempView("bad_corpus_tbl")
+    with _pytest.raises(ValueError, match="lacks column"):
+        load_corpus_table(spark, "bad_corpus_tbl")
+
+    spark.createDataFrame(
+        [("r", "p", "c", "l", "text", 1.5)],
+        "repo string, path string, commit string, lang string, "
+        "content string, extra double",
+    ).createOrReplaceTempView("wide_corpus_tbl")
+    got = load_corpus_table(spark, "wide_corpus_tbl")
+    assert got.columns == ["repo", "path", "commit", "lang", "content"]

@@ -881,6 +881,16 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_near_dup(_docs_raw(spark, sf_dir))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # batch-vs-ingested-state dedup: docs with doc_id % 5 == 0 play the
+    # "new crawl batch", the rest the persisted corpus state; only the
+    # batch is signed (dedup.minhash_near_dup_incremental)
+    docs = _docs_raw(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    buckets, arrays = DD.minhash_state(docs.where(F.col("doc_id") % 5 != 0))
+    return DD.minhash_near_dup_incremental(new, buckets, arrays)
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     # the recommended scale cap, passed EXPLICITLY (the API default is
     # exact/uncapped); the oracle below is parameterized identically
@@ -1006,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -1118,6 +1129,9 @@ FROM tf GROUP BY term
         "text_fingerprints": TX.fingerprints_sql(),
         "dedup_exact": DD.exact_dup_groups_sql(),
         "dedup_minhash_lsh": DD.minhash_near_dup_sql(),
+        "dedup_incremental": DD.minhash_near_dup_incremental_sql(
+            "{id} % 5 = 0"
+        ),
         "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(
             max_shingle_df=DD.MAX_SHINGLE_DF
         ),

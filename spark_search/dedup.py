@@ -317,6 +317,126 @@ WHERE c::DOUBLE / (na.nsh + nb.nsh - c)::DOUBLE >= {threshold}
 """
 
 
+def minhash_state(
+    docs: DataFrame,
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+) -> tuple[DataFrame, DataFrame]:
+    """(buckets, arrays) — the persistable dedup state of an ingested
+    corpus: banded LSH buckets (doc_id, band, bh) and per-doc distinct
+    shingle arrays (doc_id, arr). Both are plain parquet-writable
+    DataFrames (partition buckets by band at scale); computing them is
+    the one-time cost of ingest, after which every new batch dedups
+    against the corpus WITHOUT re-reading or re-signing it — see
+    minhash_near_dup_incremental."""
+    sig = minhash_signatures(docs, p, n)
+    return lsh_bands(sig, p, bands), _shingle_arrays(docs, n)
+
+
+def minhash_near_dup_incremental(
+    new_docs: DataFrame,
+    state_buckets: DataFrame,
+    state_arrays: DataFrame,
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — near-dup pairs BETWEEN a new batch and
+    an already-ingested corpus, reading only the new batch's content:
+    the incremental form of minhash_near_dup for the "dedupe this
+    crawl against the existing 100 TB" step. The existing side is the
+    persisted minhash_state; only the new docs are tokenized, shingled
+    and signed.
+
+    Scale shape: with ``broadcast_new`` (default — the contract is
+    that the batch is small against the corpus) the new batch's band
+    table broadcasts into one scan of the state buckets — the corpus
+    side never shuffles at all; candidates are bounded by band
+    collisions exactly as in the full run, and the verification joins
+    broadcast the (bounded) candidate set into one scan of the state
+    arrays. Pass ``broadcast_new=False`` for a batch too large to
+    broadcast (the join degrades to the buckets exchange of the full
+    run, still never touching existing content).
+
+    Cross pairs ONLY (a doc_id present on both sides never pairs with
+    itself); within-batch duplicates are minhash_near_dup(new_docs).
+    Identical signature scheme ⇒ a cross pair is emitted here iff the
+    full run over the union would emit it, with the same exact-Jaccard
+    verification; output is normalized doc_a < doc_b like the full
+    run."""
+    nb = lsh_bands(minhash_signatures(new_docs, p, n), p, bands)
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    cand = (
+        nb.alias("a")
+        .join(
+            state_buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_old"),
+        )
+        .distinct()
+    )
+    na = _shingle_arrays(new_docs, n).select(
+        F.col("doc_id").alias("doc_new"), F.col("arr").alias("an")
+    )
+    withn = cand.join(na, "doc_new")
+    oa = state_arrays.select(
+        F.col("doc_id").alias("doc_old"), F.col("arr").alias("ao")
+    )
+    if broadcast_new:
+        withn = F.broadcast(withn)
+    j = (
+        oa.join(withn, "doc_old")
+        .select(
+            "doc_new",
+            "doc_old",
+            F.size(F.array_intersect("an", "ao")).cast("long").alias("c"),
+            F.size("an").cast("long").alias("nn"),
+            F.size("ao").cast("long").alias("no"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("nn") + F.col("no") - F.col("c")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select(
+        F.least("doc_new", "doc_old").alias("doc_a"),
+        F.greatest("doc_new", "doc_old").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def minhash_near_dup_incremental_sql(
+    new_pred: str,
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror: per-doc signatures are corpus-independent, so
+    the incremental pairs are exactly the full run's pairs with one
+    side satisfying ``new_pred`` (a SQL predicate template over the
+    placeholder ``{id}``, e.g. ``"{id} % 5 = 0"``) and the other side
+    not — the cross XOR."""
+    full = minhash_near_dup_sql(p, bands, n, threshold)
+    pa = new_pred.format(id="doc_a")
+    pb = new_pred.format(id="doc_b")
+    return f"""
+SELECT doc_a, doc_b, jaccard FROM ({full}) q
+WHERE ({pa}) <> ({pb})
+"""
+
+
 # ----------------------------------------------- exact n-gram Jaccard
 
 

@@ -205,3 +205,46 @@ def test_shingle_rows_window_form_matches_array_form(spark):
     # arrays carry the same SET per doc
     arrs = {r.doc_id: sorted(r.arr) for r in DD._shingle_arrays(docs, 3).collect()}
     assert arrs == {1: ["a b c", "b c d", "c d a", "d a b"], 4: ["p q r"]}
+
+
+def test_incremental_minhash_equals_full_cross_pairs(spark):
+    """The incremental batch-vs-state run must emit exactly the full
+    run's CROSS pairs (per-doc signatures are corpus-independent), on
+    a corpus where duplicates straddle and don't straddle the split."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+
+    buckets, arrays = D.minhash_state(old)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_near_dup_incremental(new, buckets, arrays).collect()
+    )
+
+    full = D.minhash_near_dup(docs)
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in full.where(
+            (F.col("doc_a") % 5 == 0) != (F.col("doc_b") % 5 == 0)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_incremental_minhash_broadcasts_the_batch(spark):
+    """With broadcast_new (the default), the state side must never
+    shuffle: both the bucket probe and the verification join are
+    broadcast joins of batch-bounded frames into state scans."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    buckets, arrays = D.minhash_state(docs.where(F.col("doc_id") % 5 != 0))
+    df = D.minhash_near_dup_incremental(new, buckets, arrays)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -334,6 +334,38 @@ def minhash_state(
     return lsh_bands(sig, p, bands), _shingle_arrays(docs, n)
 
 
+def write_minhash_state(
+    docs: DataFrame,
+    state_dir: str,
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
+) -> None:
+    """Persist minhash_state to ``state_dir`` (buckets/ partitioned by
+    band — at scale a new batch's probe prunes to the band partitions
+    it actually hits — and arrays/). One-time ingest cost; subsequent
+    batches dedup against the directory across jobs/sessions."""
+    import os
+
+    buckets, arrays = minhash_state(docs, p, bands, n)
+    buckets.write.partitionBy("band").parquet(
+        os.path.join(state_dir, "buckets")
+    )
+    arrays.write.parquet(os.path.join(state_dir, "arrays"))
+
+
+def read_minhash_state(
+    spark, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a write_minhash_state directory -> (buckets, arrays)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(state_dir, "buckets")),
+        spark.read.parquet(os.path.join(state_dir, "arrays")),
+    )
+
+
 def minhash_near_dup_incremental(
     new_docs: DataFrame,
     state_buckets: DataFrame,

@@ -248,3 +248,28 @@ def test_incremental_minhash_broadcasts_the_batch(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_minhash_state_disk_roundtrip(spark, tmp_path):
+    """The persisted-state path across jobs: write_minhash_state ->
+    read_minhash_state -> incremental pairs identical to the in-memory
+    state (and the band-partitioned buckets prune on the probe)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+
+    state_dir = str(tmp_path / "minhash_state")
+    D.write_minhash_state(old, state_dir)
+    buckets, arrays = D.read_minhash_state(spark, state_dir)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_near_dup_incremental(new, buckets, arrays).collect()
+    )
+    b2, a2 = D.minhash_state(old)
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_near_dup_incremental(new, b2, a2).collect()
+    )
+    assert got == want and len(got) > 0

@@ -219,6 +219,7 @@ def _measure(
 
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
+    from pyspark.sql import functions as F
     from spark_search import dedup as DD
     from spark_search import multimodal as MM
     from spark_search import sampling as SA
@@ -234,6 +235,16 @@ def _measure(
         ("dedup_simhash_pairs", lambda: DD.simhash_near_dup(sf_docs).count()),
         ("dedup_embedding_ann", lambda: DD.embedding_near_dup_ann(emb_raw).count()),
         ("dedup_clusters", lambda: DD.dup_clusters(sf_docs).count()),
+        # batch-vs-state incremental dedup: state build (the one-time
+        # ingest cost) is inside the timer too, so the number is the
+        # conservative end-to-end cost; the steady-state batch probe
+        # alone is much cheaper
+        ("dedup_incremental", lambda: (
+            DD.minhash_near_dup_incremental(
+                sf_docs.where(F.col("doc_id") % 5 == 0),
+                *DD.minhash_state(sf_docs.where(F.col("doc_id") % 5 != 0)),
+            ).count()
+        )),
         ("text_quality", lambda: TX.quality_scores(sf_docs).count()),
         ("text_repetition", lambda: TX.repetition_scores(sf_docs).count()),
         ("vocab_coverage", lambda: TX.vocab_coverage(sf_docs).count()),

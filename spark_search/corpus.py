@@ -211,6 +211,16 @@ def load_corpus_table(spark: SparkSession, table: str) -> DataFrame:
             f"corpus table {table!r} lacks column(s) {missing}; "
             f"required schema: {required}"
         )
+    wrong = [
+        (f.name, df.schema[f.name].dataType.simpleString())
+        for f in CORPUS_SCHEMA.fields
+        if df.schema[f.name].dataType != f.dataType
+    ]
+    if wrong:
+        raise ValueError(
+            f"corpus table {table!r} has wrong column type(s) "
+            f"{wrong}; every corpus column must be string"
+        )
     keep = required + (["doc_id"] if "doc_id" in df.columns else [])
     return df.select(*keep)
 

@@ -250,18 +250,32 @@ def minhash_near_dup(
 
 
 def _verified_jaccard(
-    cand: DataFrame, sha: DataFrame, threshold: float
+    cand: DataFrame,
+    sha: DataFrame,
+    threshold: float,
+    sha_b: DataFrame | None = None,
+    broadcast_cand: bool = False,
 ) -> DataFrame:
     """Exact set-Jaccard of candidate pairs via per-doc shingle arrays:
     two doc_id equi-joins (bounded by |candidates|) and a JVM
     array_intersect per pair — the round-1 form re-exploded every
     shingle of every candidate doc through a (pair × shingle) shuffle
-    to count the overlap the arrays already contain."""
+    to count the overlap the arrays already contain.
+
+    ``sha_b`` routes the doc_b side through a different array table
+    (the incremental batch-vs-state split; defaults to ``sha``).
+    ``broadcast_cand`` broadcasts the candidate+doc_a-array frame into
+    ONE scan of the doc_b arrays — the incremental path, where the b
+    side is the big persisted state that must never shuffle."""
     a = sha.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("aa"))
-    b = sha.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("ab"))
+    b = (sha_b if sha_b is not None else sha).select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("ab")
+    )
+    witha = cand.join(a, "doc_a")
+    if broadcast_cand:
+        witha = F.broadcast(witha)
     j = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        b.join(witha, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -343,8 +357,10 @@ def write_minhash_state(
 ) -> None:
     """Persist minhash_state to ``state_dir`` (buckets/ partitioned by
     band — at scale a new batch's probe prunes to the band partitions
-    it actually hits — and arrays/). One-time ingest cost; subsequent
-    batches dedup against the directory across jobs/sessions."""
+    it actually hits — and arrays/, plus params.json recording
+    (p, bands, n)). One-time ingest cost; subsequent batches dedup
+    against the directory across jobs/sessions."""
+    import json
     import os
 
     buckets, arrays = minhash_state(docs, p, bands, n)
@@ -352,14 +368,34 @@ def write_minhash_state(
         os.path.join(state_dir, "buckets")
     )
     arrays.write.parquet(os.path.join(state_dir, "arrays"))
+    with open(os.path.join(state_dir, "params.json"), "w") as f:
+        json.dump({"p": p, "bands": bands, "n": n}, f)
 
 
 def read_minhash_state(
-    spark, state_dir: str
+    spark,
+    state_dir: str,
+    p: int = DEFAULT_P,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_N,
 ) -> tuple[DataFrame, DataFrame]:
-    """Load a write_minhash_state directory -> (buckets, arrays)."""
+    """Load a write_minhash_state directory -> (buckets, arrays),
+    REFUSING a state written with different (p, bands, n): a probe
+    whose band hashes cover different signature slices never collides
+    with the stored buckets, so a silent mismatch reports every doc of
+    the batch as unique — the failure must be loud, not empty."""
+    import json
     import os
 
+    with open(os.path.join(state_dir, "params.json")) as f:
+        stored = json.load(f)
+    want = {"p": p, "bands": bands, "n": n}
+    if stored != want:
+        raise ValueError(
+            f"minhash state at {state_dir!r} was written with "
+            f"{stored}; this probe expects {want} — re-ingest or pass "
+            "the state's parameters"
+        )
     return (
         spark.read.parquet(os.path.join(state_dir, "buckets")),
         spark.read.parquet(os.path.join(state_dir, "arrays")),
@@ -397,8 +433,10 @@ def minhash_near_dup_incremental(
     itself); within-batch duplicates are minhash_near_dup(new_docs).
     Identical signature scheme ⇒ a cross pair is emitted here iff the
     full run over the union would emit it, with the same exact-Jaccard
-    verification; output is normalized doc_a < doc_b like the full
-    run."""
+    verification (shared: _verified_jaccard); output is normalized
+    doc_a < doc_b like the full run, deduplicated AFTER normalization
+    so a pair whose both endpoints sit on both sides (a re-probed
+    batch) emits once, not once per orientation."""
     nb = lsh_bands(minhash_signatures(new_docs, p, n), p, bands)
     if broadcast_new:
         nb = F.broadcast(nb)
@@ -411,41 +449,23 @@ def minhash_near_dup_incremental(
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_new"),
-            F.col("b.doc_id").alias("doc_old"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
-    na = _shingle_arrays(new_docs, n).select(
-        F.col("doc_id").alias("doc_new"), F.col("arr").alias("an")
-    )
-    withn = cand.join(na, "doc_new")
-    oa = state_arrays.select(
-        F.col("doc_id").alias("doc_old"), F.col("arr").alias("ao")
-    )
-    if broadcast_new:
-        withn = F.broadcast(withn)
-    j = (
-        oa.join(withn, "doc_old")
-        .select(
-            "doc_new",
-            "doc_old",
-            F.size(F.array_intersect("an", "ao")).cast("long").alias("c"),
-            F.size("an").cast("long").alias("nn"),
-            F.size("ao").cast("long").alias("no"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("c").cast("double")
-            / (F.col("nn") + F.col("no") - F.col("c")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    j = _verified_jaccard(
+        cand,
+        _shingle_arrays(new_docs, n),
+        threshold,
+        sha_b=state_arrays,
+        broadcast_cand=broadcast_new,
     )
     return j.select(
-        F.least("doc_new", "doc_old").alias("doc_a"),
-        F.greatest("doc_new", "doc_old").alias("doc_b"),
-        F.round("jaccard", 6).alias("jaccard"),
-    )
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "jaccard",
+    ).distinct()
 
 
 def minhash_near_dup_incremental_sql(
@@ -742,25 +762,46 @@ def _cosine_pairs_udf():
     Float contract: products are exact per element; the accumulation
     walks columns LEFT-TO-RIGHT with vectorized adds, which is the
     same IEEE operation sequence per pair as the oracle's
-    list_dot_product sequential fold — bit-identical cosines."""
+    list_dot_product sequential fold — bit-identical cosines.
+
+    Dirty rows never kill the job: a null / empty / length-mismatched
+    pair (which the old plan expression nulled out and the threshold
+    filter dropped) yields SQL NULL here, as does a zero-norm vector
+    (0/0 — cosine undefined); each same-length group of valid rows is
+    stacked and computed together."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if not len(va):
-            return pd.Series([], dtype="float64")
-        A = np.vstack(va.to_numpy()).astype(np.float64)
-        B = np.vstack(vb.to_numpy()).astype(np.float64)
-        n = A.shape[0]
-        dot = np.zeros(n)
-        na = np.zeros(n)
-        nb = np.zeros(n)
-        prod = A * B
-        for j in range(A.shape[1]):
-            dot += prod[:, j]
-            na += A[:, j] * A[:, j]
-            nb += B[:, j] * B[:, j]
-        return pd.Series(dot / np.sqrt(na * nb))
+        n = len(va)
+        out = np.full(n, np.nan)
+        if n:
+            lens = np.array(
+                [
+                    -1 if a is None or b is None or len(a) != len(b)
+                    else len(a)
+                    for a, b in zip(va, vb)
+                ]
+            )
+            for ln in np.unique(lens[lens > 0]):
+                idx = np.flatnonzero(lens == ln)
+                A = np.vstack(va.iloc[idx].to_numpy()).astype(np.float64)
+                B = np.vstack(vb.iloc[idx].to_numpy()).astype(np.float64)
+                dot = np.zeros(idx.size)
+                na = np.zeros(idx.size)
+                nb = np.zeros(idx.size)
+                prod = A * B
+                for j in range(A.shape[1]):
+                    dot += prod[:, j]
+                    na += A[:, j] * A[:, j]
+                    nb += B[:, j] * B[:, j]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out[idx] = dot / np.sqrt(na * nb)
+        # Float64 maps NaN (invalid rows, undefined cosines) to SQL
+        # NULL, which the >= threshold filter drops on both engines;
+        # raw float64 NaN would instead sort ABOVE the threshold in
+        # Spark and pass.
+        return pd.Series(pd.array(out, dtype="Float64"))
 
     return _cos
 

@@ -96,24 +96,21 @@ def connected_components(
     bi = bi.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
     spark = edges.sparkSession
+    n_edges = None
     if num_partitions is None:
         n_edges = bi.count()
         if local_max_edges and n_edges <= local_max_edges:
             return _cc_local(bi, nodes)
-        labels = nodes.select(
-            F.col("id").cast("long").alias("id"),
-            F.col("id").cast("long").alias("label"),
-        ).localCheckpoint()
+    labels = nodes.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("id").cast("long").alias("label"),
+    ).localCheckpoint()
+    if num_partitions is None:
         n_rows = max(n_edges, labels.count())
         num_partitions = max(1, min(
             spark.sparkContext.defaultParallelism,
             1 + n_rows // _ROWS_PER_PARTITION,
         ))
-    else:
-        labels = nodes.select(
-            F.col("id").cast("long").alias("id"),
-            F.col("id").cast("long").alias("label"),
-        ).localCheckpoint()
     return _cc_loop(bi, labels, max_rounds, num_partitions)
 
 
@@ -121,10 +118,32 @@ def _cc_local(bi: DataFrame, nodes: DataFrame) -> DataFrame:
     """Driver-local finish: union-find with union-by-min over the
     cap-gated collected edge list. Attaching the larger root under the
     smaller keeps every tree's root = the component's minimum id, so
-    the emitted labels are exactly the loop's fixpoint. Only edge
+    the emitted labels are exactly the loop's fixpoint — INCLUDING the
+    loop's absent-endpoint semantics: an edge touching an id not in
+    ``nodes`` propagates nothing (the loop's label join drops it), so
+    membership of the bounded endpoint set is probed with one
+    broadcast semi-join against ``nodes`` before any union. Only edge
     ENDPOINTS ever reach the driver; isolated nodes (the corpus bulk —
     non-duplicates) are labeled by the coalesce in the broadcast join,
     so driver memory is bounded by |E|, never |V|."""
+    rows = bi.collect()
+    out_nodes = nodes.select(F.col("id").cast("long").alias("id"))
+    if not rows:
+        return out_nodes.select("id", F.col("id").alias("component"))
+
+    endpoints = sorted(
+        {int(r["src"]) for r in rows} | {int(r["dst"]) for r in rows}
+    )
+    ep_df = nodes.sparkSession.createDataFrame(
+        pd.DataFrame({"id": endpoints}).astype("int64")
+    )
+    members = {
+        int(r["id"])
+        for r in out_nodes.join(
+            F.broadcast(ep_df), "id", "left_semi"
+        ).collect()
+    }
+
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -133,8 +152,10 @@ def _cc_local(bi: DataFrame, nodes: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in bi.collect():
+    for r in rows:
         a, b = int(r["src"]), int(r["dst"])
+        if a not in members or b not in members:
+            continue  # the loop's semantics: such edges are inert
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -145,7 +166,6 @@ def _cc_local(bi: DataFrame, nodes: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
 
-    out_nodes = nodes.select(F.col("id").cast("long").alias("id"))
     if not parent:
         return out_nodes.select("id", F.col("id").alias("component"))
     mapping = pd.DataFrame(

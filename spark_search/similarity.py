@@ -41,6 +41,15 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+
+def _cos_sim(v1, v2, n1, n2):
+    """dot/(n1*n2) via try_divide: a zero-norm or empty vector yields a
+    NULL similarity (ordered last, dropped by thresholds) instead of an
+    ANSI-mode DIVIDE_BY_ZERO that kills the whole job at scale —
+    bit-identical to the plain division whenever the divisor is
+    nonzero."""
+    return F.try_divide(_dot(v1, v2), n1 * n2)
+
 def _with_norm(emb: DataFrame) -> DataFrame:
     # parallelism floor: a small corpus arrives as one parquet split
     # and would run the whole (map-only) norm+dot pipeline single-core;
@@ -87,7 +96,7 @@ def cosine_topk(
         .select(
             "qid",
             "vec_id",
-            (_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+            _cos_sim(F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")).alias(
                 "score"
             ),
         )
@@ -141,7 +150,7 @@ def ann_assignments(
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cell",
-        (_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))).alias(
+        _cos_sim(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")).alias(
             "sim"
         ),
     )
@@ -182,7 +191,7 @@ def ivf_topk(
     qc = q.crossJoin(F.broadcast(cent)).select(
         "qid",
         "cell",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+        _cos_sim(F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias(
             "sim"
         ),
     )
@@ -205,7 +214,7 @@ def ivf_topk(
         .select(
             "qid",
             "vec_id",
-            (_dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+            _cos_sim(F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")).alias(
                 "score"
             ),
         )

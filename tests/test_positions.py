@@ -323,3 +323,11 @@ def test_load_corpus_table_validates_schema(spark):
     ).createOrReplaceTempView("wide_corpus_tbl")
     got = load_corpus_table(spark, "wide_corpus_tbl")
     assert got.columns == ["repo", "path", "commit", "lang", "content"]
+
+    spark.createDataFrame(
+        [("r", "p", "c", "l", 7)],
+        "repo string, path string, commit string, lang string, "
+        "content int",
+    ).createOrReplaceTempView("typed_corpus_tbl")
+    with _pytest.raises(ValueError, match="wrong column type"):
+        load_corpus_table(spark, "typed_corpus_tbl")

@@ -637,3 +637,24 @@ def test_shaping_ops_no_row_at_a_time_python(spark):
         sample_stratified(docs),
     ]:
         assert "BatchEvalPython" not in plan_of(df)
+
+
+@pytest.mark.parametrize("local_max_edges", [0, 100])
+def test_connected_components_absent_endpoints_inert(spark, local_max_edges):
+    """The documented contract: an edge touching an id absent from
+    ``nodes`` propagates nothing. Both paths must agree — the absent
+    endpoint neither becomes a label (edges=[(5,0)], nodes=[5]) nor a
+    bridge (1-99, 99-2 with 99 absent must NOT merge 1 and 2)."""
+    from spark_search.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 0), (1, 99), (99, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(5,), (1,), (2,)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges, nodes, local_max_edges=local_max_edges
+        ).collect()
+    }
+    assert got == {5: 5, 1: 1, 2: 2}

@@ -273,3 +273,44 @@ def test_incremental_minhash_state_disk_roundtrip(spark, tmp_path):
         for r in D.minhash_near_dup_incremental(new, b2, a2).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_incremental_minhash_overlapping_sides_emit_once(spark, docs):
+    """A pair whose BOTH endpoints sit on both sides (a re-probed
+    batch against state that already ingested it) must emit once, not
+    once per orientation."""
+    new = docs.where(F.col("doc_id").isin([0, 1]))
+    buckets, arrays = D.minhash_state(docs)  # state covers everything
+    out = D.minhash_near_dup_incremental(new, buckets, arrays).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)), pairs
+    assert (0, 1) in pairs
+
+
+def test_read_minhash_state_refuses_param_mismatch(spark, docs, tmp_path):
+    """A probe with different (p, bands, n) never collides with the
+    stored buckets — the mismatch must raise, not return 'all unique'."""
+    state_dir = str(tmp_path / "state")
+    D.write_minhash_state(docs, state_dir)
+    D.read_minhash_state(spark, state_dir)  # matching params: fine
+    with pytest.raises(ValueError, match="was written with"):
+        D.read_minhash_state(spark, state_dir, p=16, bands=8)
+
+
+def test_embedding_ann_tolerates_dirty_vectors(spark):
+    """Null / empty / length-mismatched embeddings must be excluded
+    (the old plan expression nulled them out), never crash the job."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [1.0, 0.0]),          # ragged
+        (4, []),                  # empty
+        (5, [0.0, 0.0, 0.0, 0.0]),  # zero norm: cosine undefined
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = D.embedding_near_dup_ann(emb, threshold=0.5, n_centroids=2).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert (0, 1) in pairs
+    dirty = {2, 3, 4, 5}
+    assert all(a not in dirty and b not in dirty for a, b in pairs), pairs

@@ -199,7 +199,11 @@ def _cc_loop(
     # caller.
     bi = bi.repartition(width, "dst").localCheckpoint()
     changed = 0
-    for _ in range(max_rounds):
+    # max_rounds + 1: "converged" is only observable as a round with
+    # changed == 0, so labels that reach the fixpoint exactly ON round
+    # max_rounds need one extra confirmation round — otherwise correct
+    # labels would be discarded by the guard below.
+    for _ in range(max_rounds + 1):
         # min neighbor label per node: edges pre-hashed on dst meet the
         # label table hashed the same way, then the (src,label) stream
         # re-keys on the receiving node, so a hub's outgoing updates

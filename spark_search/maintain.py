@@ -42,7 +42,7 @@ from typing import Iterable, List, Optional, Union
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .build import BLOCKS_SCHEMA, PLISTS_SCHEMA, build_index
 from .checkpoint import BuildManifest
@@ -533,13 +533,17 @@ def delete_term_postings(
         F.first("bucket").alias("bucket"),
     )
     nparts = max(1, min(num_buckets, spark.sparkContext.defaultParallelism))
+    # n_terms rides the write (build.py's Observation pattern) instead
+    # of a read-back count job over the terms directory
+    obs_t = Observation("delete_terms_stats")
     (
         terms.repartitionByRange(nparts, "term")
+        .observe(obs_t, F.count(F.lit(1)).alias("n"))
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(out_abs, "terms"))
     )
-    n_terms = spark.read.parquet(os.path.join(out_abs, "terms")).count()
+    n_terms = int(obs_t.get["n"])
 
     # docs: decrement dl of affected docs (identity otherwise)
     docs = _multi(spark, segs, "docs")
@@ -779,15 +783,17 @@ def compact(
         F.first("bucket").alias("bucket"),
     )
     nparts = max(1, min(num_buckets, spark.sparkContext.defaultParallelism))
+    # n_terms rides the write (build.py's Observation pattern), recorded
+    # so readers gate the driver dictionary cache without a probe job
+    obs_t = Observation("compact_terms_stats")
     (
         terms.repartitionByRange(nparts, "term")
+        .observe(obs_t, F.count(F.lit(1)).alias("n"))
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(out_abs, "terms"))
     )
-    # footer-only count, recorded so readers gate the driver dictionary
-    # cache without a probe job (same as build.py's terms stage)
-    n_terms = spark.read.parquet(os.path.join(out_abs, "terms")).count()
+    n_terms = int(obs_t.get["n"])
 
     # ---- docs / doclens: filter tombstones (doclens entries of removed
     # docs are zeroed; gap positions are never referenced by postings)

@@ -453,13 +453,20 @@ def merge_indexes(
             F.first("bucket").alias("bucket"),
         )
         nparts = max(1, min(num_buckets, par))
+        # vocabulary size rides the write (build.py's Observation
+        # pattern) — a read-back count would schedule one avoidable
+        # listing+footer scan of the terms directory per merge
+        from pyspark.sql import Observation
+
+        obs_t = Observation("merge_terms_stats")
         (
             terms.repartitionByRange(nparts, "term")
+            .observe(obs_t, F.count(F.lit(1)).alias("n"))
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(paths.terms)
         )
-        n_terms = spark.read.parquet(paths.terms).count()
+        n_terms = int(obs_t.get["n"])
         manifest.stats = {**manifest.stats, "n_terms": n_terms}
         manifest.record_stage(
             "merge-terms",

@@ -162,8 +162,6 @@ def test_indexed_batch_scans_postings_once(spark, synth_index):
         .executedPlan()
         .toString()
     )
-    n_postings_scans = plan.count("postings")
-    assert n_postings_scans >= 1
     # count scan NODES mentioning the postings path, not substring hits
     scan_lines = [
         ln

@@ -30,9 +30,12 @@ def _rows(spark, d, sub, order):
 
 
 def _postings_rows(spark, d):
-    """Postings rows with blocks flattened to comparable tuples."""
+    """Postings rows with blocks — and, on positional indexes, plists —
+    flattened to comparable tuples, so 'content-identical' covers the
+    position lists the merge UDF reconstructs by hand."""
     df = spark.read.parquet(os.path.join(d, "postings"))
     cols = ["bucket", "term", "chunk", "n_docs", "sum_tf", "max_tf"]
+    has_plists = "plists" in df.columns
     out = []
     for r in df.orderBy("bucket", "term", "chunk").collect():
         blocks = tuple(
@@ -42,7 +45,15 @@ def _postings_rows(spark, d):
             )
             for b in r["blocks"]
         )
-        out.append(tuple(r[c] for c in cols) + (blocks,))
+        row = tuple(r[c] for c in cols) + (blocks,)
+        if has_plists:
+            row += (
+                tuple(
+                    (p["doc_id"], bytes(p["poss"]))
+                    for p in (r["plists"] or [])
+                ),
+            )
+        out.append(row)
     return out
 
 

@@ -212,8 +212,8 @@ def test_sample_stratified_bucket_join_is_broadcast(spark, sf_docs):
     from spark_search.sampling import sample_stratified
 
     plan = plan_of(sample_stratified(sf_docs))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 @pytest.fixture(scope="module")

@@ -847,6 +847,20 @@ def _q_curation_decisions(spark, sf_dir):
     )
 
 
+def _q_curation_near(spark, sf_dir):
+    # the full production decision: near-duplicate CLUSTER members
+    # (transitive MinHash closure) dropped alongside exact dups;
+    # same string projection as curation_decisions (driver
+    # canonicalizer can't hash array cells)
+    return CU.curation_decisions(
+        _docs_raw(spark, sf_dir), near_dup=True
+    ).select(
+        "doc_id",
+        "keep",
+        F.array_join("reasons", "|").alias("reasons"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     return TX.quality_scores(_docs_raw(spark, sf_dir))
 
@@ -1007,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         # composite keep/drop decision table (dedup + quality + lang)
         "curation_decisions": _q_curation_decisions,
+        "curation_near": _q_curation_near,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         # corpus shaping: sequence packing + stratified sampling
@@ -1120,6 +1135,11 @@ FROM tf GROUP BY term
             "SELECT doc_id, keep, "
             "coalesce(array_to_string(reasons, '|'), '') AS reasons "
             f"FROM ({CU.curation_decisions_sql()})"
+        ),
+        "curation_near": (
+            "SELECT doc_id, keep, "
+            "coalesce(array_to_string(reasons, '|'), '') AS reasons "
+            f"FROM ({CU.curation_decisions_sql(near_dup=True)})"
         ),
         "text_quality": TX.quality_scores_sql(),
         "text_repetition": TX.repetition_scores_sql(),

@@ -40,18 +40,36 @@ def curation_decisions(
     min_tokens: int = DEFAULT_MIN_TOKENS,
     min_quality: float = DEFAULT_MIN_QUALITY,
     langs: Sequence[str] = DEFAULT_LANGS,
+    near_dup: bool = False,
 ) -> DataFrame:
     """(doc_id, keep, reasons) — one row per document; ``reasons`` is
     the ordered array of violated rules (empty ⇔ keep). Thresholds
     compare the 6-decimal ROUNDED quality (what quality_scores
-    returns), so the cut is reproducible bit-for-bit across engines."""
+    returns), so the cut is reproducible bit-for-bit across engines.
+
+    ``near_dup=True`` additionally drops non-canonical members of
+    MinHash near-duplicate CLUSTERS (dedup.dup_clusters — transitive
+    closure over verified LSH pairs, reason ``near_duplicate``), the
+    full production dedup decision rather than exact-hash only; it
+    adds the LSH band shuffle + component rounds to the plan, so the
+    exact-only default stays the cheap path."""
     q = quality_scores(docs).select("doc_id", "n_tokens", "quality")
     lid = lang_id(docs)
     dup = exact_dup_groups(docs).select("doc_id", F.col("keep").alias("_canon"))
     joined = q.join(lid, "doc_id").join(dup, "doc_id")
+    near_col = F.lit(True)
+    if near_dup:
+        from .dedup import dup_clusters
+
+        nd = dup_clusters(docs).select(
+            "doc_id", F.col("keep").alias("_nd_canon")
+        )
+        joined = joined.join(nd, "doc_id")
+        near_col = F.col("_nd_canon")
     reasons = F.filter(
         F.array(
             F.when(~F.col("_canon"), F.lit("duplicate")),
+            *([F.when(~near_col, F.lit("near_duplicate"))] if near_dup else []),
             F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
             F.when(F.col("quality") < min_quality, F.lit("low_quality")),
             F.when(
@@ -74,11 +92,25 @@ def curation_decisions_sql(
     min_tokens: int = DEFAULT_MIN_TOKENS,
     min_quality: float = DEFAULT_MIN_QUALITY,
     langs: Sequence[str] = DEFAULT_LANGS,
+    near_dup: bool = False,
 ) -> str:
     inlist = ", ".join(f"'{lg}'" for lg in langs)
+    nd_cte = ""
+    nd_join = ""
+    nd_case = ""
+    if near_dup:
+        from .dedup import dup_clusters_sql
+
+        nd_cte = (
+            f"nd AS (SELECT doc_id, keep AS nd_canon "
+            f"FROM ({dup_clusters_sql()}) z),"
+        )
+        nd_join = " JOIN nd ON nd.doc_id = q.doc_id"
+        nd_case = "CASE WHEN NOT nd.nd_canon THEN 'near_duplicate' END,\n           "
     return f"""
 WITH q AS (SELECT doc_id, n_tokens, quality FROM ({quality_scores_sql()})),
 l AS (SELECT doc_id, pred_lang FROM ({_lang_pred_sql()})),
+{nd_cte}
 d AS (SELECT doc_id,
              doc_id = min(doc_id) OVER (
                PARTITION BY sha256(coalesce(text, ''))) AS canon
@@ -87,11 +119,11 @@ r AS (
   SELECT q.doc_id,
          list_filter([
            CASE WHEN NOT d.canon THEN 'duplicate' END,
-           CASE WHEN q.n_tokens < {min_tokens} THEN 'too_short' END,
+           {nd_case}CASE WHEN q.n_tokens < {min_tokens} THEN 'too_short' END,
            CASE WHEN q.quality < {min_quality} THEN 'low_quality' END,
            CASE WHEN l.pred_lang NOT IN ({inlist}) THEN 'lang' END
          ], x -> x IS NOT NULL) AS reasons
-  FROM q JOIN l ON l.doc_id = q.doc_id JOIN d ON d.doc_id = q.doc_id)
+  FROM q JOIN l ON l.doc_id = q.doc_id JOIN d ON d.doc_id = q.doc_id{nd_join})
 SELECT doc_id::BIGINT AS doc_id, len(reasons) = 0 AS keep, reasons
 FROM r
 """

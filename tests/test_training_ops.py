@@ -314,3 +314,27 @@ def test_embedding_ann_tolerates_dirty_vectors(spark):
     assert (0, 1) in pairs
     dirty = {2, 3, 4, 5}
     assert all(a not in dirty and b not in dirty for a, b in pairs), pairs
+
+
+def test_curation_near_dup_drops_cluster_members(spark, docs):
+    """near_dup=True must drop non-canonical NEAR-duplicates (doc 2 is
+    one word off doc 0 — invisible to exact dedup) with the
+    'near_duplicate' reason, while the default keeps it."""
+    from spark_search.curate import curation_decisions
+
+    base = {
+        r["doc_id"]: r
+        for r in curation_decisions(docs, langs=["en", "de"]).collect()
+    }
+    near = {
+        r["doc_id"]: r
+        for r in curation_decisions(
+            docs, langs=["en", "de"], near_dup=True
+        ).collect()
+    }
+    assert "duplicate" not in list(base[2]["reasons"])
+    assert "near_duplicate" in list(near[2]["reasons"])
+    assert "near_duplicate" not in list(near[0]["reasons"])  # canonical
+    # exact duplicate keeps BOTH reasons under near_dup (1 dups 0)
+    assert "duplicate" in list(near[1]["reasons"])
+    assert "near_duplicate" in list(near[1]["reasons"])

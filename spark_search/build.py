@@ -31,8 +31,9 @@ import contextlib
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -157,8 +158,16 @@ class IndexPaths:
 
 
 def build_job_group(index_dir: str) -> str:
-    """Spark job-group id under which every job of a build runs."""
+    """Spark job-group id PREFIX under which every job of a build runs.
+    Each build_index call appends a fresh nonce (cancellation via
+    cancelJobGroupAndFutureJobs poisons a group id for the session, so
+    a rebuild of the same path must not reuse the cancelled id)."""
     return f"spark_search.build:{os.path.abspath(index_dir)}"
+
+
+# abspath(index_dir) -> the nonce'd group id of the build currently
+# running for it (cancel_build addresses builds by path)
+_ACTIVE_BUILD_GROUPS: Dict[str, str] = {}
 
 
 def cancel_build(spark: SparkSession, index_dir: str) -> None:
@@ -168,8 +177,25 @@ def cancel_build(spark: SparkSession, index_dir: str) -> None:
     group). The build's in-flight Spark jobs are interrupted; because
     an index is only published by the atomic manifest rename in
     ``BuildManifest.commit``, the aborted build is never visible to
-    readers and any previous committed generation keeps serving."""
-    spark.sparkContext.cancelJobGroup(build_job_group(index_dir))
+    readers and any previous committed generation keeps serving.
+
+    A build is a SEQUENCE of jobs with driver-side gaps between stages;
+    a cancel landing in a gap must also stop the jobs not yet submitted
+    or the build runs to completion and COMMITS despite the cancel —
+    same future-jobs handling as cancel_search (query.py). The
+    poisoned id is the RUNNING build's nonce'd group, so a later
+    rebuild of the same path is unaffected."""
+    sc = spark.sparkContext
+    group = _ACTIVE_BUILD_GROUPS.get(os.path.abspath(index_dir))
+    if group is None:
+        # no build registered (already finished, or an older caller):
+        # interrupt any active jobs under the un-nonce'd prefix id
+        sc.cancelJobGroup(build_job_group(index_dir))
+        return
+    try:
+        sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+    except Exception:
+        sc.cancelJobGroup(group)
 
 
 def abort_build(index_dir: str) -> bool:
@@ -272,7 +298,9 @@ def build_index(
     additionally recorded in the manifest.
     """
     paths = IndexPaths(index_dir)
-    group = build_job_group(index_dir)
+    key = os.path.abspath(index_dir)
+    group = f"{build_job_group(index_dir)}#{uuid.uuid4().hex[:8]}"
+    _ACTIVE_BUILD_GROUPS[key] = group
     spark.sparkContext.setJobGroup(
         group, f"spark_search build -> {index_dir}", interruptOnCancel=True
     )
@@ -294,6 +322,8 @@ def build_index(
         # later unrelated jobs on this thread attributable to (and
         # cancellable via) cancel_build
         spark.sparkContext.setJobGroup("", "")
+        if _ACTIVE_BUILD_GROUPS.get(key) == group:
+            del _ACTIVE_BUILD_GROUPS[key]
 
 
 def _build_stages(
@@ -335,6 +365,14 @@ def _build_stages(
 
     fingerprint = corpus_fingerprint(corpus)
 
+    requested_cfg = {
+        "num_buckets": num_buckets,
+        "chunk_span": chunk_span,
+        "block_size": block_size,
+        "tokenizer": tokenizer,
+        "format": "parquet",
+        "positions": bool(positions),
+    }
     manifest = None
     if resume:
         try:
@@ -345,18 +383,20 @@ def _build_stages(
             # encode the doc_id mapping) — fall through to a fresh
             # build, which rmtree's the old layout below
             manifest = None
+        if manifest is not None and any(
+            manifest.config.get(k) != v for k, v in requested_cfg.items()
+        ):
+            # stage fingerprints are corpus-only; a partial built under
+            # a DIFFERENT config (chunk_span/tokenizer/positions/...)
+            # must never be stage-skipped into the new config's index —
+            # doclens arrays at the old span would silently mis-score
+            # every query. Discard the partial, build fresh.
+            manifest = None
     if manifest is None:
         if os.path.exists(index_dir):
             shutil.rmtree(index_dir)
         manifest = BuildManifest(index_dir)
-    manifest.config = {
-        "num_buckets": num_buckets,
-        "chunk_span": chunk_span,
-        "block_size": block_size,
-        "tokenizer": tokenizer,
-        "format": "parquet",
-        "positions": bool(positions),
-    }
+    manifest.config = requested_cfg
     manifest.save_partial()
 
     # ---------------------------------------------------------- stage: docs
@@ -602,6 +642,20 @@ def _build_stages(
     # (term, chunk)-sorted files; the pass moves only encoded postings.
     if not (resume and manifest.stage_done("postings-compact", fingerprint)):
         tc = time.time()
+        # crash recovery for the two-rename swap below: a crash between
+        # the renames leaves the data stranded in .precompact with no
+        # postings dir (roll it back and redo the rewrite); a crash
+        # after both renames leaks .precompact (drop it). Same recovery
+        # discipline as live.py's event-log swap.
+        _pre = paths.postings + ".precompact"
+        if os.path.isdir(_pre):
+            if not os.path.isdir(paths.postings):
+                os.rename(_pre, paths.postings)
+            else:
+                shutil.rmtree(_pre)
+        _tmp = paths.postings + ".compact.tmp"
+        if os.path.isdir(_tmp):
+            shutil.rmtree(_tmp)  # incomplete rewrite from a dead run
         fcounts = _postings_file_counts(paths.postings)
         max_files = max(fcounts.values()) if fcounts else 0
         compacted = False

@@ -315,10 +315,6 @@ class LiveResults:
                 q["results"] = new
                 q["generation"] = d
                 all_rows.extend(rows)
-        self._save()
-        if on_event is not None:
-            for r in all_rows:
-                on_event(dict(zip([f[0] for f in _DIFF_FIELDS], r)))
         from .query import _rows_literal_df
 
         diff = (
@@ -326,6 +322,12 @@ class LiveResults:
             if all_rows
             else self.spark.createDataFrame([], DIFF_SCHEMA)
         )
+        # event log BEFORE the snapshot save: persisting the advanced
+        # generation first would make a crash in between drop these
+        # diffs forever (the restarted refresh would see nothing
+        # pending). This order is at-least-once instead — a crash
+        # between append and save re-emits the same (query, generation)
+        # rows on restart, which consumers dedupe deterministically.
         if log and all_rows:
             # an append after an interrupted compaction swap would
             # recreate the log dir with just this batch and orphan the
@@ -338,6 +340,10 @@ class LiveResults:
                 os.path.join(self.state_dir, "log")
             )
             self._maybe_compact_log()
+        self._save()
+        if on_event is not None:
+            for r in all_rows:
+                on_event(dict(zip([f[0] for f in _DIFF_FIELDS], r)))
         return diff
 
     def _log_dir(self) -> str:

@@ -84,6 +84,8 @@ _LOCAL_MAX_POSITIONS = 4_000_000
 # index directories (copy-on-write), an open reader's files are immutable.
 _DICT_CACHE_CAP = 1 << 18
 _DELS_CACHE_CAP = 2_000_000
+# broadcast gate for the per-chunk tombstone join (bytes ~ 8/id):
+_DELS_BROADCAST_CAP = 5_000_000
 _DOCLENS_CACHE_CHUNKS = 512
 
 RESULT_SCHEMA = T.StructType(
@@ -184,8 +186,17 @@ def _term_predicate(qterms: List[str], mode: str):
 def _term_ub(idf: float, max_tf: int) -> float:
     """Upper bound of a term's BM25 contribution given its max tf.
     The dl-dependent denominator is minimized at dl -> 0
-    (tf + k1*(1-b)), so this bounds every real contribution."""
-    return idf * max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B))
+    (tf + k1*(1-b)), so this bounds every real contribution.
+
+    Clamped at 0: idf goes NEGATIVE when a term's df exceeds live
+    n_docs (tombstoned deletes inflate df until compact), and a
+    negative "upper bound" would make every chunk_ub / rest-of-terms
+    sum UNDERestimate achievable scores — block-max pruning would then
+    drop chunks holding true top-k docs. A negative-idf term's real
+    contribution is <= 0, so 0 is the tight sound bound."""
+    return max(
+        0.0, idf * max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B))
+    )
 
 
 def _score_np(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
@@ -292,6 +303,11 @@ class IndexReader:
             os.path.abspath(p) for p in cfg.get("segments", [index_dir])
         ]
         self.deletes_dir: Optional[str] = cfg.get("deletes_dir")
+        # tombstone count from the manifest (maintain records it) —
+        # gates the per-chunk tombstone broadcast without a job; None
+        # on older manifests (treated as unknown = don't force)
+        nt = cfg.get("n_tombstones")
+        self.n_tombstones: Optional[int] = int(nt) if nt is not None else None
         # True iff every segment's postings rows carry the plists
         # column (build positions=True; upsert/compact inherit the flag)
         self.has_positions = bool(cfg.get("positions", False))
@@ -362,7 +378,7 @@ class IndexReader:
         if dels is None:
             return None
         span = self.chunk_span
-        return (
+        grouped = (
             dels.select(
                 (F.col("doc_id") / span).cast("long").alias("chunk"),
                 "doc_id",
@@ -370,6 +386,17 @@ class IndexReader:
             .groupBy("chunk")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
         )
+        # broadcast only when the manifest proves the tombstone set is
+        # bounded — an unconditional hint would pull a delete-heavy
+        # (not yet compacted) index's ENTIRE tombstone set onto the
+        # driver; past the cap the chunk join stays a distributed
+        # shuffle, same results
+        if (
+            self.n_tombstones is not None
+            and self.n_tombstones <= _DELS_BROADCAST_CAP
+        ):
+            return F.broadcast(grouped)
+        return grouped
 
     def _allow_by_chunk(self, doc_filter) -> DataFrame:
         """doc_filter -> (chunk, _allow): allowed positions per chunk,
@@ -420,8 +447,13 @@ class IndexReader:
         mtf = F.col("max_tf").cast("double")
         return meta.withColumn(
             "term_ub",
-            F.col("idf") * mtf * F.lit(K1 + 1.0)
-            / (mtf + F.lit(K1 * (1.0 - B))),
+            # clamped at 0 for pruning soundness under negative idf
+            # (df > live n_docs before compact) — see _term_ub
+            F.greatest(
+                F.lit(0.0),
+                F.col("idf") * mtf * F.lit(K1 + 1.0)
+                / (mtf + F.lit(K1 * (1.0 - B))),
+            ),
         )
 
     # --------------------------------------------- driver-side caches
@@ -495,6 +527,13 @@ class IndexReader:
         chunks are disjoint across segments by construction)."""
         with self._cache_lock:
             cache = self._doclens_cache
+            # mark THIS request's cached chunks most-recent FIRST: the
+            # post-insert trim below must never evict a chunk the
+            # caller is about to read (an evicted requested chunk would
+            # silently vanish from the kernel's top-k)
+            for c in chunks:
+                if c in cache:
+                    cache.move_to_end(c)
             missing = [c for c in chunks if c not in cache]
             if missing:
                 for r in (
@@ -505,12 +544,17 @@ class IndexReader:
                     cache[int(r["chunk"])] = np.frombuffer(
                         r["dls"], dtype=np.int32
                     ).astype(np.float64)
+                requested = set(chunks)
                 while len(cache) > _DOCLENS_CACHE_CHUNKS:
+                    oldest = next(iter(cache))
+                    if oldest in requested:
+                        # cache smaller than one query's chunk set:
+                        # stop trimming rather than drop requested data
+                        break
                     cache.popitem(last=False)
             out = {}
             for c in chunks:
                 if c in cache:
-                    cache.move_to_end(c)
                     out[c] = cache[c]
             return out
 
@@ -555,15 +599,9 @@ class IndexReader:
         cached = self._dict_expand(qterms, mode)
         if cached is not None:
             return cached
-        t = self.terms_df()
-        if mode == START_WITH:
-            cond = None
-            for q in qterms:
-                c = F.col("term").startswith(q)
-                cond = c if cond is None else (cond | c)
-            t = t.where(cond)
-        else:
-            t = t.where(F.col("term").isin(qterms))
+        # same predicate helper the postings scan pushes — the two
+        # must never diverge (metadata lookup and scan see one filter)
+        t = self.terms_df().where(_term_predicate(qterms, mode))
         if "bucket" not in t.columns:  # pre-v2 index layout
             t = t.withColumn("bucket", bucket_col(F.col("term"), self.num_buckets))
         # sum across segments (a term may appear in several); df counts
@@ -689,12 +727,14 @@ class IndexReader:
             total_df = sum(int(r["df"]) for r in head)
         elif expansion is not None:
             # dictionary cached but the expansion is too wide to carry
-            # as plan literals: keep the driver-side gating counters,
-            # compute per-term metadata distributed (scan + expressions)
+            # as plan literals: keep the driver-side gating counters
+            # (total_df IS in hand — it gates the theta bootstrap and
+            # the local fast path for free), compute per-term idf/ub
+            # distributed (scan + expressions)
             head = []
             n_matched = len(expansion)
             buckets = sorted({b for _, _, _, b in expansion})
-            total_df = None
+            total_df = sum(df_ for _, df_, _, _ in expansion)
             meta = self._meta_scan_df(pred, stats)
         else:
             meta = self._meta_scan_df(pred, stats)
@@ -741,6 +781,7 @@ class IndexReader:
         if (
             local_max_postings
             and doc_filter is None
+            and head  # wide expansions carry counters but no metadata
             and total_df is not None
             and total_df <= local_max_postings
         ):
@@ -794,7 +835,7 @@ class IndexReader:
         )
         dels_by_chunk = self._dels_by_chunk()
         if dels_by_chunk is not None:
-            joined = joined.join(F.broadcast(dels_by_chunk), "chunk", "left")
+            joined = joined.join(dels_by_chunk, "chunk", "left")
         else:
             joined = joined.withColumn(
                 "_dels", F.lit(None).cast("array<long>")
@@ -1070,7 +1111,7 @@ class IndexReader:
         )
         dels_by_chunk = self._dels_by_chunk()
         if dels_by_chunk is not None:
-            joined = joined.join(F.broadcast(dels_by_chunk), "chunk", "left")
+            joined = joined.join(dels_by_chunk, "chunk", "left")
         else:
             joined = joined.withColumn(
                 "_dels", F.lit(None).cast("array<long>")

@@ -192,6 +192,19 @@ def stream_index_updates(
         gen_dir = os.path.join(
             os.path.abspath(index_root), f"gen-{batch_id}"
         )
+        if os.path.abspath(cur) in (gen_dir, gen_dir + "-c"):
+            # re-delivered batch after a crash BETWEEN the pointer swap
+            # and the streaming checkpoint commit: this batch already
+            # published (the swap only happens after a committed
+            # upsert). Re-running upsert_docs would read gen-N as the
+            # base while overwriting gen-N/deletes — wedging every
+            # restart on 'cannot overwrite a path being read'. Only the
+            # idempotent post-publish steps need re-running.
+            if live is not None:
+                live.refresh(os.path.abspath(cur))
+            if gc_old:
+                gc_generations(index_root)
+            return
         # re-delivered batch after a crash-before-pointer-swap: the
         # upsert is recomputed into the same gen dir (idempotent)
         m = upsert_docs(spark, cur, gen_dir, batch_df)

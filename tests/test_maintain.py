@@ -459,3 +459,91 @@ def test_random_maintenance_chain_equals_fresh_build(spark, tmp_path):
         assert scores_by_path(maintained, terms, mode) == scores_by_path(
             fresh, terms, mode
         ), (terms, mode)
+
+
+def test_pruning_sound_with_negative_idf(spark, base_index, tmp_path):
+    """df counts tombstones until compact, so a hot term's idf can go
+    NEGATIVE once most docs are deleted; the block-max upper bounds
+    must clamp at 0 or chunk pruning drops true top-k docs. prune=True
+    must equal prune=False on such an index."""
+    import pyspark.sql.functions as F
+
+    from spark_search.corpus import CORPUS_SCHEMA
+    from spark_search.ids import with_doc_ids
+
+    rows = [("r", f"f{i}.txt", "v", "txt",
+             ("common rare" if i == 0 else "common filler"))
+            for i in range(12)]
+    corpus = with_doc_ids(spark.createDataFrame(rows, CORPUS_SCHEMA))
+    d0 = str(tmp_path / "neg0")
+    build_index(spark, corpus, d0, num_buckets=4, chunk_span=4)
+    d1 = str(tmp_path / "neg1")
+    # delete 8 of 12 docs by path (keep f0 = the rare doc + 3 fillers):
+    # df(common)=12 vs live n_docs=4 -> idf(common) < 0
+    reg = {
+        r["path"]: r["doc_id"]
+        for r in IndexReader(spark, d0).docs_df().collect()
+    }
+    rare_id = reg["f0.txt"]
+    keep = {"f0.txt", "f1.txt", "f2.txt", "f3.txt"}
+    delete_docs(
+        spark, d0, d1, [i for p, i in reg.items() if p not in keep]
+    )
+    r = IndexReader(spark, d1)
+    import math
+
+    n, df = r.stats.n_docs, 12
+    assert math.log(1.0 + (n - df + 0.5) / (df + 0.5)) < 0  # premise
+    kw = dict(mode=P.WITH_SUGGESTIONS, k=4, local_max_postings=0)
+    pruned = [tuple(x) for x in r.search(["common", "rare"], prune=True, **kw).collect()]
+    full = [tuple(x) for x in r.search(["common", "rare"], prune=False, **kw).collect()]
+    assert pruned == full and full[0][0] == rare_id  # rare doc must win
+
+
+def test_resume_discards_partial_with_different_config(spark, tmp_path):
+    """Stage fingerprints are corpus-only: resuming with a DIFFERENT
+    chunk_span over a partial must rebuild fresh, not skip stages built
+    at the old span (mis-positioned dl arrays mis-score silently)."""
+    from spark_search.corpus import CORPUS_SCHEMA
+    from spark_search.ids import with_doc_ids
+
+    rows = [("r", f"f{i}.txt", "v", "txt", f"alpha beta token{i}")
+            for i in range(10)]
+    corpus = with_doc_ids(spark.createDataFrame(rows, CORPUS_SCHEMA))
+    d = str(tmp_path / "cfg_idx")
+    build_index(spark, corpus, d, num_buckets=4, chunk_span=16)
+    # simulate an interrupted build: committed manifest -> partial
+    os.replace(
+        os.path.join(d, "manifest.json"),
+        os.path.join(d, "manifest.partial.json"),
+    )
+    m = build_index(
+        spark, corpus, d, num_buckets=4, chunk_span=4, resume=True
+    )
+    assert int(m.config["chunk_span"]) == 4
+    r = IndexReader(spark, d)
+    assert r.chunk_span == 4
+    assert len(_ids(r, ["alpha"])) == 10  # scores/doclens consistent
+
+
+def test_doclens_lru_never_evicts_requested_chunk(
+    spark, tmp_path, monkeypatch
+):
+    """The post-insert LRU trim must not evict a chunk the CURRENT
+    request already had cached (at the LRU front) — the kernel would
+    silently drop that chunk's docs from the top-k."""
+    from spark_search import query as Q
+    from spark_search.corpus import CORPUS_SCHEMA
+    from spark_search.ids import with_doc_ids
+
+    rows = [("r", f"d{i:02d}.txt", "v", "txt", f"w{i} shared")
+            for i in range(8)]
+    corpus = with_doc_ids(spark.createDataFrame(rows, CORPUS_SCHEMA))
+    d = str(tmp_path / "lru_idx")
+    build_index(spark, corpus, d, num_buckets=2, chunk_span=1)
+    r = IndexReader(spark, d)
+    monkeypatch.setattr(Q, "_DOCLENS_CACHE_CHUNKS", 4)
+
+    r._doclens_for([1, 2, 3, 4])      # warm: 1 is now the LRU-oldest
+    out = r._doclens_for([1, 5, 6, 7])  # insert 3 new -> trim must
+    assert set(out) == {1, 5, 6, 7}     # spare requested chunk 1

@@ -56,6 +56,12 @@ class BuildManifest:
         tmp = self._partial_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._to_dict(), f, indent=2, sort_keys=True)
+            # fsync before the rename: on ext4/xfs a rename can persist
+            # BEFORE the data blocks, so power loss could publish a
+            # zero-length manifest — the one file whose durability the
+            # whole atomic-commit design hangs on
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._partial_path)
 
     def commit(self) -> None:
@@ -84,8 +90,22 @@ class BuildManifest:
         for name in ([MANIFEST, PARTIAL] if allow_partial else [MANIFEST]):
             p = os.path.join(index_dir, name)
             if os.path.exists(p):
-                with open(p) as f:
-                    d = json.load(f)
+                try:
+                    with open(p) as f:
+                        d = json.load(f)
+                except (json.JSONDecodeError, OSError) as exc:
+                    if name == PARTIAL:
+                        # a torn partial seeds nothing: resume falls
+                        # back to a fresh build
+                        continue
+                    # a torn COMMITTED manifest must fail loudly —
+                    # treating it as absent could rebuild over (and
+                    # destroy) a live index's data files
+                    raise IndexFormatError(
+                        f"{p} is unreadable ({exc}); the committed "
+                        "manifest is corrupt — restore it or rebuild "
+                        "the index explicitly"
+                    ) from exc
                 found = d.get("format_version")
                 if found != FORMAT_VERSION:
                     raise IndexFormatError(

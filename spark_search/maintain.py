@@ -61,6 +61,12 @@ SEGMENTS_SUB = "segments"
 # _DELS_CACHE_CAP).
 TOMBSTONE_SHARD_DOCS = 1 << 22  # ~4M ids ≈ 32 MB of int64
 
+# broadcast gate for per-chunk tombstone joins (same rationale and cap
+# as query.py's _DELS_BROADCAST_CAP): compact runs exactly when the
+# tombstone set is at its largest, so forcing the broadcast would pull
+# cluster-scale state onto the driver at the worst possible moment
+_DELS_BROADCAST_CAP = 5_000_000
+
 
 def _write_tombstones(all_dels: DataFrame, dels_out: str, n_total: int) -> int:
     """Write the merged tombstone list, sharding by doc_id range once
@@ -87,6 +93,59 @@ def _load_committed(index_dir: str) -> BuildManifest:
     if m is None:
         raise FileNotFoundError(f"no committed manifest.json under {index_dir}")
     return m
+
+
+def _check_out_dir(out_dir: str, index_dir: str, segs: List[str]) -> None:
+    """REFUSE an out_dir aliasing the source index or any segment root:
+    every maintenance op lazily reads the source while writing the
+    output, so a self-overwrite either aborts mid-write ('cannot
+    overwrite a path being read from') after clobbering files, or
+    silently loses state (merge.py carries the same guard)."""
+    out_abs = os.path.abspath(out_dir)
+    for src in [os.path.abspath(index_dir), *segs]:
+        if out_abs == src:
+            raise ValueError(
+                f"out_dir {out_dir!r} aliases source index path {src!r}; "
+                "maintenance publishes a NEW generation directory"
+            )
+
+
+def _filter_block_rows(blks, drop, block_size):
+    """Decode ``blks``, drop postings whose doc_id ∈ ``drop``, re-encode.
+    Returns (n_docs, sum_tf, max_tf, out_blocks, rem_ids, rem_tfs) —
+    the shared kernel of delete_term_postings' and compact's rewrite
+    UDFs (one copy; a codec change lands once)."""
+    ids_all, tfs_all, rem_ids, rem_tfs = [], [], [], []
+    for b in blks:
+        ids, tfs = decode_block(
+            int(b["first_doc"]), bytes(b["deltas"]), bytes(b["tfs"])
+        )
+        hit = np.isin(ids, drop)
+        if hit.any():
+            rem_ids.append(ids[hit])
+            rem_tfs.append(tfs[hit])
+        keep = ~hit
+        if keep.any():
+            ids_all.append(ids[keep])
+            tfs_all.append(tfs[keep])
+    r_ids = np.concatenate(rem_ids) if rem_ids else np.empty(0, np.int64)
+    r_tfs = np.concatenate(rem_tfs) if rem_tfs else np.empty(0, np.int64)
+    if not ids_all:
+        return 0, 0, 0, [], r_ids, r_tfs
+    ids = np.concatenate(ids_all)
+    tfs = np.concatenate(tfs_all)
+    enc = encode_blocks(ids, tfs, block_size=block_size)
+    out_blocks = [
+        {
+            "first_doc": e[0], "last_doc": e[1], "n": e[2],
+            "max_tf": e[3], "deltas": e[4], "tfs": e[5],
+        }
+        for e in enc
+    ]
+    return (
+        int(ids.size), int(tfs.sum()), int(tfs.max()), out_blocks,
+        r_ids, r_tfs,
+    )
 
 
 def _segments(m: BuildManifest, index_dir: str) -> List[str]:
@@ -165,6 +224,7 @@ def delete_docs(
     sharing every data file of ``index_dir``. O(|deleted|) work."""
     m = _load_committed(index_dir)
     segs = _segments(m, index_dir)
+    _check_out_dir(out_dir, index_dir, segs)
     span = int(m.config["chunk_span"])
     t0 = time.time()
 
@@ -203,6 +263,10 @@ def delete_docs(
     out.stats = CorpusStats.combine(
         stats.n_docs - n_new, stats.total_dl - removed_dl
     ).to_dict()
+    if "n_terms" in (m.stats or {}):
+        # deletes never touch the terms directories — carry the count
+        # so readers keep the probe-free dictionary-cache gate
+        out.stats["n_terms"] = m.stats["n_terms"]
     out.record_stage(
         "delete", fingerprint=f"dels+{n_new}", n_deleted=n_new,
         removed_dl=removed_dl, tombstone_shards=shards,
@@ -228,6 +292,7 @@ def upsert_docs(
     batch — and tombstones superseded doc_ids. Cost: O(|new batch|)."""
     m = _load_committed(index_dir)
     segs = _segments(m, index_dir)
+    _check_out_dir(out_dir, index_dir, segs)
     cfg = m.config
     span = int(cfg["chunk_span"])
     t0 = time.time()
@@ -251,11 +316,22 @@ def upsert_docs(
         F.max("chunk").alias("c")
     ).collect()[0]["c"]
     base = (int(max_chunk) + 1) * span
-    with_ids = (
-        new_docs
-        if "doc_id" in new_docs.columns
-        else with_doc_ids(new_docs, num_partitions, start=base)
-    )
+    if "doc_id" in new_docs.columns:
+        # pre-assigned ids must live past the fresh chunk boundary —
+        # a batch still carrying ids from a prior with_doc_ids run
+        # would reuse existing chunk ids (doubled doclens rows) AND be
+        # filtered by the very tombstones this upsert writes for the
+        # replaced docs, silently vanishing from every query
+        low = new_docs.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+        if low is not None and int(low) < base:
+            raise ValueError(
+                f"new_docs carries doc_id {int(low)} below the index's "
+                f"fresh-chunk boundary {base}; drop the doc_id column "
+                "(ids are assigned here) or assign ids >= the boundary"
+            )
+        with_ids = new_docs
+    else:
+        with_ids = with_doc_ids(new_docs, num_partitions, start=base)
     seg_dir = os.path.join(
         os.path.abspath(out_dir), SEGMENTS_SUB, f"seg-{len(segs)}"
     )
@@ -357,6 +433,7 @@ def delete_term_postings(
     existing doc-level tombstones carry over untouched."""
     m = _load_committed(index_dir)
     segs = _segments(m, index_dir)
+    _check_out_dir(out_dir, index_dir, segs)
     cfg = m.config
     span = int(cfg["chunk_span"])
     block_size = int(cfg.get("block_size", 128))
@@ -371,6 +448,16 @@ def delete_term_postings(
     pairs = pairs.select(
         "term", F.col("doc_id").cast("long").alias("doc_id")
     ).distinct()
+    old_dels_dir = cfg.get("deletes_dir")
+    if old_dels_dir:
+        # pairs of already-TOMBSTONED docs are skipped: their postings
+        # are physically present but inert (filtered at query time) and
+        # their full dl was ALREADY subtracted from the stats at delete
+        # time — removing them here would subtract the tf a second time
+        # and skew avgdl for every later score. compact reclaims them.
+        pairs = pairs.join(
+            spark.read.parquet(old_dels_dir), "doc_id", "left_anti"
+        )
     tdel = (
         pairs.withColumn("chunk", (F.col("doc_id") / span).cast("long"))
         .groupBy("term", "chunk")
@@ -380,6 +467,13 @@ def delete_term_postings(
     posts = _multi(spark, segs, "postings").join(
         F.broadcast(tdel), ["term", "chunk"], "left"
     )
+    # touched/untouched split: only rows whose (term, chunk) actually
+    # holds a requested pair enter the Python rewrite — every other
+    # row's encoded bytes stay JVM-side (the previous single-plan
+    # F.when() form shipped the ENTIRE index's blocks through Arrow to
+    # emit discarded sentinels for a surgical few-pair delete)
+    touched = posts.where(F.col("_tdel").isNotNull())
+    untouched = posts.where(F.col("_tdel").isNull())
 
     @F.pandas_udf(
         f"struct<n_docs: long, sum_tf: long, max_tf: int, removed: long, "
@@ -390,65 +484,17 @@ def delete_term_postings(
         n_docs, sum_tf, max_tf = [], [], []
         removed, removed_ids, removed_tfs, out_blocks = [], [], [], []
         for blks, dl in zip(blocks, dels_col):
-            if dl is None or len(dl) == 0:
-                n_docs.append(-1)
-                sum_tf.append(-1)
-                max_tf.append(-1)
-                removed.append(0)
-                removed_ids.append([])
-                removed_tfs.append([])
-                out_blocks.append([])
-                continue
             drop = np.asarray(dl, dtype=np.int64)
-            ids_all, tfs_all, rem_ids, rem_tfs = [], [], [], []
-            for b in blks:
-                ids, tfs = decode_block(
-                    int(b["first_doc"]), bytes(b["deltas"]), bytes(b["tfs"])
-                )
-                hit = np.isin(ids, drop)
-                if hit.any():
-                    rem_ids.append(ids[hit])
-                    rem_tfs.append(tfs[hit])
-                keep = ~hit
-                if keep.any():
-                    ids_all.append(ids[keep])
-                    tfs_all.append(tfs[keep])
-            r_ids = (
-                np.concatenate(rem_ids) if rem_ids
-                else np.empty(0, dtype=np.int64)
+            nd, st, mt, blocks_out, r_ids, r_tfs = _filter_block_rows(
+                blks, drop, block_size
             )
-            r_tfs = (
-                np.concatenate(rem_tfs) if rem_tfs
-                else np.empty(0, dtype=np.int64)
-            )
+            n_docs.append(nd)
+            sum_tf.append(st)
+            max_tf.append(mt)
+            out_blocks.append(blocks_out)
             removed.append(int(r_tfs.sum()))
             removed_ids.append([int(x) for x in r_ids])
             removed_tfs.append([int(x) for x in r_tfs])
-            if not ids_all:
-                n_docs.append(0)
-                sum_tf.append(0)
-                max_tf.append(0)
-                out_blocks.append([])
-                continue
-            ids = np.concatenate(ids_all)
-            tfs = np.concatenate(tfs_all)
-            enc = encode_blocks(ids, tfs, block_size=block_size)
-            n_docs.append(int(ids.size))
-            sum_tf.append(int(tfs.sum()))
-            max_tf.append(int(tfs.max()))
-            out_blocks.append(
-                [
-                    {
-                        "first_doc": e[0],
-                        "last_doc": e[1],
-                        "n": e[2],
-                        "max_tf": e[3],
-                        "deltas": e[4],
-                        "tfs": e[5],
-                    }
-                    for e in enc
-                ]
-            )
         return pd.DataFrame(
             {
                 "n_docs": pd.Series(n_docs, dtype="int64"),
@@ -461,7 +507,7 @@ def delete_term_postings(
             }
         )
 
-    rw = posts.withColumn("_rw", rewrite(F.col("blocks"), F.col("_tdel")))
+    rw = touched.withColumn("_rw", rewrite(F.col("blocks"), F.col("_tdel")))
 
     # (doc_id, removed tf) of every surgically removed posting — needed
     # to correct dl arrays, docs.dl, and total_dl exactly. Only touched
@@ -490,19 +536,18 @@ def delete_term_postings(
         i = int(r["doc_id"])
         rm_by_chunk.setdefault(i // span, []).append((i, int(r["_rm_dl"])))
 
-    new_posts = (
+    has_plists = "plists" in posts.columns
+    base_cols = ["bucket", "term", "chunk", "n_docs", "sum_tf", "max_tf",
+                 "blocks", *(["plists"] if has_plists else [])]
+    new_touched = (
         rw.select(
             "bucket",
             "term",
             "chunk",
-            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.n_docs"))
-            .otherwise(F.col("n_docs")).alias("n_docs"),
-            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.sum_tf"))
-            .otherwise(F.col("sum_tf")).alias("sum_tf"),
-            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.max_tf"))
-            .otherwise(F.col("max_tf")).alias("max_tf"),
-            F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.blocks"))
-            .otherwise(F.col("blocks")).alias("blocks"),
+            F.col("_rw.n_docs").alias("n_docs"),
+            F.col("_rw.sum_tf").alias("sum_tf"),
+            F.col("_rw.max_tf").alias("max_tf"),
+            F.col("_rw.blocks").alias("blocks"),
             # positional indexes: plists pass through UNCHANGED. An
             # entry whose (term, doc) pair was just removed from blocks
             # is stale-but-inert by the plists contract (build.py
@@ -510,10 +555,11 @@ def delete_term_postings(
             # the positional scan semi-joins plists on candidates, so a
             # doc that no longer matches this term can never surface
             # its stale positions. compact() reclaims the bytes.
-            *(["plists"] if "plists" in posts.columns else []),
+            *(["plists"] if has_plists else []),
         )
         .where(F.col("n_docs") > 0)
     )
+    new_posts = untouched.select(*base_cols).unionByName(new_touched)
     (
         new_posts.repartition(num_buckets, "bucket")
         .sortWithinPartitions("term", "chunk")
@@ -545,10 +591,17 @@ def delete_term_postings(
     )
     n_terms = int(obs_t.get["n"])
 
-    # docs: decrement dl of affected docs (identity otherwise)
+    # docs: decrement dl of affected docs (identity otherwise). The
+    # patch is fed from the ALREADY-COLLECTED rows — re-joining the
+    # removed_by_doc plan here would run the decode pipeline a third
+    # time (once for the collect, once for the postings write).
     docs = _multi(spark, segs, "docs")
     if removed_rows:
-        docs = docs.join(F.broadcast(removed_by_doc), "doc_id", "left").select(
+        patch_doc = spark.createDataFrame(
+            [(int(r["doc_id"]), int(r["_rm_dl"])) for r in removed_rows],
+            "doc_id long, _rm_dl long",
+        )
+        docs = docs.join(F.broadcast(patch_doc), "doc_id", "left").select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256",
             (F.col("dl") - F.coalesce(F.col("_rm_dl"), F.lit(0)))
             .cast("int").alias("dl"),
@@ -629,6 +682,7 @@ def compact(
     lifecycle, run standalone."""
     m = _load_committed(index_dir)
     segs = _segments(m, index_dir)
+    _check_out_dir(out_dir, index_dir, segs)
     cfg = m.config
     span = int(cfg["chunk_span"])
     block_size = int(cfg.get("block_size", 128))
@@ -648,12 +702,22 @@ def compact(
             .groupBy("chunk")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("_dels"))
         )
+        # compact runs exactly when tombstones are at their largest —
+        # broadcast only when the manifest proves the set bounded;
+        # past the cap the chunk joins stay distributed shuffles
+        n_tomb = cfg.get("n_tombstones")
+        if n_tomb is not None and int(n_tomb) <= _DELS_BROADCAST_CAP:
+            dels_by_chunk = F.broadcast(dels_by_chunk)
 
     # ---- postings: pass-through or decode/filter/re-encode per row
     posts = _multi(spark, segs, "postings")
     has_plists = "plists" in posts.columns
     if dels_by_chunk is not None:
-        posts = posts.join(F.broadcast(dels_by_chunk), "chunk", "left")
+        posts = posts.join(dels_by_chunk, "chunk", "left")
+        # touched/untouched split: rows in tombstone-free chunks never
+        # enter Python — their encoded bytes stay JVM-side
+        untouched = posts.where(F.col("_dels").isNull())
+        touched = posts.where(F.col("_dels").isNotNull())
 
         if has_plists:
             # positional indexes: compact is where stale plists bytes
@@ -680,50 +744,14 @@ def compact(
         def rewrite(blocks: pd.Series, dels_col: pd.Series) -> pd.DataFrame:
             n_docs, sum_tf, max_tf, out_blocks = [], [], [], []
             for blks, dl in zip(blocks, dels_col):
-                if dl is None or len(dl) == 0:
-                    # no tombstones in this chunk: the F.when() keeps the
-                    # original columns, so this output row is discarded —
-                    # emit the cheapest sentinel, not a bytes round-trip
-                    n_docs.append(-1)
-                    sum_tf.append(-1)
-                    max_tf.append(-1)
-                    out_blocks.append([])
-                    continue
                 drop = np.asarray(dl, dtype=np.int64)
-                ids_all, tfs_all = [], []
-                for b in blks:
-                    ids, tfs = decode_block(
-                        int(b["first_doc"]), bytes(b["deltas"]), bytes(b["tfs"])
-                    )
-                    keep = ~np.isin(ids, drop)
-                    if keep.any():
-                        ids_all.append(ids[keep])
-                        tfs_all.append(tfs[keep])
-                if not ids_all:
-                    n_docs.append(0)
-                    sum_tf.append(0)
-                    max_tf.append(0)
-                    out_blocks.append([])
-                    continue
-                ids = np.concatenate(ids_all)
-                tfs = np.concatenate(tfs_all)
-                enc = encode_blocks(ids, tfs, block_size=block_size)
-                n_docs.append(int(ids.size))
-                sum_tf.append(int(tfs.sum()))
-                max_tf.append(int(tfs.max()))
-                out_blocks.append(
-                    [
-                        {
-                            "first_doc": e[0],
-                            "last_doc": e[1],
-                            "n": e[2],
-                            "max_tf": e[3],
-                            "deltas": e[4],
-                            "tfs": e[5],
-                        }
-                        for e in enc
-                    ]
+                nd, st, mt, blocks_out, _, _ = _filter_block_rows(
+                    blks, drop, block_size
                 )
+                n_docs.append(nd)
+                sum_tf.append(st)
+                max_tf.append(mt)
+                out_blocks.append(blocks_out)
             return pd.DataFrame(
                 {
                     "n_docs": pd.Series(n_docs, dtype="int64"),
@@ -733,20 +761,22 @@ def compact(
                 }
             )
 
-        posts = (
-            posts.withColumn("_rw", rewrite(F.col("blocks"), F.col("_dels")))
+        base_cols = [
+            "bucket", "term", "chunk", "n_docs", "sum_tf", "max_tf",
+            "blocks", *(["plists"] if has_plists else []),
+        ]
+        new_touched = (
+            touched.withColumn(
+                "_rw", rewrite(F.col("blocks"), F.col("_dels"))
+            )
             .select(
                 "bucket",
                 "term",
                 "chunk",
-                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.n_docs"))
-                .otherwise(F.col("n_docs")).alias("n_docs"),
-                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.sum_tf"))
-                .otherwise(F.col("sum_tf")).alias("sum_tf"),
-                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.max_tf"))
-                .otherwise(F.col("max_tf")).alias("max_tf"),
-                F.when(F.col("_rw.n_docs") >= 0, F.col("_rw.blocks"))
-                .otherwise(F.col("blocks")).alias("blocks"),
+                F.col("_rw.n_docs").alias("n_docs"),
+                F.col("_rw.sum_tf").alias("sum_tf"),
+                F.col("_rw.max_tf").alias("max_tf"),
+                F.col("_rw.blocks").alias("blocks"),
                 *(
                     [
                         filter_plists(
@@ -759,6 +789,7 @@ def compact(
             )
             .where(F.col("n_docs") > 0)
         )
+        posts = untouched.select(*base_cols).unionByName(new_touched)
     else:
         posts = posts.select(
             "bucket", "term", "chunk", "n_docs", "sum_tf", "max_tf", "blocks",
@@ -827,7 +858,7 @@ def compact(
             return pd.Series(out)
 
         doclens = doclens.join(
-            F.broadcast(dels_by_chunk), "chunk", "left"
+            dels_by_chunk, "chunk", "left"  # broadcast-hinted iff gated
         ).select("chunk", zero_at(F.col("dls"), F.col("_dels")).alias("dls"))
     doclens.write.mode("overwrite").option(
         "compression", "uncompressed"

@@ -257,8 +257,12 @@ def suggest_terms(
     before the edit-distance expression runs. One vocab-sized shuffle;
     at scale the dictionary is the index's term dict (see
     IndexReader.suggest_terms for the zero-scan path)."""
-    qterms = list(dict.fromkeys(terms))
+    qterms = [t for t in dict.fromkeys(terms) if t]
     vocab = tokens(_floor(corpus), tokenizer).select("term").distinct()
+    if not qterms:
+        # same degenerate-query convention as bm25_topk / phrase_topk:
+        # empty in, empty out (where(None) would raise)
+        return vocab.where(F.lit(False))
     cond = None
     for q in qterms:
         c = (F.length("term") == len(q)) & (

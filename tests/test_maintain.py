@@ -547,3 +547,67 @@ def test_doclens_lru_never_evicts_requested_chunk(
     r._doclens_for([1, 2, 3, 4])      # warm: 1 is now the LRU-oldest
     out = r._doclens_for([1, 5, 6, 7])  # insert 3 new -> trim must
     assert set(out) == {1, 5, 6, 7}     # spare requested chunk 1
+
+
+def test_maintenance_refuses_self_overwrite(spark, base_index, tmp_path):
+    """out_dir aliasing the source index (or a segment root) must be
+    refused up front — a lazy self-overwrite aborts mid-write or
+    silently loses tombstones (merge_indexes has the same guard)."""
+    d0, corpus = base_index
+    from spark_search.maintain import delete_term_postings
+
+    with pytest.raises(ValueError, match="aliases source"):
+        delete_docs(spark, d0, d0, [3])
+    with pytest.raises(ValueError, match="aliases source"):
+        compact(spark, d0, d0)
+    with pytest.raises(ValueError, match="aliases source"):
+        upsert_docs(
+            spark, d0, d0,
+            spark.createDataFrame(
+                [("r", "x.txt", "v", "txt", "hi")], CORPUS_SCHEMA
+            ),
+        )
+    with pytest.raises(ValueError, match="aliases source"):
+        delete_term_postings(spark, d0, d0, [("mila", 3)])
+
+
+def test_upsert_refuses_colliding_preassigned_ids(spark, base_index, tmp_path):
+    """A batch still carrying doc_ids from a prior with_doc_ids run
+    would reuse existing chunk ids and be filtered by its own
+    tombstones — refuse ids below the fresh-chunk boundary."""
+    d0, corpus = base_index
+    stale = with_doc_ids(
+        spark.createDataFrame(
+            [("reference", "testFolder/one.txt", "v1", "txt", "new text")],
+            CORPUS_SCHEMA,
+        )
+    )
+    with pytest.raises(ValueError, match="fresh-chunk boundary"):
+        upsert_docs(spark, d0, str(tmp_path / "coll"), stale)
+
+
+def test_delete_term_postings_skips_tombstoned_docs(
+    spark, base_index, tmp_path
+):
+    """A (term, doc) pair whose doc is already tombstoned must not
+    subtract its tf from total_dl AGAIN (the doc's whole dl left the
+    stats at delete time) — avgdl must stay exactly the fresh-build
+    value of the live corpus."""
+    from spark_search.maintain import delete_term_postings
+
+    d0, corpus = base_index
+    mila_ids = _ids(IndexReader(spark, d0), ["mila"])
+    victim = mila_ids[0]
+    d1 = str(tmp_path / "t1")
+    delete_docs(spark, d0, d1, [victim])
+    avgdl_before = IndexReader(spark, d1).stats.avgdl
+    d2 = str(tmp_path / "t2")
+    delete_term_postings(spark, d1, d2, [("mila", victim)])
+    r2 = IndexReader(spark, d2)
+    assert abs(r2.stats.avgdl - avgdl_before) < 1e-12
+    # and the pair removal of a LIVE doc still adjusts stats exactly
+    other = mila_ids[1]
+    d3 = str(tmp_path / "t3")
+    delete_term_postings(spark, d1, d3, [("mila", other)])
+    assert IndexReader(spark, d3).stats.avgdl < avgdl_before
+    assert _ids(IndexReader(spark, d3), ["mila"]) == []

@@ -658,3 +658,49 @@ def test_connected_components_absent_endpoints_inert(spark, local_max_edges):
         ).collect()
     }
     assert got == {5: 5, 1: 1, 2: 2}
+
+
+def test_suggest_terms_empty_query_returns_empty(spark):
+    """Degenerate-query convention: suggest_terms([]) is empty, not a
+    where(None) TypeError."""
+    from spark_search.ids import with_doc_ids
+
+    docs = with_doc_ids(spark.createDataFrame(
+        [("r", "a.txt", "v", "txt", "alpha beta")],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    ))
+    assert P.suggest_terms(docs, []).count() == 0
+    assert P.suggest_terms(docs, [""]).count() == 0
+
+
+def test_corrupt_manifest_handling(spark, tmp_path):
+    """A torn PARTIAL manifest seeds nothing (resume -> fresh build);
+    a torn COMMITTED manifest fails loudly (treating it as absent
+    could rebuild over a live index)."""
+    import os
+
+    import pytest as _pytest
+
+    from spark_search.build import build_index
+    from spark_search.checkpoint import IndexFormatError
+    from spark_search.ids import with_doc_ids
+    from spark_search.query import IndexReader
+
+    docs = with_doc_ids(spark.createDataFrame(
+        [("r", "a.txt", "v", "txt", "alpha beta gamma")],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    ))
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d, num_buckets=2, chunk_span=4)
+
+    # torn partial: resume quietly rebuilds
+    open(os.path.join(d, "manifest.partial.json"), "w").write("{tor")
+    m = build_index(spark, docs, d, num_buckets=2, chunk_span=4, resume=True)
+    assert m.stats["n_docs"] == 1
+
+    # torn committed: loud failure
+    open(os.path.join(d, "manifest.json"), "w").write("")
+    with _pytest.raises(IndexFormatError, match="unreadable"):
+        IndexReader(spark, d)

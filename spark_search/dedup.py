@@ -859,12 +859,13 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
            FROM embeddings),
 cent AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e
-         WHERE vec_id < {n_centroids}),
+         ORDER BY vec_id LIMIT {n_centroids}),
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, cent.cell,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, cent.cv) / (e.norm * cent.cnorm) DESC,
+             ORDER BY round(list_dot_product(e.v, cent.cv)
+                            / (e.norm * cent.cnorm), 6) DESC,
                       cent.cell ASC) AS rn
     FROM e CROSS JOIN cent)
   WHERE rn = 1),

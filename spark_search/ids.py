@@ -37,7 +37,19 @@ def with_doc_ids(
         .withColumn("_pid", F.spark_partition_id())
     )
     w_local = Window.partitionBy("_pid").orderBy(*KEY_COLS)
-    with_local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+    # PIN one execution before the two passes below. The counts job and
+    # the output job would otherwise each re-run the range exchange,
+    # and RangePartitioner's reservoir sample depends on within-
+    # partition arrival order — nondeterministic after any upstream
+    # shuffle — so the two executions could draw DIFFERENT partition
+    # boundaries and the pass-1 offsets would mis-describe the pass-2
+    # partitions: duplicate/skipped doc_ids in the module whose whole
+    # job is deterministic identity. localCheckpoint truncates lineage,
+    # so an executor loss fails the build loudly instead of silently
+    # recomputing half the partitions under new boundaries.
+    with_local = ranged.withColumn(
+        "_local_rn", F.row_number().over(w_local)
+    ).localCheckpoint()
     # per-partition row counts -> exclusive prefix sums = base offsets;
     # this table has one row per partition, so the driver-side window is fine.
     w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

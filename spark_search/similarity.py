@@ -84,7 +84,14 @@ def cosine_topk(
 ) -> DataFrame:
     """(qid, vec_id, score, rank) — exact top-k by cosine for each query
     vector (queries are corpus members identified by vec_id; the query
-    side is broadcast). Ties break vec_id ASC."""
+    side is broadcast). Ranks on the 6-dp ROUNDED score (ties break
+    vec_id ASC): the two engines' fold orders agree only to ~1e-15, so
+    ranking raw floats could rank-flip near-ties between Spark and the
+    oracle; the rounded key is cross-engine exact. Scale: the per-query
+    cut is pipeline.topk_per_query's two-phase tournament — no task
+    ever sorts one query's full corpus of scores."""
+    from .pipeline import topk_per_query
+
     e = _with_norm(emb)
     q = e.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
@@ -94,20 +101,23 @@ def cosine_topk(
     scored = (
         e.crossJoin(F.broadcast(q))
         .select(
-            "qid",
-            "vec_id",
-            _cos_sim(F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")).alias(
-                "score"
-            ),
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _cos_sim(
+                    F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")
+                ),
+                6,
+            ).alias("score"),
         )
+        # zero-norm vectors have no defined cosine (try_divide -> null)
+        .where(F.col("score").isNotNull())
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "vec_id", F.round("score", 6).alias("score"), "rank")
+    return topk_per_query(scored, k).select(
+        F.col("query_id").alias("qid"),
+        F.col("doc_id").alias("vec_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -119,14 +129,14 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
            FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e WHERE vec_id IN ({ids})),
 scored AS (SELECT qid, vec_id,
-                  list_dot_product(v, qv) / (norm * qnorm) AS score
+                  round(list_dot_product(v, qv) / (norm * qnorm), 6) AS score
            FROM e CROSS JOIN q),
 ranked AS (SELECT qid, vec_id, score,
                   row_number() OVER (PARTITION BY qid
                                      ORDER BY score DESC, vec_id ASC) AS rank
            FROM scored)
 SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id,
-       round(score, 6) AS score, rank::BIGINT AS rank
+       score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """
 
@@ -134,25 +144,49 @@ FROM ranked WHERE rank <= {k}
 # ------------------------------------------------------------ IVF ANN
 
 
-def ann_assignments(
-    emb: DataFrame, n_centroids: int = DEFAULT_CENTROIDS
-) -> DataFrame:
-    """(vec_id, cell) — assign every vector to its nearest centroid by
-    cosine (ties → smallest centroid id). Broadcast-join argmax: the
-    centroid table is tiny, the corpus side never shuffles; at scale
-    the result is written partitioned by cell (the IVF index)."""
-    e = _with_norm(emb)
-    cent = e.where(F.col("vec_id") < n_centroids).select(
+def _centroid_frame(e: DataFrame, n_centroids: int) -> DataFrame:
+    """(cell, cv, cnorm) — the ``n_centroids`` SMALLEST vec_ids, made
+    explicit with one tiny driver collect so the selection holds in ANY
+    id space (``vec_id < n`` silently yielded fewer or zero centroids —
+    and therefore empty ANN results with no error — on tables whose
+    ids don't start at 0)."""
+    ids = [
+        int(r["vec_id"])
+        for r in e.select("vec_id")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    ]
+    return e.where(F.col("vec_id").isin(ids)).select(
         F.col("vec_id").alias("cell"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
+
+
+def ann_assignments(
+    emb: DataFrame,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    _e: DataFrame | None = None,
+    _cent: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell) — assign every vector to its nearest centroid by
+    cosine rounded to 6 dp (ties → smallest centroid id; the rounded
+    key keeps assignments identical across engines whose float fold
+    orders agree only to ~1e-15). Broadcast-join argmax: the centroid
+    table is tiny, the corpus side never shuffles; at scale the result
+    is written partitioned by cell (the IVF index). ``_e``/``_cent``
+    let callers that already built the normalized frame / centroid
+    table (ivf_topk) share them instead of re-scanning the corpus."""
+    e = _e if _e is not None else _with_norm(emb)
+    cent = _cent if _cent is not None else _centroid_frame(e, n_centroids)
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cell",
-        _cos_sim(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")).alias(
-            "sim"
-        ),
+        F.round(
+            _cos_sim(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cell").asc()
@@ -175,25 +209,28 @@ def ivf_topk(
     vectors whose cell is among the query's ``nprobe`` closest
     centroids. Deterministic (and therefore oracle-checkable) because
     centroids and tie-breaks are."""
+    from .pipeline import topk_per_query
+
     e = _with_norm(emb)
-    assign = ann_assignments(emb, n_centroids)
-    cent = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
+    cent = _centroid_frame(e, n_centroids)
+    # share the normalized frame + centroid table: the previous form
+    # re-built _with_norm inside ann_assignments, scanning and norming
+    # the corpus twice per query
+    assign = ann_assignments(emb, n_centroids, _e=e, _cent=cent)
     q = e.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    # which cells does each query probe?
+    # which cells does each query probe? (6-dp rounded sim: the probe
+    # choice must be identical across engines, like every rank here)
     qc = q.crossJoin(F.broadcast(cent)).select(
         "qid",
         "cell",
-        _cos_sim(F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias(
-            "sim"
-        ),
+        F.round(
+            _cos_sim(F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")),
+            6,
+        ).alias("sim"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("cell").asc()
@@ -212,20 +249,23 @@ def ivf_topk(
             F.broadcast(q.select("qid", "qv", "qnorm")), "qid"
         )
         .select(
-            "qid",
-            "vec_id",
-            _cos_sim(F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")).alias(
-                "score"
-            ),
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _cos_sim(
+                    F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")
+                ),
+                6,
+            ).alias("score"),
         )
+        .where(F.col("score").isNotNull())
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "vec_id", F.round("score", 6).alias("score"), "rank")
+    # two-phase tournament: no task sorts one query's full probe set
+    return topk_per_query(scored, k).select(
+        F.col("query_id").alias("qid"),
+        F.col("doc_id").alias("vec_id"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -241,12 +281,13 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
            FROM embeddings),
 cent AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e
-         WHERE vec_id < {n_centroids}),
+         ORDER BY vec_id LIMIT {n_centroids}),
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, cent.cell,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, cent.cv) / (e.norm * cent.cnorm) DESC,
+             ORDER BY round(list_dot_product(e.v, cent.cv)
+                            / (e.norm * cent.cnorm), 6) DESC,
                       cent.cell ASC) AS rn
     FROM e CROSS JOIN cent)
   WHERE rn = 1),
@@ -255,14 +296,16 @@ probes AS (
   SELECT qid, cell FROM (
     SELECT q.qid, cent.cell,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY list_dot_product(q.qv, cent.cv) / (q.qnorm * cent.cnorm) DESC,
+             ORDER BY round(list_dot_product(q.qv, cent.cv)
+                            / (q.qnorm * cent.cnorm), 6) DESC,
                       cent.cell ASC) AS rn
     FROM q CROSS JOIN cent)
   WHERE rn <= {nprobe}),
 cand AS (SELECT probes.qid, assign.vec_id
          FROM assign JOIN probes ON assign.cell = probes.cell),
 scored AS (SELECT cand.qid, cand.vec_id,
-                  list_dot_product(e.v, q.qv) / (e.norm * q.qnorm) AS score
+                  round(list_dot_product(e.v, q.qv)
+                        / (e.norm * q.qnorm), 6) AS score
            FROM cand JOIN e ON e.vec_id = cand.vec_id
                      JOIN q ON q.qid = cand.qid),
 ranked AS (SELECT qid, vec_id, score,
@@ -270,6 +313,6 @@ ranked AS (SELECT qid, vec_id, score,
                                      ORDER BY score DESC, vec_id ASC) AS rank
            FROM scored)
 SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id,
-       round(score, 6) AS score, rank::BIGINT AS rank
+       score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """

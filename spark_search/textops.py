@@ -170,10 +170,10 @@ FROM r
 # --------------------------------------------------------- language ID
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, pred_lang) — marker-word evidence counts with a
-    deterministic argmax (tie-break = _LANG_ORDER; all-zero → 'und').
-    Map-only scan."""
+def _lang_pred_col():
+    """pred_lang as a pure per-row expression: marker-word evidence
+    counts with a deterministic argmax (tie-break = _LANG_ORDER;
+    all-zero → 'und')."""
     t = _toks(F.col("text"))
     counts = {
         lg: F.size(F.filter(t, lambda x: _in_list(x, ws)))
@@ -187,18 +187,26 @@ def lang_id(docs: DataFrame) -> DataFrame:
         for o in others:
             cond = cond & (counts[lg] >= o)
         pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    return pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — map-only scan (see _lang_pred_col)."""
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), pred.alias("pred_lang")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _lang_pred_col().alias("pred_lang"),
     )
 
 
 def lang_confusion(docs: DataFrame) -> DataFrame:
     """(lang, pred_lang, n_docs) — labelled-vs-predicted confusion
-    counts. One map-only scan + one tiny aggregation (≤ |langs|² rows)."""
-    pred = lang_id(docs)
+    counts. ONE map-only scan + one tiny aggregation (≤ |langs|² rows):
+    pred_lang is a per-row expression, so no self-join on doc_id — the
+    previous join form shuffled the corpus against itself (the module
+    header forbids non-broadcast joins) and silently diverged from the
+    inline-computing oracle on null/duplicate doc_ids."""
     return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
-        .join(pred, "doc_id")
+        docs.select("lang", _lang_pred_col().alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
@@ -363,8 +371,13 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("w", j).over(w) for j in range(1, n)]
-    gn = F.when(
-        leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads)
+    # n=1 degrades to unigrams (leads empty; the oracle SQL builder
+    # already produces working unigram SQL for n=1 — the two sides must
+    # agree on the parameter domain, not crash on one of them)
+    gn = (
+        F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads))
+        if leads
+        else F.col("w")
     )  # null past the doc tail -> count()/countDistinct() skip it
     g2 = F.when(
         F.lead("w", 1).over(w).isNotNull(),

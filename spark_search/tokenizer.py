@@ -35,9 +35,8 @@ STANDARD_DELIMITERS = frozenset(
 # '-' last so it is literal, ']'/'[' escaped, '^' not first.
 _CLASS_BODY = ' .,!?:;"\'()\\[\\]/<>{}+*^#~%$@“”\n\r-'
 STANDARD_SPLIT_REGEX = "[" + _CLASS_BODY + "]+"
-# Same pattern with the single-quote doubled, for embedding in a SQL
-# string literal (DuckDB oracle).
-STANDARD_SPLIT_REGEX_SQL = STANDARD_SPLIT_REGEX.replace("'", "''")
+# (SQL-literal escaping lives in tokens_sql — one escaping path per
+# dialect, not a second exported constant that can drift from it.)
 
 WHITESPACE_SPLIT_REGEX = "[ \n\r]+"
 
@@ -152,6 +151,11 @@ def tokens_sql(expr: str, tokenizer: str = "standard", dialect: str = "spark") -
             f"list_filter(string_split_regex(coalesce({expr}, ''), '{rx}'),"
             f" t -> t <> '')"
         )
+    # Spark SQL string literals eat single backslashes (default
+    # escapedStringLiterals=false), so '\\[' would reach the regex
+    # engine as '[' and the character class closes early ('Unclosed
+    # character class'); double them for the literal parser.
+    rx = rx.replace("\\", "\\\\")
     return f"filter(split(coalesce({expr}, ''), '{rx}'), t -> t != '')"
 
 

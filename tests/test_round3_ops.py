@@ -704,3 +704,46 @@ def test_corrupt_manifest_handling(spark, tmp_path):
     open(os.path.join(d, "manifest.json"), "w").write("")
     with _pytest.raises(IndexFormatError, match="unreadable"):
         IndexReader(spark, d)
+
+
+def test_lang_confusion_is_join_free(spark):
+    """pred_lang is a per-row expression: the confusion table is one
+    scan + one tiny agg — never a corpus self-join on doc_id."""
+    from spark_search.textops import lang_confusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = lang_confusion(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan, plan
+
+
+def test_repetition_scores_n1_degrades_to_unigrams(spark):
+    """n=1 must work (the oracle SQL side already did): dup_ngram_frac
+    equals dup_token_frac when the 'n-gram' is the token itself."""
+    from spark_search.textops import repetition_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = repetition_scores(docs.limit(20), n=1).collect()
+    assert len(row) == 20
+    for r in row:
+        assert abs(r["dup_ngram_frac"] - r["dup_token_frac"]) < 1e-9
+
+
+def test_ann_handles_non_zero_based_vec_ids(spark):
+    """Centroids are the n SMALLEST vec_ids, not vec_id < n: a table
+    whose ids start at 1000 must still produce cells, probes, and
+    results (the old filter silently returned ZERO results)."""
+    from spark_search.similarity import ann_assignments, ivf_topk
+
+    rows = [
+        (1000 + i, [1.0 if j == i % 4 else 0.1 for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells = ann_assignments(emb, n_centroids=4).select("cell").distinct()
+    assert cells.count() == 4
+    out = ivf_topk(emb, [1000, 1001], k=3, n_centroids=4, nprobe=2)
+    got = {r["qid"] for r in out.collect()}
+    assert got == {1000, 1001}

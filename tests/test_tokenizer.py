@@ -101,3 +101,26 @@ def test_spark_tokens_col_agrees(spark):
         for r in df.select(tokenize_udf()(F.col("content"))).collect()
     ]
     assert got_pos == [tokenize_with_positions(s) for s in samples]
+
+
+def test_tokens_sql_spark_dialect_executes(spark):
+    """The spark-dialect snippet must survive Spark SQL string-literal
+    parsing (single backslashes are eaten by the default parser; the
+    un-doubled form threw 'Unclosed character class') and agree with
+    the DataFrame tokenizer."""
+    from pyspark.sql import functions as F
+
+    from spark_search.tokenizer import tokens_col, tokens_sql
+
+    spark.createDataFrame(
+        [("a.b[c]d-e “q” f_g",)], "c string"
+    ).createOrReplaceTempView("tok_sql_v")
+    got = spark.sql(
+        f"SELECT {tokens_sql('c', 'standard', 'spark')} AS t FROM tok_sql_v"
+    ).collect()[0]["t"]
+    want = (
+        spark.table("tok_sql_v")
+        .select(tokens_col(F.col("c"), "standard").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == want == ["a", "b", "c", "d", "e", "q", "f_g"]

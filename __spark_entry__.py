@@ -121,6 +121,54 @@ def _merged_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return ent[1]
 
 
+# ---- code-tokenized index (the code-payload axis) ----
+# Derived code-shaped corpus: the driver's word-soup text re-joined as
+# identifiers — even doc_ids become ONE snake_case identifier, odd ones
+# ONE CamelCase identifier. Deterministic and expressed identically in
+# Spark SQL and DuckDB; the built-in "code" tokenizer (camel/snake
+# subtoken splitting + lowercase, spark_search/tokenizer.py
+# CODE_PRE_RULES) must recover the words on BOTH engines for the
+# oracle to agree. The reference has no code analyzer — this is the
+# engine's Lucene-WordDelimiter-style extension for source corpora.
+_CODE_TEXT_SPARK = (
+    "CASE WHEN doc_id % 2 = 0"
+    " THEN array_join(split(coalesce(content, ''), ' '), '_')"
+    " ELSE array_join(transform(split(coalesce(content, ''), ' '),"
+    " w -> concat(upper(substring(w, 1, 1)), substring(w, 2))), '')"
+    " END"
+)
+_CODE_TEXT_DUCK = (
+    "CASE WHEN doc_id % 2 = 0"
+    " THEN array_to_string(string_split(coalesce(text, ''), ' '), '_')"
+    " ELSE array_to_string(list_transform(string_split(coalesce(text, ''), ' '),"
+    " w -> upper(w[1]) || w[2:]), '')"
+    " END"
+)
+TERMS_CODE = ["table", "hash", "merge"]
+
+
+def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus(spark, sf_dir).withColumn("content", F.expr(_CODE_TEXT_SPARK))
+
+
+_CODE_INDEX_DIRS: dict[str, str] = {}
+_CODE_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _code_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    key = os.path.abspath(sf_dir)
+    d = _CODE_INDEX_DIRS.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="sgraft-codeidx-")
+        build_index(spark, _code_corpus(spark, sf_dir), d, tokenizer="code")
+        _CODE_INDEX_DIRS[key] = d
+    ent = _CODE_READERS.get(key)
+    if ent is None or ent[0] != id(spark):
+        ent = (id(spark), IndexReader(spark, d))
+        _CODE_READERS[key] = ent
+    return ent[1]
+
+
 def _indexed_topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
     """BM25 top-k answered by the disk index (build_index →
     IndexReader.search): codec decode, chunk pruning, block-max
@@ -147,9 +195,12 @@ def _topk(spark, sf_dir, terms, mode, k=10) -> DataFrame:
 # ---------------------------------------------------------------- oracles
 
 _TOKS_DUCK = tokens_sql("text", dialect="duckdb")
+_CODE_TOKS_DUCK = tokens_sql("text", tokenizer="code", dialect="duckdb")
 
 
-def _bm25_oracle(terms, mode, k=10, doc_where=None) -> str:
+def _bm25_oracle(terms, mode, k=10, doc_where=None, toks=None,
+                 text_expr="coalesce(text, '')") -> str:
+    toks = toks or _TOKS_DUCK
     uniq = list(dict.fromkeys(terms))
     if mode == P.START_WITH:
         pred = " OR ".join(f"term LIKE '{t}%'" for t in uniq)
@@ -168,12 +219,12 @@ def _bm25_oracle(terms, mode, k=10, doc_where=None) -> str:
         else ""
     )
     return f"""
-WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+WITH corpus AS (SELECT doc_id, {text_expr} AS text FROM documents),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM corpus),
 mtoks AS (SELECT * FROM toks WHERE {pred}),
 tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM corpus),
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
 scored AS (
   SELECT tf.doc_id,
@@ -300,6 +351,47 @@ def _q_bm25_and_indexed(spark, sf_dir):
 
 def _q_bm25_prefix_indexed(spark, sf_dir):
     return _indexed_topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
+
+
+def _q_bm25_code(spark, sf_dir):
+    """Declarative BM25 over the code-shaped corpus with the built-in
+    "code" tokenizer (camel/snake subtoken recovery)."""
+    res = P.bm25_topk(
+        _code_corpus(spark, sf_dir), TERMS_CODE, P.WITH_SUGGESTIONS,
+        k=10, tokenizer="code",
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_bm25_code_indexed(spark, sf_dir):
+    """Same query answered by a disk index BUILT with tokenizer='code'
+    (the tokenizer name rides the manifest; IndexReader re-tokenizes
+    and scores with it end-to-end)."""
+    res = _code_reader(spark, sf_dir).search(
+        TERMS_CODE, P.WITH_SUGGESTIONS, k=10
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_code_subtoken_counts(spark, sf_dir):
+    """Per-doc identifier-subtoken stats over the code-shaped corpus —
+    the code-payload analog of text_token_counts."""
+    from spark_search.tokenizer import tokens_col
+
+    arr = tokens_col(F.col("content"), "code")
+    return _code_corpus(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(arr).cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+    )
 
 
 def _q_bm25_or_merged(spark, sf_dir):
@@ -987,6 +1079,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleaved doc_id split, folded by merge_indexes; same
         # oracle as the monolithic OR query (merge must be invisible)
         "bm25_or_topk_merged": _q_bm25_or_merged,
+        # code-payload axis: identifier-aware "code" tokenizer
+        # (camelCase/snake_case subtokens, lowercased) through the
+        # declarative pipeline AND a code-tokenized disk index
+        "bm25_code_topk": _q_bm25_code,
+        "bm25_code_topk_indexed": _q_bm25_code_indexed,
+        "code_subtoken_counts": _q_code_subtoken_counts,
         # Q3 suggestion expansion in-engine (same-length levenshtein<=d
         # dictionary scan — the deterministic Hunspell analog), both
         # the declarative pipeline and the disk-index dictionary path
@@ -1068,6 +1166,21 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "bm25_or_topk_merged": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "bm25_code_topk": _bm25_oracle(
+            TERMS_CODE, P.WITH_SUGGESTIONS,
+            toks=_CODE_TOKS_DUCK, text_expr=_CODE_TEXT_DUCK,
+        ),
+        "bm25_code_topk_indexed": _bm25_oracle(
+            TERMS_CODE, P.WITH_SUGGESTIONS,
+            toks=_CODE_TOKS_DUCK, text_expr=_CODE_TEXT_DUCK,
+        ),
+        "code_subtoken_counts": f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(arr)::BIGINT AS n_subtokens,
+       len(list_distinct(arr))::BIGINT AS n_distinct
+FROM (SELECT doc_id, {_CODE_TOKS_DUCK} AS arr
+      FROM (SELECT doc_id, {_CODE_TEXT_DUCK} AS text FROM documents))
+""",
         "bm25_suggest_topk": _bm25_suggest_oracle(
             TERMS_SUGGEST, SUGGEST_MAX_DIST
         ),

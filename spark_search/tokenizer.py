@@ -40,44 +40,99 @@ STANDARD_SPLIT_REGEX = "[" + _CLASS_BODY + "]+"
 
 WHITESPACE_SPLIT_REGEX = "[ \n\r]+"
 
+# Built-in "code" tokenizer — identifier-aware subtokenization for
+# source-code corpora (the graft's payload): camelCase and snake_case
+# identifiers split into lowercased subtokens, so the query `get value`
+# matches `getValue`, `get_value` and `GetValue`. The reference engine
+# has no code analyzer (its StandardTokenizer keeps `_` inside tokens,
+# StandardTokenizer.java:14-16); this is the Lucene-style
+# WordDelimiterGraphFilter analog, expressed as two zero-width boundary
+# rules + a split:
+#   1. lower/digit -> Upper      getValue   -> get Value
+#   2. Upper -> Upper lower      HTTPServer -> HTTP Server
+# then split on any non-alphanumeric run (covers `_`, punctuation,
+# whitespace) and lowercase. Every rule is valid in Java regex AND RE2,
+# so the same tokenizer drives tokens_col (codegen), the DuckDB oracles
+# and the Python path.
+CODE_PRE_RULES = (
+    ("([a-z0-9])([A-Z])", "$1 $2"),
+    ("([A-Z])([A-Z][a-z])", "$1 $2"),
+)
+CODE_SPLIT_REGEX = "[^A-Za-z0-9]+"
+
 _std_re = re.compile(STANDARD_SPLIT_REGEX)
 _ws_re = re.compile(WHITESPACE_SPLIT_REGEX)
+_code_re = re.compile(CODE_SPLIT_REGEX)
 
 # T3 analog: the reference accepts a user-supplied Tokenizer at engine
 # construction (reference engine/src/main/java/org/search/engine/
 # SearchEngine.java:46-53, analyzer/Tokenizer.java:11-20). Our
-# tokenizers are split rules, so the plug-in surface is a named split
-# regex; registered names work everywhere a built-in name does
-# (tokens_col, index build config, oracles via tokens_sql).
+# tokenizers are declarative specs — optional zero-width boundary rules
+# (regexp_replace inserting a space between two captured groups), a
+# delimiter split regex, and an optional lowercase — so a registered
+# name works everywhere a built-in name does (tokens_col, index build
+# config, manifests, oracles via tokens_sql). A spec survives processes
+# because the manifest stores only the NAME; "standard", "whitespace"
+# and "code" are built-ins, anything else must be re-registered by the
+# reading process.
+_BUILTIN_SPECS = {
+    "standard": {"split": STANDARD_SPLIT_REGEX, "rx": _std_re,
+                 "pre": (), "lower": False},
+    "whitespace": {"split": WHITESPACE_SPLIT_REGEX, "rx": _ws_re,
+                   "pre": (), "lower": False},
+    "code": {"split": CODE_SPLIT_REGEX, "rx": _code_re,
+             "pre": CODE_PRE_RULES, "lower": True},
+}
 _CUSTOM_TOKENIZERS: dict = {}
 
 
-def register_tokenizer(name: str, split_regex: str) -> None:
-    """Register a custom tokenizer as a delimiter regex (must be valid
-    in Python re, Java regex AND RE2 if DuckDB oracles are wanted)."""
-    if name in ("standard", "whitespace"):
+def register_tokenizer(
+    name: str,
+    split_regex: str,
+    *,
+    pre: tuple = (),
+    lowercase: bool = False,
+) -> None:
+    """Register a custom tokenizer.
+
+    ``split_regex`` — delimiter regex (must be valid in Python re, Java
+    regex AND RE2 if DuckDB oracles are wanted). ``pre`` — ordered
+    boundary rules ``(pattern, replacement)`` applied by regexp_replace
+    before the split; replacements use Spark's ``$1`` group syntax and,
+    for the position-aware path, must be zero-width boundary insertions
+    of the exact form ``"$1 $2"`` — and the inserted space must itself
+    be a delimiter of ``split_regex``, or the boundary survives as a
+    literal space inside tokens. ``lowercase`` — lowercase tokens
+    after the split.
+    """
+    if name in _BUILTIN_SPECS:
         raise ValueError(f"cannot override built-in tokenizer {name!r}")
-    _CUSTOM_TOKENIZERS[name] = (split_regex, re.compile(split_regex))
+    _CUSTOM_TOKENIZERS[name] = {
+        "split": split_regex,
+        "rx": re.compile(split_regex),
+        "pre": tuple(pre),
+        "lower": bool(lowercase),
+    }
+
+
+def _spec_for(tokenizer: str) -> dict:
+    spec = _BUILTIN_SPECS.get(tokenizer) or _CUSTOM_TOKENIZERS.get(tokenizer)
+    if spec is None:
+        raise KeyError(f"unknown tokenizer {tokenizer!r}")
+    return spec
 
 
 def split_regex_for(tokenizer: str) -> str:
-    if tokenizer == "standard":
-        return STANDARD_SPLIT_REGEX
-    if tokenizer == "whitespace":
-        return WHITESPACE_SPLIT_REGEX
-    if tokenizer in _CUSTOM_TOKENIZERS:
-        return _CUSTOM_TOKENIZERS[tokenizer][0]
-    raise KeyError(f"unknown tokenizer {tokenizer!r}")
+    return _spec_for(tokenizer)["split"]
 
 
 def _compiled_for(tokenizer: str):
-    if tokenizer == "standard":
-        return _std_re
-    if tokenizer == "whitespace":
-        return _ws_re
-    if tokenizer in _CUSTOM_TOKENIZERS:
-        return _CUSTOM_TOKENIZERS[tokenizer][1]
-    raise KeyError(f"unknown tokenizer {tokenizer!r}")
+    return _spec_for(tokenizer)["rx"]
+
+
+def _py_sub(pattern: str, replacement: str, s: str) -> str:
+    # Spark-style "$1" group refs -> Python "\1" refs.
+    return re.sub(pattern, re.sub(r"\$(\d)", r"\\\1", replacement), s)
 
 
 def tokenize(content: str | None, tokenizer: str = "standard") -> List[str]:
@@ -85,7 +140,13 @@ def tokenize(content: str | None, tokenizer: str = "standard") -> List[str]:
     (reference StandardTokenizer.java:23-49) minus positions."""
     if not content:
         return []
-    return [t for t in _compiled_for(tokenizer).split(content) if t]
+    spec = _spec_for(tokenizer)
+    for pat, repl in spec["pre"]:
+        content = _py_sub(pat, repl, content)
+    toks = [t for t in spec["rx"].split(content) if t]
+    if spec["lower"]:
+        toks = [t.lower() for t in toks]
+    return toks
 
 
 def tokenize_with_positions(
@@ -96,16 +157,37 @@ def tokenize_with_positions(
     if not content:
         return []
     if tokenizer not in ("standard", "whitespace"):
-        # custom regex tokenizer: tokens are maximal runs between
-        # delimiter matches (identical semantics to the char loop)
-        rx = _compiled_for(tokenizer)
-        out, last = [], 0
+        # spec tokenizer: tokens are maximal runs between delimiter
+        # matches (identical semantics to the char loop). Boundary
+        # rules never change characters — "$1 $2" inserts a zero-width
+        # cut between two KEPT chars — so positions stay offsets into
+        # the ORIGINAL content: collect cut offsets per rule on the raw
+        # run, split at their union, lowercase last.
+        spec = _spec_for(tokenizer)
+        for pat, repl in spec["pre"]:
+            if repl != "$1 $2":
+                raise NotImplementedError(
+                    f"tokenizer {tokenizer!r}: positions need zero-width"
+                    f" '$1 $2' boundary rules, got {repl!r}"
+                )
+        rx = spec["rx"]
+        runs, last = [], 0
         for m in rx.finditer(content):
             if m.start() > last:
-                out.append((content[last:m.start()], last))
+                runs.append((content[last:m.start()], last))
             last = m.end()
         if last < len(content):
-            out.append((content[last:], last))
+            runs.append((content[last:], last))
+        out: List[Tuple[str, int]] = []
+        for run, base in runs:
+            cuts = {0, len(run)}
+            for pat, _repl in spec["pre"]:
+                for m in re.finditer(pat, run):
+                    cuts.add(m.start(2))
+            edges = sorted(cuts)
+            for a, b in zip(edges, edges[1:]):
+                tok = run[a:b]
+                out.append((tok.lower() if spec["lower"] else tok, base + a))
         return out
     delims = (
         STANDARD_DELIMITERS if tokenizer == "standard" else frozenset(" \n\r")
@@ -134,8 +216,14 @@ def tokens_col(col, tokenizer: str = "standard"):
     reference's index stores none either — SURVEY.md §0 fact 1/3)."""
     from pyspark.sql import functions as F
 
-    split = F.split(F.coalesce(col, F.lit("")), split_regex_for(tokenizer))
-    return F.filter(split, lambda t: t != F.lit(""))
+    spec = _spec_for(tokenizer)
+    s = F.coalesce(col, F.lit(""))
+    for pat, repl in spec["pre"]:
+        s = F.regexp_replace(s, pat, repl)
+    arr = F.filter(F.split(s, spec["split"]), lambda t: t != F.lit(""))
+    if spec["lower"]:
+        arr = F.transform(arr, F.lower)
+    return arr
 
 
 def tokens_sql(expr: str, tokenizer: str = "standard", dialect: str = "spark") -> str:
@@ -143,20 +231,37 @@ def tokens_sql(expr: str, tokenizer: str = "standard", dialect: str = "spark") -
 
     ``dialect='duckdb'`` is the oracle form (string_split_regex +
     list_filter); ``dialect='spark'`` uses split + filter. Both collapse
-    consecutive delimiters by dropping empty strings.
+    consecutive delimiters by dropping empty strings. Boundary rules
+    become stacked regexp_replace calls (DuckDB needs the 'g' flag and
+    backslash group refs; Spark replaces globally with '$n' refs) and a
+    lowercasing spec wraps the array in a transform — so the SAME named
+    tokenizer drives the engine and its cross-engine oracle.
     """
-    rx = split_regex_for(tokenizer).replace("'", "''")
+    spec = _spec_for(tokenizer)
+    rx = spec["split"].replace("'", "''")
+    s = f"coalesce({expr}, '')"
     if dialect == "duckdb":
-        return (
-            f"list_filter(string_split_regex(coalesce({expr}, ''), '{rx}'),"
-            f" t -> t <> '')"
-        )
+        for pat, repl in spec["pre"]:
+            pat_q = pat.replace("'", "''")
+            repl_q = re.sub(r"\$(\d)", r"\\\1", repl).replace("'", "''")
+            s = f"regexp_replace({s}, '{pat_q}', '{repl_q}', 'g')"
+        arr = f"list_filter(string_split_regex({s}, '{rx}'), t -> t <> '')"
+        if spec["lower"]:
+            arr = f"list_transform({arr}, t -> lower(t))"
+        return arr
     # Spark SQL string literals eat single backslashes (default
     # escapedStringLiterals=false), so '\\[' would reach the regex
     # engine as '[' and the character class closes early ('Unclosed
     # character class'); double them for the literal parser.
+    for pat, repl in spec["pre"]:
+        pat_q = pat.replace("\\", "\\\\").replace("'", "''")
+        repl_q = repl.replace("'", "''")
+        s = f"regexp_replace({s}, '{pat_q}', '{repl_q}')"
     rx = rx.replace("\\", "\\\\")
-    return f"filter(split(coalesce({expr}, ''), '{rx}'), t -> t != '')"
+    arr = f"filter(split({s}, '{rx}'), t -> t != '')"
+    if spec["lower"]:
+        arr = f"transform({arr}, t -> lower(t))"
+    return arr
 
 
 def tokenize_udf(tokenizer: str = "standard"):

@@ -124,3 +124,129 @@ def test_tokens_sql_spark_dialect_executes(spark):
         .collect()[0]["t"]
     )
     assert got == want == ["a", "b", "c", "d", "e", "q", "f_g"]
+
+
+# ---- built-in "code" tokenizer (identifier-aware subtokens) ----
+
+CODE_SAMPLES = [
+    "getValue get_value GetValue HTTPServer parseHTTPResponse",
+    "MAX_RETRY_COUNT camelCaseName max2Value __init__ foo-bar",
+    "AAaAAa aBcDeF",  # adversarial acronym/alternation boundaries
+    "import os\nreturn self.value  # trailing",
+    "", None,
+]
+
+
+def test_code_tokenizer_goldens():
+    assert tokenize("getValue", "code") == ["get", "value"]
+    assert tokenize("get_value", "code") == ["get", "value"]
+    assert tokenize("GetValue", "code") == ["get", "value"]
+    assert tokenize("HTTPServer", "code") == ["http", "server"]
+    assert tokenize("parseHTTPResponse", "code") == ["parse", "http", "response"]
+    assert tokenize("MAX_RETRY_COUNT", "code") == ["max", "retry", "count"]
+    assert tokenize("max2Value", "code") == ["max2", "value"]
+    assert tokenize("a.b(c)->d", "code") == ["a", "b", "c", "d"]
+    assert tokenize("", "code") == [] and tokenize(None, "code") == []
+
+
+def test_code_positions_are_original_offsets():
+    s = "getValue HTTPServer a_b"
+    got = tokenize_with_positions(s, "code")
+    assert got == [
+        ("get", 0), ("value", 3), ("http", 9), ("server", 13),
+        ("a", 20), ("b", 22),
+    ]
+    # every position points at the original (pre-lowercase) substring
+    for tok, pos in got:
+        assert s[pos:pos + len(tok)].lower() == tok
+
+
+def test_code_positions_union_equals_sequential_rules():
+    # cut-point union on the raw run must equal sequential
+    # regexp_replace application (the tokens_col/tokens_sql path)
+    for s in CODE_SAMPLES:
+        toks = tokenize(s, "code")
+        pos_toks = [t for t, _ in tokenize_with_positions(s or "", "code")]
+        assert toks == pos_toks, s
+
+
+def test_code_tokens_sql_duckdb_agrees():
+    import duckdb
+
+    from spark_search.tokenizer import tokens_sql
+
+    con = duckdb.connect()
+    sql = tokens_sql("s", "code", "duckdb")
+    for s in CODE_SAMPLES:
+        got = con.execute(f"SELECT {sql} FROM (SELECT ? AS s)", [s]).fetchone()[0]
+        assert got == tokenize(s, "code"), s
+
+
+def test_code_tokens_col_and_sql_agree(spark):
+    from pyspark.sql import functions as F
+
+    from spark_search.tokenizer import tokens_col, tokens_sql
+
+    df = spark.createDataFrame([(s,) for s in CODE_SAMPLES], "content string")
+    got = [r[0] for r in df.select(tokens_col(F.col("content"), "code")).collect()]
+    assert got == [tokenize(s, "code") for s in CODE_SAMPLES]
+
+    df.createOrReplaceTempView("code_tok_v")
+    got_sql = [
+        r["t"]
+        for r in spark.sql(
+            f"SELECT {tokens_sql('content', 'code', 'spark')} AS t FROM code_tok_v"
+        ).collect()
+    ]
+    assert got_sql == got
+
+
+def test_register_tokenizer_pre_and_lowercase(spark):
+    from pyspark.sql import functions as F
+
+    from spark_search.tokenizer import register_tokenizer, tokens_col
+
+    # the inserted boundary space must itself be a delimiter of the
+    # split regex (the register_tokenizer contract)
+    register_tokenizer(
+        "digits_lower", "[0-9 ]+", pre=(("([a-z])([A-Z])", "$1 $2"),),
+        lowercase=True,
+    )
+    assert tokenize("aB1cD", "digits_lower") == ["a", "b", "c", "d"]
+    df = spark.createDataFrame([("aB1cD",)], "c string")
+    assert df.select(
+        tokens_col(F.col("c"), "digits_lower")
+    ).collect()[0][0] == ["a", "b", "c", "d"]
+
+
+def test_code_index_end_to_end(spark, tmp_path):
+    """A code-tokenized index answers `get value` for getValue/get_value
+    and the declarative pipeline agrees score-for-score."""
+    from pyspark.sql import functions as F
+
+    from spark_search import pipeline as P
+    from spark_search.build import build_index
+    from spark_search.corpus import CORPUS_SCHEMA
+    from spark_search.ids import with_doc_ids
+    from spark_search.query import IndexReader
+
+    rows = [
+        ("r", "a.py", "c0", "python", "def getValue(self): return self.value"),
+        ("r", "b.py", "c0", "python", "GET_VALUE = get_value(cfg)"),
+        ("r", "c.py", "c0", "python", "unrelated tokens here"),
+        ("r", "d.py", "c0", "python", "value = compute()"),
+    ]
+    corpus = with_doc_ids(spark.createDataFrame(rows, CORPUS_SCHEMA))
+    out = str(tmp_path / "codeidx")
+    build_index(spark, corpus, out, tokenizer="code")
+    r = IndexReader(spark, out)
+    got = r.search(["get", "value"], mode=P.AND_MATCH, k=10).collect()
+    paths = {corpus.where(F.col("doc_id") == row["doc_id"]).collect()[0]["path"]
+             for row in got}
+    assert paths == {"a.py", "b.py"}
+
+    decl = P.bm25_topk(corpus, ["get", "value"], mode=P.AND_MATCH, k=10,
+                       tokenizer="code").collect()
+    assert sorted((x["doc_id"], round(x["score"], 9)) for x in got) == sorted(
+        (x["doc_id"], round(x["score"], 9)) for x in decl
+    )

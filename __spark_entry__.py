@@ -915,6 +915,48 @@ def _docs_raw(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# Secret-scan fixture text: deterministic credential/PII plants over
+# the driver corpus (the raw word-soup text contains none), expressed
+# identically in Spark SQL and DuckDB. md5 yields the same lowercase
+# hex on both engines, so the planted AWS key / 32-hex token agree
+# byte-for-byte.
+_SECRET_TEXT_SPARK = (
+    "concat(coalesce(text, ''),"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' contact user',"
+    "   cast(doc_id AS string), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(' host 10.0.',"
+    "   cast(doc_id % 256 AS string), '.5') ELSE '' END,"
+    " CASE WHEN doc_id % 13 = 0 THEN concat(' key AKIA',"
+    "   upper(substring(md5(cast(doc_id AS string)), 1, 16))) ELSE '' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN concat(' token ',"
+    "   md5(cast(doc_id AS string))) ELSE '' END,"
+    " CASE WHEN doc_id % 19 = 0 THEN ' password = hunter2' ELSE '' END)"
+)
+_SECRET_TEXT_DUCK = (
+    "coalesce(text, '')"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user'"
+    "   || doc_id::VARCHAR || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.'"
+    "   || (doc_id % 256)::VARCHAR || '.5' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' key AKIA'"
+    "   || upper(substring(md5(doc_id::VARCHAR), 1, 16)) ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' token '"
+    "   || md5(doc_id::VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 19 = 0 THEN ' password = hunter2' ELSE '' END"
+)
+
+
+def _q_text_dup_spans(spark, sf_dir):
+    return TX.duplicated_ngram_shares(_docs_raw(spark, sf_dir))
+
+
+def _q_text_secret_scan(spark, sf_dir):
+    docs = _docs_raw(spark, sf_dir).withColumn(
+        "text", F.expr(_SECRET_TEXT_SPARK)
+    )
+    return TX.secret_scan(docs)
+
+
 def _emb_raw(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1122,6 +1164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_near": _q_curation_near,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
+        # cross-document duplicated n-gram coverage (boilerplate /
+        # license-header signal) + credential/PII scan
+        "text_dup_spans": _q_text_dup_spans,
+        "text_secret_scan": _q_text_secret_scan,
         # corpus shaping: sequence packing + stratified sampling
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
@@ -1256,6 +1302,8 @@ FROM tf GROUP BY term
         ),
         "text_quality": TX.quality_scores_sql(),
         "text_repetition": TX.repetition_scores_sql(),
+        "text_dup_spans": TX.duplicated_ngram_shares_sql(),
+        "text_secret_scan": TX.secret_scan_sql(text_expr=_SECRET_TEXT_DUCK),
         "pack_sequences": SA.pack_sequences_sql(),
         "sample_stratified": SA.sample_stratified_sql(),
         "text_lang_confusion": TX.lang_confusion_sql(),

@@ -459,3 +459,165 @@ SELECT doc_id::BIGINT AS doc_id,
          AS top_bigram_share
 FROM g
 """
+
+
+# ------------------------------------- cross-document duplicated spans
+
+
+def duplicated_ngram_shares(
+    docs: DataFrame, n: int = 4, min_df: int = 2
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_dup_ngrams, dup_share) — how much of each
+    document consists of word n-grams that also occur in OTHER
+    documents: the boilerplate signal of a source-code corpus (license
+    headers, copied build scaffolding, vendored snippets), in the
+    spirit of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") cross-document substring dedup.
+
+    A span counts as duplicated when its n-gram appears in >= min_df
+    DISTINCT documents; n_dup_ngrams counts every position of such an
+    n-gram (non-distinct), so dup_share is a per-position coverage
+    fraction. Docs shorter than n tokens have 0 n-grams and share 0.
+
+    Plan shape: exploded token rows + window ``lead`` build the grams
+    (the dedup._shingle_rows codegen pattern), then
+      (doc_id, gram) count  ->  gram-keyed df agg  ->  gram-keyed join
+      ->  doc_id-keyed sum
+    — three data-sized exchanges over (gram, count) rows, never over
+    content bytes, and no per-row Python. At 100 TB the gram strings
+    dominate shuffle volume; swapping the join key for xxhash64(gram)
+    halves the bytes at a ~1e-9 collision risk — kept exact here so
+    the DuckDB oracle (which groups raw strings) matches bit-for-bit.
+    """
+    ex = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(_toks(F.col("text"))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(w) for j in range(1, n)]
+    gram = F.concat_ws(" ", F.col("w"), *leads) if leads else F.col("w")
+    guard = leads[-1].isNotNull() if leads else F.lit(True)
+    grams = ex.select("doc_id", gram.alias("s"), guard.alias("_ok")).where(
+        "_ok"
+    )
+    per_ds = grams.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("_c"))
+    dfreq = per_ds.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    dup = (
+        per_ds.join(dfreq.where(F.col("_df") >= min_df), "s")
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("_n_dup"))
+    )
+    totals = per_ds.groupBy("doc_id").agg(F.sum("_c").alias("_n_all"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_all = F.coalesce(F.col("_n_all"), F.lit(0))
+    n_dup = F.coalesce(F.col("_n_dup"), F.lit(0))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_all.cast("long").alias("n_ngrams"),
+            n_dup.cast("long").alias("n_dup_ngrams"),
+            F.round(
+                F.when(
+                    n_all > 0, n_dup.cast("double") / n_all.cast("double")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_share"),
+        )
+    )
+
+
+def duplicated_ngram_shares_sql(n: int = 4, min_df: int = 2) -> str:
+    toks = _toks_duck()
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {gram})) AS s
+  FROM base
+), per_ds AS (
+  SELECT doc_id, s, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2
+), dfreq AS (
+  SELECT s, count(*)::BIGINT AS df FROM per_ds GROUP BY s
+), dup AS (
+  SELECT per_ds.doc_id, sum(per_ds.c)::BIGINT AS n_dup
+  FROM per_ds JOIN dfreq USING (s) WHERE dfreq.df >= {min_df}
+  GROUP BY per_ds.doc_id
+), totals AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_all FROM per_ds GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(totals.n_all, 0)::BIGINT AS n_ngrams,
+       coalesce(dup.n_dup, 0)::BIGINT AS n_dup_ngrams,
+       round(CASE WHEN coalesce(totals.n_all, 0) > 0
+                  THEN coalesce(dup.n_dup, 0)::DOUBLE / totals.n_all::DOUBLE
+                  ELSE 0.0 END, 6) AS dup_share
+FROM documents d
+LEFT JOIN totals ON totals.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+"""
+
+
+# ------------------------------------------------ secret / PII scan
+
+
+# Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, `[ \t]` instead of `\s` (the engines' \s classes differ
+# on vertical tab). Counting is non-overlapping full-match on both
+# engines (Spark regexp_count, DuckDB len(regexp_extract_all)).
+SECRET_PATTERNS: Dict[str, str] = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "n_hex32": r"\b[0-9a-fA-F]{32,}\b",
+    "n_aws_keys": r"AKIA[0-9A-Z]{16}",
+    "n_cred_assigns": r"(?i)(password|secret|api_key|token)[ \t]*[=:]",
+}
+
+
+def secret_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_hex32, n_aws_keys, n_cred_assigns,
+    has_secret) — likely-credential / PII counts per document: emails,
+    IPv4 literals, >=32-char hex blobs (API tokens, private-key
+    material), AWS-style access-key ids, and `password=`-shaped
+    assignments. The scrub-before-training gate every source-code
+    corpus needs; the reference engine has no scanning surface at all.
+
+    Map-only (one scan, regexp_count per pattern, zero Python, no
+    shuffle) — the plan is a single projected scan at any corpus size.
+    """
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(s, F.lit(pat)).cast("long").alias(name)
+        for name, pat in SECRET_PATTERNS.items()
+    ]
+    any_hit = None
+    for name in SECRET_PATTERNS:
+        c = F.col(name) > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), *counts
+    ).withColumn("has_secret", any_hit.cast("long"))
+
+
+def secret_scan_sql(text_expr: str = "coalesce(text, '')") -> str:
+    cols = []
+    for name, pat in SECRET_PATTERNS.items():
+        p = pat.replace("'", "''")
+        cols.append(
+            f"len(regexp_extract_all(s, '{p}'))::BIGINT AS {name}"
+        )
+    hits = " OR ".join(f"{name} > 0" for name in SECRET_PATTERNS)
+    inner = ",\n       ".join(cols)
+    return f"""
+WITH scanned AS (
+  SELECT doc_id,
+       {inner}
+  FROM (SELECT doc_id, {text_expr} AS s FROM documents)
+)
+SELECT doc_id::BIGINT AS doc_id, n_emails, n_ipv4, n_hex32, n_aws_keys,
+       n_cred_assigns, ({hits})::BIGINT AS has_secret
+FROM scanned
+"""

@@ -57,6 +57,8 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
         X.quality_scores(sf_docs),
         X.lang_confusion(sf_docs),
         X.fingerprints(sf_docs),
+        X.duplicated_ngram_shares(sf_docs),
+        X.secret_scan(sf_docs),
         D.exact_dup_groups(sf_docs),
         D.minhash_near_dup(sf_docs),
         D.ngram_jaccard_pairs(sf_docs),

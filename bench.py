@@ -180,6 +180,17 @@ def _measure(
     reader.search_many(batch16, P.WITH_SUGGESTIONS, k=10).collect()
     extra["q_multi16_indexed"] = round(time.time() - tq, 3)
 
+    # code-tokenizer declarative query: same OR query through the
+    # identifier-aware "code" analyzer (two regexp_replace boundary
+    # rules + split + lower, all codegen) — measures the code-payload
+    # tokenize chain's overhead vs q_or3_declarative's plain split
+    tq = time.time()
+    P.bm25_topk(
+        corpus, ["data", "join", "merge"], P.WITH_SUGGESTIONS, k=10,
+        tokenizer="code",
+    ).collect()
+    extra["q_or3_declarative_code"] = round(time.time() - tq, 3)
+
     # positional index variant: phrase answered with ZERO content reads
     # (opt-in positions=True build; its build time is reported
     # separately and is NOT part of the headline `value`)
@@ -247,6 +258,8 @@ def _measure(
         )),
         ("text_quality", lambda: TX.quality_scores(sf_docs).count()),
         ("text_repetition", lambda: TX.repetition_scores(sf_docs).count()),
+        ("text_dup_spans", lambda: TX.duplicated_ngram_shares(sf_docs).count()),
+        ("text_secret_scan", lambda: TX.secret_scan(sf_docs).count()),
         ("vocab_coverage", lambda: TX.vocab_coverage(sf_docs).count()),
         ("pack_sequences", lambda: SA.pack_sequences(sf_docs).count()),
         ("sample_stratified", lambda: SA.sample_stratified(sf_docs).count()),

@@ -995,6 +995,20 @@ def _q_curation_near(spark, sf_dir):
     )
 
 
+def _q_curation_boiler(spark, sf_dir):
+    # boilerplate + secret rules composed into the decision table
+    # (max_dup_share drops cross-doc duplicated-span-heavy docs;
+    # drop_secrets drops credential hits — zero on the raw corpus, the
+    # rule's plumbing still under the oracle)
+    return CU.curation_decisions(
+        _docs_raw(spark, sf_dir), max_dup_share=0.35, drop_secrets=True
+    ).select(
+        "doc_id",
+        "keep",
+        F.array_join("reasons", "|").alias("reasons"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     return TX.quality_scores(_docs_raw(spark, sf_dir))
 
@@ -1162,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite keep/drop decision table (dedup + quality + lang)
         "curation_decisions": _q_curation_decisions,
         "curation_near": _q_curation_near,
+        "curation_boilerplate": _q_curation_boiler,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         # cross-document duplicated n-gram coverage (boilerplate /
@@ -1299,6 +1314,11 @@ FROM tf GROUP BY term
             "SELECT doc_id, keep, "
             "coalesce(array_to_string(reasons, '|'), '') AS reasons "
             f"FROM ({CU.curation_decisions_sql(near_dup=True)})"
+        ),
+        "curation_boilerplate": (
+            "SELECT doc_id, keep, "
+            "coalesce(array_to_string(reasons, '|'), '') AS reasons "
+            f"FROM ({CU.curation_decisions_sql(max_dup_share=0.35, drop_secrets=True)})"
         ),
         "text_quality": TX.quality_scores_sql(),
         "text_repetition": TX.repetition_scores_sql(),

@@ -41,6 +41,9 @@ def curation_decisions(
     min_quality: float = DEFAULT_MIN_QUALITY,
     langs: Sequence[str] = DEFAULT_LANGS,
     near_dup: bool = False,
+    max_dup_share: float | None = None,
+    dup_ngram_n: int = 4,
+    drop_secrets: bool = False,
 ) -> DataFrame:
     """(doc_id, keep, reasons) — one row per document; ``reasons`` is
     the ordered array of violated rules (empty ⇔ keep). Thresholds
@@ -52,7 +55,15 @@ def curation_decisions(
     closure over verified LSH pairs, reason ``near_duplicate``), the
     full production dedup decision rather than exact-hash only; it
     adds the LSH band shuffle + component rounds to the plan, so the
-    exact-only default stays the cheap path."""
+    exact-only default stays the cheap path.
+
+    ``max_dup_share`` (opt-in) drops documents whose cross-document
+    duplicated n-gram coverage (textops.duplicated_ngram_shares,
+    6-decimal rounded) EXCEEDS the threshold — the boilerplate rule
+    (license headers, copied scaffolding); reason ``boilerplate``.
+
+    ``drop_secrets=True`` drops documents with any credential/PII hit
+    (textops.secret_scan); reason ``secret``."""
     q = quality_scores(docs).select("doc_id", "n_tokens", "quality")
     lid = lang_id(docs)
     dup = exact_dup_groups(docs).select("doc_id", F.col("keep").alias("_canon"))
@@ -66,14 +77,37 @@ def curation_decisions(
         )
         joined = joined.join(nd, "doc_id")
         near_col = F.col("_nd_canon")
+    if max_dup_share is not None:
+        from .textops import duplicated_ngram_shares
+
+        bp = duplicated_ngram_shares(docs, n=dup_ngram_n).select(
+            "doc_id", "dup_share"
+        )
+        joined = joined.join(bp, "doc_id")
+    if drop_secrets:
+        from .textops import secret_scan
+
+        sc = secret_scan(docs).select("doc_id", "has_secret")
+        joined = joined.join(sc, "doc_id")
     reasons = F.filter(
         F.array(
             F.when(~F.col("_canon"), F.lit("duplicate")),
             *([F.when(~near_col, F.lit("near_duplicate"))] if near_dup else []),
+            *(
+                [F.when(F.col("dup_share") > max_dup_share,
+                        F.lit("boilerplate"))]
+                if max_dup_share is not None
+                else []
+            ),
             F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
             F.when(F.col("quality") < min_quality, F.lit("low_quality")),
             F.when(
                 ~F.col("pred_lang").isin(list(langs)), F.lit("lang")
+            ),
+            *(
+                [F.when(F.col("has_secret") > 0, F.lit("secret"))]
+                if drop_secrets
+                else []
             ),
         ),
         lambda x: x.isNotNull(),
@@ -93,6 +127,9 @@ def curation_decisions_sql(
     min_quality: float = DEFAULT_MIN_QUALITY,
     langs: Sequence[str] = DEFAULT_LANGS,
     near_dup: bool = False,
+    max_dup_share: float | None = None,
+    dup_ngram_n: int = 4,
+    drop_secrets: bool = False,
 ) -> str:
     inlist = ", ".join(f"'{lg}'" for lg in langs)
     nd_cte = ""
@@ -107,10 +144,41 @@ def curation_decisions_sql(
         )
         nd_join = " JOIN nd ON nd.doc_id = q.doc_id"
         nd_case = "CASE WHEN NOT nd.nd_canon THEN 'near_duplicate' END,\n           "
+    bp_cte = ""
+    bp_join = ""
+    bp_case = ""
+    if max_dup_share is not None:
+        from .textops import duplicated_ngram_shares_sql
+
+        bp_cte = (
+            f"bp AS (SELECT doc_id, dup_share "
+            f"FROM ({duplicated_ngram_shares_sql(n=dup_ngram_n)}) y),"
+        )
+        bp_join = " JOIN bp ON bp.doc_id = q.doc_id"
+        bp_case = (
+            f"CASE WHEN bp.dup_share > {max_dup_share} "
+            "THEN 'boilerplate' END,\n           "
+        )
+    sc_cte = ""
+    sc_join = ""
+    sc_case = ""
+    if drop_secrets:
+        from .textops import secret_scan_sql
+
+        sc_cte = (
+            f"sc AS (SELECT doc_id, has_secret "
+            f"FROM ({secret_scan_sql()}) w),"
+        )
+        sc_join = " JOIN sc ON sc.doc_id = q.doc_id"
+        sc_case = (
+            ",\n           CASE WHEN sc.has_secret > 0 THEN 'secret' END"
+        )
     return f"""
 WITH q AS (SELECT doc_id, n_tokens, quality FROM ({quality_scores_sql()})),
 l AS (SELECT doc_id, pred_lang FROM ({_lang_pred_sql()})),
 {nd_cte}
+{bp_cte}
+{sc_cte}
 d AS (SELECT doc_id,
              doc_id = min(doc_id) OVER (
                PARTITION BY sha256(coalesce(text, ''))) AS canon
@@ -119,11 +187,11 @@ r AS (
   SELECT q.doc_id,
          list_filter([
            CASE WHEN NOT d.canon THEN 'duplicate' END,
-           {nd_case}CASE WHEN q.n_tokens < {min_tokens} THEN 'too_short' END,
+           {nd_case}{bp_case}CASE WHEN q.n_tokens < {min_tokens} THEN 'too_short' END,
            CASE WHEN q.quality < {min_quality} THEN 'low_quality' END,
-           CASE WHEN l.pred_lang NOT IN ({inlist}) THEN 'lang' END
+           CASE WHEN l.pred_lang NOT IN ({inlist}) THEN 'lang' END{sc_case}
          ], x -> x IS NOT NULL) AS reasons
-  FROM q JOIN l ON l.doc_id = q.doc_id JOIN d ON d.doc_id = q.doc_id{nd_join})
+  FROM q JOIN l ON l.doc_id = q.doc_id JOIN d ON d.doc_id = q.doc_id{nd_join}{bp_join}{sc_join})
 SELECT doc_id::BIGINT AS doc_id, len(reasons) = 0 AS keep, reasons
 FROM r
 """

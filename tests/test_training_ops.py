@@ -385,3 +385,32 @@ def test_secret_scan_counts(spark):
     assert got[2].n_aws_keys == 1 and got[2].n_hex32 == 1
     assert got[3].n_cred_assigns == 3
     assert got[4].has_secret == 0 and got[5].has_secret == 0
+
+
+def test_curation_boilerplate_and_secret_rules(spark):
+    """max_dup_share drops span-duplicated docs ('boilerplate');
+    drop_secrets drops credential hits ('secret'); both are opt-in."""
+    from spark_search.curate import curation_decisions
+
+    header = " ".join(f"w{i}" for i in range(20))  # shared 20-token run
+    long_tail = " ".join(f"u{i} v{i}" for i in range(20))
+    rows = [
+        (0, header + " alpha beta gamma delta " + long_tail, "en"),
+        (1, header + " epsilon zeta eta theta " + long_tail.replace("u", "x"),
+         "en"),
+        (2, "password = hunter2 " + " ".join(f"s{i} t{i}" for i in range(20)),
+         "en"),
+        (3, " ".join(f"p{i} q{i}" for i in range(30)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = {r.doc_id: r for r in curation_decisions(
+        docs, min_quality=0.0, langs=["en", "und"]).collect()}
+    assert all(base[i].keep for i in range(4))  # opt-ins off: all kept
+
+    got = {r.doc_id: r for r in curation_decisions(
+        docs, min_quality=0.0, langs=["en", "und"],
+        max_dup_share=0.25, drop_secrets=True).collect()}
+    assert "boilerplate" in list(got[0].reasons)
+    assert "boilerplate" in list(got[1].reasons)
+    assert "secret" in list(got[2].reasons) and not got[2].keep
+    assert got[3].keep

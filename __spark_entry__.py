@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spark_search import curate as CU
+from spark_search import decontam as DX
 from spark_search import dedup as DD
+from spark_search import mixing as MX
 from spark_search import multimodal as MM
 from spark_search import pipeline as P
 from spark_search import sampling as SA
@@ -950,6 +952,27 @@ def _q_text_dup_spans(spark, sf_dir):
     return TX.duplicated_ngram_shares(_docs_raw(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    # benchmark-decontamination: the eval set is carved from the same
+    # documents table by a deterministic predicate (doc_id % 37 == 0),
+    # so the pair needs no external benchmark input; n=3 gives a
+    # discriminative overlap distribution at sf<=0.01 (312/486 docs
+    # nonzero) while the library default stays at the GPT-3-style
+    # longer gram
+    docs = _docs_raw(spark, sf_dir)
+    return DX.decontaminate(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        n=3,
+    )
+
+
+def _q_mix_plan(spark, sf_dir):
+    # uniform-target domain mix over the observed languages (the
+    # deterministic no-external-input default)
+    return MX.mix_plan(_docs_raw(spark, sf_dir))
+
+
 def _q_text_secret_scan(spark, sf_dir):
     docs = _docs_raw(spark, sf_dir).withColumn(
         "text", F.expr(_SECRET_TEXT_SPARK)
@@ -1183,6 +1206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # license-header signal) + credential/PII scan
         "text_dup_spans": _q_text_dup_spans,
         "text_secret_scan": _q_text_secret_scan,
+        # benchmark decontamination (corpus-vs-eval n-gram overlap) +
+        # domain-mix planning (per-lang token shares -> sampling weights)
+        "decontaminate": _q_decontaminate,
+        "mix_plan": _q_mix_plan,
         # corpus shaping: sequence packing + stratified sampling
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
@@ -1323,6 +1350,8 @@ FROM tf GROUP BY term
         "text_quality": TX.quality_scores_sql(),
         "text_repetition": TX.repetition_scores_sql(),
         "text_dup_spans": TX.duplicated_ngram_shares_sql(),
+        "decontaminate": DX.decontaminate_sql(n=3),
+        "mix_plan": MX.mix_plan_sql(),
         "text_secret_scan": TX.secret_scan_sql(text_expr=_SECRET_TEXT_DUCK),
         "pack_sequences": SA.pack_sequences_sql(),
         "sample_stratified": SA.sample_stratified_sql(),

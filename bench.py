@@ -231,7 +231,9 @@ def _measure(
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
     from pyspark.sql import functions as F
+    from spark_search import decontam as DX
     from spark_search import dedup as DD
+    from spark_search import mixing as MX
     from spark_search import multimodal as MM
     from spark_search import sampling as SA
     from spark_search import similarity as SIM
@@ -256,6 +258,12 @@ def _measure(
                 *DD.minhash_state(sf_docs.where(F.col("doc_id") % 5 != 0)),
             ).count()
         )),
+        ("decontaminate", lambda: DX.decontaminate(
+            sf_docs.where(F.col("doc_id") % 37 != 0),
+            sf_docs.where(F.col("doc_id") % 37 == 0),
+            n=3,
+        ).count()),
+        ("mix_plan", lambda: MX.mix_plan(sf_docs).count()),
         ("text_quality", lambda: TX.quality_scores(sf_docs).count()),
         ("text_repetition", lambda: TX.repetition_scores(sf_docs).count()),
         ("text_dup_spans", lambda: TX.duplicated_ngram_shares(sf_docs).count()),

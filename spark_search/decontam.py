@@ -1,0 +1,175 @@
+"""Benchmark decontamination: flag corpus documents whose word n-grams
+overlap an evaluation/benchmark set.
+
+Training-data hygiene staple (GPT-3 App. C used 13-gram overlap; PaLM,
+Llama and The Pile publish variants of the same recipe): before a corpus
+is used for training, any document sharing long n-grams with the eval
+benchmarks must be flagged or dropped, or downstream eval numbers are
+contaminated. This is NOT the same operator as
+``textops.duplicated_ngram_shares`` (within-corpus boilerplate coverage)
+— here the reference side is a separate, usually tiny, document set and
+the output is per-corpus-doc overlap against it.
+
+Reference analog: the closest surface in mmazurkevich/search-engine is
+the registry liveness filter that drops documents from results
+(`engine/src/main/java/org/search/engine/search/SimpleSearchManager.java:64-66`)
+— a per-document keep/drop decision; the n-gram machinery itself is new
+scope the reference (boolean membership index, SURVEY.md §0 fact 1)
+never needed.
+
+Scale shape (100 TB corpus, ~MB-scale benchmark): the eval side shingles
+to a SMALL distinct-gram table (benchmarks are human-written suites,
+thousands of docs), so the join is a broadcast hash join against the
+corpus gram stream — the corpus side is never shuffled, making the whole
+operator map-side after one exploded-token window per doc. If the eval
+side ever outgrows broadcast (it should not), the same plan degrades to
+a gram-keyed shuffle join, still Σ|grams| volume, never content bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import _toks, _toks_duck
+
+__all__ = ["decontaminate", "decontaminate_sql"]
+
+
+def _gram_rows(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """(id, s) word-n-gram rows via the codegen posexplode+lead pattern
+    (the repo's measured HOF-free shingle plan, dedup._shingle_rows)."""
+    ex = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.posexplode(_toks(F.col("text"))).alias("pos", "w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", j).over(w) for j in range(1, n)]
+    gram = F.concat_ws(" ", F.col("w"), *leads) if leads else F.col("w")
+    guard = leads[-1].isNotNull() if leads else F.lit(True)
+    return (
+        ex.select(F.col(id_col), gram.alias("s"), guard.alias("_ok"))
+        .where("_ok")
+        .drop("_ok")
+    )
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_contaminated, contam_share, n_eval_docs_hit)
+    — for every corpus document, how much of it consists of word
+    ``n``-grams that also appear in the evaluation set, and how many
+    distinct eval documents it collides with.
+
+    ``n_contaminated`` counts every corpus-side gram POSITION whose gram
+    exists anywhere in ``eval_docs`` (non-distinct, so ``contam_share``
+    is positional coverage like ``dup_share``); ``n_eval_docs_hit`` is
+    the number of distinct eval doc_ids sharing >=1 gram. Docs shorter
+    than ``n`` tokens have 0 grams, share 0.0, and 0 hits — every input
+    doc gets exactly one output row (left joins from the registry), so
+    the keep/drop decision downstream is a simple ``contam_share``
+    threshold with no missing-row ambiguity.
+
+    Plan: corpus grams (window lead, codegen) -> groupBy(doc_id, s)
+    counts; eval grams -> per-gram distinct-eval-doc counts (a TINY
+    table, broadcast) -> one broadcast join + doc_id agg. The corpus
+    side is exchanged only on doc_id (the window + final agg); gram
+    strings from the 100 TB side never shuffle.
+    """
+    grams = _gram_rows(docs, n)
+    per_ds = grams.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("_c"))
+    eval_grams = _gram_rows(eval_docs, n).select("s").distinct()
+    hit = (
+        per_ds.join(F.broadcast(eval_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("_n_bad"))
+    )
+    # distinct eval docs hit needs the (corpus_doc, eval_doc) pair set;
+    # keep it a second broadcast join over the DISTINCT corpus grams so
+    # the pair blow-up is bounded by |corpus grams| x |eval dups|
+    eval_pairs = _gram_rows(eval_docs, n).select(
+        F.col("s"), F.col("doc_id").alias("_eid")
+    ).distinct()
+    hits_docs = (
+        per_ds.select("doc_id", "s")
+        .join(F.broadcast(eval_pairs), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("_eid").alias("_n_hit"))
+    )
+    totals = per_ds.groupBy("doc_id").agg(F.sum("_c").alias("_n_all"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_all = F.coalesce(F.col("_n_all"), F.lit(0))
+    n_bad = F.coalesce(F.col("_n_bad"), F.lit(0))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .join(hits_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_all.cast("long").alias("n_ngrams"),
+            n_bad.cast("long").alias("n_contaminated"),
+            F.round(
+                F.when(
+                    n_all > 0, n_bad.cast("double") / n_all.cast("double")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contam_share"),
+            F.coalesce(F.col("_n_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_eval_docs_hit"),
+        )
+    )
+
+
+def decontaminate_sql(
+    n: int = 5,
+    corpus_pred: str = "doc_id % 37 <> 0",
+    eval_pred: str = "doc_id % 37 = 0",
+) -> str:
+    """DuckDB oracle twin over the `documents` view: corpus vs eval
+    split by the given deterministic predicates (the entry pair splits
+    the same table so the oracle needs no second input)."""
+    toks = _toks_duck()
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, {toks} AS t FROM documents WHERE {corpus_pred}
+), ev AS (
+  SELECT doc_id, {toks} AS t FROM documents WHERE {eval_pred}
+), cg AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {gram})) AS s
+  FROM corpus
+), eg AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {gram})) AS s
+  FROM ev
+), per_ds AS (
+  SELECT doc_id, s, count(*)::BIGINT AS c FROM cg GROUP BY 1, 2
+), eset AS (
+  SELECT DISTINCT s FROM eg
+), epairs AS (
+  SELECT DISTINCT s, doc_id AS eid FROM eg
+), bad AS (
+  SELECT per_ds.doc_id, sum(per_ds.c)::BIGINT AS n_bad
+  FROM per_ds JOIN eset USING (s) GROUP BY per_ds.doc_id
+), hitd AS (
+  SELECT per_ds.doc_id, count(DISTINCT epairs.eid)::BIGINT AS n_hit
+  FROM per_ds JOIN epairs USING (s) GROUP BY per_ds.doc_id
+), totals AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_all FROM per_ds GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(totals.n_all, 0)::BIGINT AS n_ngrams,
+       coalesce(bad.n_bad, 0)::BIGINT AS n_contaminated,
+       round(CASE WHEN coalesce(totals.n_all, 0) > 0
+                  THEN coalesce(bad.n_bad, 0)::DOUBLE / totals.n_all::DOUBLE
+                  ELSE 0.0 END, 6) AS contam_share,
+       coalesce(hitd.n_hit, 0)::BIGINT AS n_eval_docs_hit
+FROM documents d
+LEFT JOIN totals ON totals.doc_id = d.doc_id
+LEFT JOIN bad ON bad.doc_id = d.doc_id
+LEFT JOIN hitd ON hitd.doc_id = d.doc_id
+WHERE {corpus_pred.replace('doc_id', 'd.doc_id')}
+"""

@@ -1,0 +1,117 @@
+"""Domain-mix planning: per-domain token accounting and sampling
+weights that reshape a corpus toward a target distribution.
+
+Training-data staple (The Pile's per-set epochs, DoReMi's domain
+weights, Llama's per-source sampling fractions are all instances):
+given the observed token share of each domain (language, source, ...),
+compute the per-domain sampling weight that a downstream sampler (e.g.
+``sampling.sample_stratified`` run per-domain with ``frac = weight *
+base_frac``) applies to hit the target mix, with an explicit upsampling
+cap so rare domains are not repeated into memorization.
+
+Reference analog: none — mmazurkevich/search-engine indexes one local
+folder with no notion of corpus composition; this module is part of the
+training-pipeline scope layered on top (same status as dedup/sampling).
+
+Scale shape: ONE partial+final hash aggregation over (key, token_count)
+rows — map-side combine reduces the 100 TB scan to |domains| rows
+(dozens) before the exchange, then every downstream computation (shares,
+weights) happens on that tiny frame. Nothing here grows with corpus
+size except the initial scan.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import _toks, _toks_duck
+
+__all__ = ["mix_plan", "mix_plan_sql"]
+
+
+def mix_plan(
+    docs: DataFrame,
+    key_col: str = "lang",
+    target: Optional[Dict[str, float]] = None,
+    max_weight: float = 5.0,
+) -> DataFrame:
+    """(key, n_docs, n_tokens, obs_frac, target_frac, weight) — one row
+    per distinct ``key_col`` value, ordered by key.
+
+    ``obs_frac`` is the domain's share of corpus TOKENS (not docs —
+    training budgets are token budgets). ``target_frac`` comes from
+    ``target`` (missing keys get 0, so they weight to 0 = drop);
+    ``target=None`` means uniform over the observed domains — the
+    deterministic default that needs no external input. ``weight`` is
+    ``target_frac / obs_frac`` capped at ``max_weight`` (an uncapped
+    weight on a tiny domain means repeating it for many epochs — the
+    cap surfaces that decision instead of hiding it; renormalizing
+    after the cap is the caller's policy). All floats rounded to 6dp
+    for bit-stable cross-engine comparison.
+
+    NULL keys group as the literal string '__null__' so no corpus byte
+    is silently dropped from the accounting.
+    """
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+    per = (
+        docs.select(key.alias("key"), F.size(_toks(F.col("text"))).alias("_t"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy()  # |domains| rows only — safe global window
+    obs = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total)
+    if target is None:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(total)
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        tgt = F.coalesce(mapping[F.col("key")], F.lit(0.0))
+    w = F.when(obs > 0, tgt / obs).otherwise(F.lit(0.0))
+    return per.select(
+        "key",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(obs, 6).alias("obs_frac"),
+        F.round(tgt, 6).alias("target_frac"),
+        F.round(F.least(w, F.lit(float(max_weight))), 6).alias("weight"),
+    ).orderBy("key")
+
+
+def mix_plan_sql(
+    key_col: str = "lang",
+    target: Optional[Dict[str, float]] = None,
+    max_weight: float = 5.0,
+) -> str:
+    """DuckDB oracle twin of :func:`mix_plan` over the `documents` view."""
+    toks = _toks_duck()
+    if target is None:
+        tgt = "1.0 / count(*) OVER ()"
+    else:
+        cases = " ".join(
+            f"WHEN '{k}' THEN {float(v)!r}" for k, v in target.items()
+        )
+        tgt = f"CASE key {cases} ELSE 0.0 END"
+    return f"""
+WITH per AS (
+  SELECT coalesce(CAST({key_col} AS VARCHAR), '__null__') AS key,
+         count(*)::BIGINT AS n_docs,
+         sum(len({toks}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT key,
+       n_docs,
+       n_tokens,
+       round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS obs_frac,
+       round({tgt}, 6) AS target_frac,
+       round(least(CASE WHEN n_tokens > 0
+                        THEN ({tgt}) / (n_tokens::DOUBLE / sum(n_tokens) OVER ())
+                        ELSE 0.0 END, {float(max_weight)!r}), 6) AS weight
+FROM per ORDER BY key
+"""

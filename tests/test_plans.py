@@ -46,12 +46,20 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
     """BatchEvalPython = per-row pickled Python (forbidden in every hot
     path, SURVEY.md §7.4.3). ArrowEvalPython / MapInPandas are the only
     allowed Python operators."""
+    from spark_search import decontam as DX
     from spark_search import dedup as D
+    from spark_search import mixing as MX
     from spark_search import multimodal as M
     from spark_search import similarity as S
     from spark_search import textops as X
 
     dfs = [
+        DX.decontaminate(
+            sf_docs.where("doc_id % 37 <> 0"),
+            sf_docs.where("doc_id % 37 = 0"),
+            n=3,
+        ),
+        MX.mix_plan(sf_docs),
         P.bm25_topk(corpus, ["data", "join"], P.WITH_SUGGESTIONS),
         X.token_counts(sf_docs),
         X.quality_scores(sf_docs),

@@ -414,3 +414,106 @@ def test_curation_boilerplate_and_secret_rules(spark):
     assert "boilerplate" in list(got[1].reasons)
     assert "secret" in list(got[2].reasons) and not got[2].keep
     assert got[3].keep
+
+
+# ------------------------------------------------ decontamination / mixing
+
+
+def test_decontaminate_semantics(spark):
+    """Planted overlap: doc 1's grams {a b c, b c d, c d e, d e f} hit
+    eval grams {a b c, b c d} (eval doc 10) and {c d e} (eval doc 11)
+    -> 3/4 positions contaminated across 2 distinct eval docs."""
+    from spark_search import decontam as DX
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d"), (11, "c d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in DX.decontaminate(corpus, ev, n=3).collect()}
+    assert len(out) == 3
+    assert out[1]["n_ngrams"] == 4
+    assert out[1]["n_contaminated"] == 3
+    assert abs(out[1]["contam_share"] - 0.75) < 1e-9
+    assert out[1]["n_eval_docs_hit"] == 2
+    assert out[2]["n_contaminated"] == 0 and out[2]["n_eval_docs_hit"] == 0
+    assert out[3]["n_ngrams"] == 0 and out[3]["contam_share"] == 0.0
+
+
+def test_decontaminate_counts_repeated_positions(spark):
+    """Coverage is positional: a contaminated gram occurring twice
+    counts twice in n_contaminated (same convention as dup_share)."""
+    from spark_search import decontam as DX
+
+    corpus = spark.createDataFrame(
+        [(1, "p q r s p q r")], "doc_id long, text string"
+    )  # grams: pqr qrs rsp spq pqr -> "p q r" occurs twice
+    ev = spark.createDataFrame([(9, "p q r")], "doc_id long, text string")
+    row = DX.decontaminate(corpus, ev, n=3).collect()[0]
+    assert row["n_ngrams"] == 5
+    assert row["n_contaminated"] == 2
+    assert row["n_eval_docs_hit"] == 1
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """The eval gram set must reach the corpus side as a broadcast —
+    the 100 TB corpus side never shuffles gram strings — and no stage
+    may fall back to row-at-a-time Python."""
+    from spark_search import decontam as DX
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = DX.decontaminate(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        n=3,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mix_plan_uniform_default(spark):
+    """Uniform target over observed domains: weight = (1/k) / obs_frac,
+    capped; token accounting matches whitespace tokenization."""
+    from spark_search import mixing as MX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en"),  # 6 tokens
+            (2, "g h", "en"),          # 2 tokens
+            (3, "x y", "de"),          # 2 tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["key"]: r for r in MX.mix_plan(docs).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_tokens"] == 8
+    assert out["de"]["n_docs"] == 1 and out["de"]["n_tokens"] == 2
+    assert abs(out["en"]["obs_frac"] - 0.8) < 1e-6
+    assert abs(out["en"]["weight"] - 0.625) < 1e-6   # 0.5 / 0.8
+    assert abs(out["de"]["weight"] - 2.5) < 1e-6     # 0.5 / 0.2
+
+
+def test_mix_plan_explicit_target_caps_and_drops(spark):
+    """Explicit target: missing domains weight to 0 (drop); rare
+    domains cap at max_weight instead of unbounded upsampling."""
+    from spark_search import mixing as MX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i", "en"),  # 9 tokens
+            (2, "x", "de"),                  # 1 token
+            (3, "y z", None),                # null key bucket
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["key"]: r
+        for r in MX.mix_plan(
+            docs, target={"en": 0.5, "de": 0.5}, max_weight=4.0
+        ).collect()
+    }
+    assert out["__null__"]["weight"] == 0.0
+    assert abs(out["en"]["weight"] - (0.5 / 0.75)) < 1e-6
+    assert out["de"]["weight"] == 4.0  # 0.5/(1/12)=6.0 capped at 4

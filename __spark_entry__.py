@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from spark_search import curate as CU
 from spark_search import decontam as DX
 from spark_search import dedup as DD
+from spark_search import lm as LM
 from spark_search import mixing as MX
 from spark_search import multimodal as MM
 from spark_search import pipeline as P
@@ -1050,6 +1051,18 @@ def _q_sample_stratified(spark, sf_dir):
     return SA.sample_stratified(_docs_raw(spark, sf_dir))
 
 
+def _q_text_lm_scores(spark, sf_dir):
+    # unigram-LM cross-entropy / perplexity quality scores (CCNet-style
+    # LM filtering, self-trained on the corpus — no external artifact)
+    return LM.lm_scores(_docs_raw(spark, sf_dir))
+
+
+def _q_text_pmi_bigrams(spark, sf_dir):
+    # PMI collocation table (Church-Hanks) — top adjacent-pair
+    # associations with a min-count support floor
+    return LM.pmi_bigrams(_docs_raw(spark, sf_dir))
+
+
 def _q_text_lang_confusion(spark, sf_dir):
     return TX.lang_confusion(_docs_raw(spark, sf_dir))
 
@@ -1215,6 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
+        # corpus LM statistics: unigram-LM quality scoring + PMI
+        # collocations
+        "text_lm_scores": _q_text_lm_scores,
+        "text_pmi_bigrams": _q_text_pmi_bigrams,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_incremental": _q_dedup_incremental,
@@ -1357,6 +1374,8 @@ FROM tf GROUP BY term
         "sample_stratified": SA.sample_stratified_sql(),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),
+        "text_lm_scores": LM.lm_scores_sql(),
+        "text_pmi_bigrams": LM.pmi_bigrams_sql(),
         "dedup_exact": DD.exact_dup_groups_sql(),
         "dedup_minhash_lsh": DD.minhash_near_dup_sql(),
         "dedup_incremental": DD.minhash_near_dup_incremental_sql(

@@ -233,6 +233,7 @@ def _measure(
     from pyspark.sql import functions as F
     from spark_search import decontam as DX
     from spark_search import dedup as DD
+    from spark_search import lm as LM
     from spark_search import mixing as MX
     from spark_search import multimodal as MM
     from spark_search import sampling as SA
@@ -264,6 +265,8 @@ def _measure(
             n=3,
         ).count()),
         ("mix_plan", lambda: MX.mix_plan(sf_docs).count()),
+        ("text_lm_scores", lambda: LM.lm_scores(sf_docs).count()),
+        ("text_pmi_bigrams", lambda: LM.pmi_bigrams(sf_docs).count()),
         ("text_quality", lambda: TX.quality_scores(sf_docs).count()),
         ("text_repetition", lambda: TX.repetition_scores(sf_docs).count()),
         ("text_dup_spans", lambda: TX.duplicated_ngram_shares(sf_docs).count()),

@@ -1,0 +1,256 @@
+"""Corpus language-model statistics: unigram-LM document scoring and
+PMI collocation mining.
+
+Two training-data staples the quality-filter layer needs beyond
+per-document heuristics (textops.quality_scores):
+
+  * ``lm_scores`` — CCNet-style LM quality filtering: score every
+    document by its cross-entropy under a unigram language model
+    trained on the corpus itself (add-k smoothed). High-perplexity
+    documents are gibberish/boilerplate candidates; the per-doc number
+    feeds ``curate.curation_decisions``-style thresholds. (CCNet used a
+    Wikipedia-trained 5-gram LM; the unigram form keeps the operator
+    closed over the corpus — no external model artifact — while
+    exercising the identical pipeline shape: train counts → broadcast
+    totals → score each doc.)
+  * ``pmi_bigrams`` — collocation mining (Church & Hanks PMI): the
+    corpus's most-associated adjacent word pairs. The classic
+    vocabulary/tokenizer-diagnostic table — multi-word units that a
+    BPE budget or a stopword list should know about.
+
+Reference analog: none — the reference engine has no corpus statistics
+at all (its index is a boolean membership tree, SURVEY.md §0 fact 1);
+both operators are part of the training-pipeline scope layered on top,
+but they reuse the engine's exact whitespace tokenizer so their numbers
+are consistent with every other operator over the `documents` table.
+
+Scale shape (the 100 TB question):
+
+  * ``lm_scores`` — the (doc, term, tf) stream is the SAME exchange the
+    index build runs (partial+final hash agg on (doc_id, term)); the
+    model is a (term, count) table produced by a map-side-combined agg
+    of that stream, joined back term-keyed. The join is data-sized and
+    skew-tolerant (hot terms like 'the' have at most one row per doc on
+    the left; AQE skew-split applies); nothing is collected to the
+    driver but the 2-value totals row. Three shuffles total, all bounded
+    by Σ distinct-(doc,term), never content bytes.
+  * ``pmi_bigrams`` — bigram rows come from the repo's measured
+    codegen shingle plan (posexplode + window lead, dedup._shingle_rows
+    precedent); counts are map-side combined, the ``min_count`` filter
+    cuts the candidate table BEFORE the two unigram-count joins, and
+    only ``top_n`` rows survive to the driver. The final global sort
+    runs on the post-filter candidate table (collocations with
+    count >= min_count), orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .tokenizer import tokens_col, tokens_sql
+
+__all__ = ["lm_scores", "lm_scores_sql", "pmi_bigrams", "pmi_bigrams_sql"]
+
+DEFAULT_ADD_K = 0.5     # add-k smoothing mass per vocab entry
+DEFAULT_MIN_COUNT = 5   # pmi_bigrams: min bigram occurrences
+DEFAULT_TOP_N = 50      # pmi_bigrams: result rows
+
+
+def _toks(col: Column) -> Column:
+    return tokens_col(col, "whitespace")
+
+
+def _toks_duck(expr: str = "text") -> str:
+    return tokens_sql(expr, tokenizer="whitespace", dialect="duckdb")
+
+
+# --------------------------------------------------- unigram LM scoring
+
+
+def lm_scores(docs: DataFrame, add_k: float = DEFAULT_ADD_K) -> DataFrame:
+    """(doc_id, n_tokens, xent, ppl) — per-document cross-entropy and
+    perplexity under the corpus's own add-k-smoothed unigram LM.
+
+    Model: p(t) = (c(t) + k) / (T + k·V) with c(t) the corpus count of
+    token t, T the total token count, V the vocabulary size.
+    xent(d) = -(1/|d|)·Σ_{t∈d} ln p(t) (sum over token POSITIONS, so a
+    repeated token counts each time); ppl = e^xent. Empty documents get
+    xent = 0, ppl = 1 (and one output row each — the registry left-join
+    guarantees a keep/drop decision for every input doc).
+
+    Training is self-inclusive (the scored doc's tokens are in the
+    counts) — deterministic and artifact-free; for a held-out variant,
+    train on ``docs.where(...)`` and score the complement with the same
+    recipe. Floats rounded to 6dp for cross-engine comparison (the
+    underlying sums are doubles over exact integer counts).
+    """
+    k = float(add_k)
+    tf = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(_toks(F.col("text"))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("T"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    logp = F.log(
+        (F.col("c").cast("double") + F.lit(k))
+        / (F.col("T") + F.lit(k) * F.col("V"))
+    )
+    per_doc = (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf").cast("double") * -logp).alias("_nll"),
+            F.sum("tf").cast("long").alias("_n"),
+        )
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    xent = F.when(
+        F.col("_n") > 0, F.col("_nll") / F.col("_n").cast("double")
+    ).otherwise(F.lit(0.0))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(xent, 6).alias("xent"),
+        F.round(F.exp(xent), 6).alias("ppl"),
+    )
+
+
+def lm_scores_sql(add_k: float = DEFAULT_ADD_K) -> str:
+    """DuckDB oracle twin of :func:`lm_scores` over the `documents`
+    view — identical counts, smoothing, and float arithmetic."""
+    toks = _toks_duck()
+    k = float(add_k)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY 1, 2
+), cnt AS (
+  SELECT term, sum(tf)::BIGINT AS c FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(c)::DOUBLE AS T, count(*)::DOUBLE AS V FROM cnt
+), per_doc AS (
+  SELECT tf.doc_id,
+         sum(tf.tf::DOUBLE * -ln((cnt.c::DOUBLE + {k!r}) / (tot.T + {k!r} * tot.V))) AS nll,
+         sum(tf.tf)::BIGINT AS n
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(per_doc.n, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN coalesce(per_doc.n, 0) > 0
+                  THEN per_doc.nll / per_doc.n::DOUBLE ELSE 0.0 END, 6) AS xent,
+       round(exp(CASE WHEN coalesce(per_doc.n, 0) > 0
+                      THEN per_doc.nll / per_doc.n::DOUBLE ELSE 0.0 END), 6) AS ppl
+FROM documents d
+LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------- PMI collocations
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = DEFAULT_MIN_COUNT,
+    top_n: int = DEFAULT_TOP_N,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — the corpus's ``top_n`` most-associated
+    adjacent token pairs by pointwise mutual information, among pairs
+    occurring at least ``min_count`` times.
+
+    PMI(x,y) = ln( (c(xy)/T2) / ((c(x)/T1)·(c(y)/T1)) ) with c(xy) the
+    adjacent-pair count, T2 the total pair count, c(·)/T1 the unigram
+    probabilities. Bigrams never cross document boundaries. Ordering is
+    by the ROUNDED pmi (6dp) desc, then (w1, w2) asc — bit-stable
+    across engines because every count is an exact integer and the only
+    float is one ln of their ratio.
+    """
+    ex = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(_toks(F.col("text"))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        ex.select(
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = ex.groupBy(F.col("w").alias("term")).agg(
+        F.count(F.lit(1)).alias("n_uni")
+    )
+    t2 = pair_counts.agg(F.sum("n_pair").cast("double").alias("T2"))
+    t1 = uni.agg(F.sum("n_uni").cast("double").alias("T1"))
+    cand = pair_counts.where(F.col("n_pair") >= int(min_count))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n_uni").alias("_c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n_uni").alias("_c2"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("T2"))
+        / (
+            (F.col("_c1").cast("double") / F.col("T1"))
+            * (F.col("_c2").cast("double") / F.col("T1"))
+        )
+    )
+    return (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(top_n))
+    )
+
+
+def pmi_bigrams_sql(
+    min_count: int = DEFAULT_MIN_COUNT, top_n: int = DEFAULT_TOP_N
+) -> str:
+    """DuckDB oracle twin of :func:`pmi_bigrams`."""
+    toks = _toks_duck()
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.w AS w, t.pos AS pos
+  FROM (SELECT doc_id, {toks} AS ts FROM documents),
+       LATERAL (SELECT unnest(ts) AS w,
+                       generate_subscripts(ts, 1) AS pos) AS t
+), pairs AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), pc AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_pair
+  FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2
+), uni AS (
+  SELECT w AS term, count(*)::BIGINT AS n_uni FROM tok GROUP BY 1
+), t2 AS (SELECT sum(n_pair)::DOUBLE AS T2 FROM pc),
+t1 AS (SELECT sum(n_uni)::DOUBLE AS T1 FROM uni)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       round(ln( (pc.n_pair::DOUBLE / t2.T2)
+                 / ((u1.n_uni::DOUBLE / t1.T1) * (u2.n_uni::DOUBLE / t1.T1)) ), 6) AS pmi
+FROM pc
+JOIN uni u1 ON u1.term = pc.w1
+JOIN uni u2 ON u2.term = pc.w2
+CROSS JOIN t1 CROSS JOIN t2
+WHERE pc.n_pair >= {int(min_count)}
+ORDER BY pmi DESC, pc.w1 ASC, pc.w2 ASC
+LIMIT {int(top_n)}
+"""

@@ -48,6 +48,7 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
     allowed Python operators."""
     from spark_search import decontam as DX
     from spark_search import dedup as D
+    from spark_search import lm as LM
     from spark_search import mixing as MX
     from spark_search import multimodal as M
     from spark_search import similarity as S
@@ -60,6 +61,8 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
             n=3,
         ),
         MX.mix_plan(sf_docs),
+        LM.lm_scores(sf_docs),
+        LM.pmi_bigrams(sf_docs),
         P.bm25_topk(corpus, ["data", "join"], P.WITH_SUGGESTIONS),
         X.token_counts(sf_docs),
         X.quality_scores(sf_docs),

@@ -517,3 +517,59 @@ def test_mix_plan_explicit_target_caps_and_drops(spark):
     assert out["__null__"]["weight"] == 0.0
     assert abs(out["en"]["weight"] - (0.5 / 0.75)) < 1e-6
     assert out["de"]["weight"] == 4.0  # 0.5/(1/12)=6.0 capped at 4
+
+
+# ------------------------------------------------ LM scoring / PMI
+
+
+def test_lm_scores_semantics(spark):
+    """Hand-computed add-0.5 unigram LM: counts a=2 b=2 c=1, T=5, V=3;
+    p(a)=p(b)=2.5/6.5, p(c)=1.5/6.5."""
+    import math
+
+    from spark_search import lm as LM
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in LM.lm_scores(docs).collect()}
+    assert len(out) == 3
+    x1 = math.log(6.5 / 2.5)
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["xent"] - round(x1, 6)) < 1e-9
+    assert abs(out[1]["ppl"] - round(math.exp(x1), 6)) < 1e-9
+    x2 = (math.log(6.5 / 2.5) + math.log(6.5 / 1.5)) / 2
+    assert abs(out[2]["xent"] - round(x2, 6)) < 1e-9
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["xent"] == 0.0 and out[3]["ppl"] == 1.0
+
+
+def test_pmi_bigrams_semantics(spark):
+    """'x y x y x y': c(xy)=3 c(yx)=2 T2=5; unigrams x=y=3 T1=6;
+    pmi(xy)=ln(2.4), pmi(yx)=ln(1.6); min_count=2 keeps both."""
+    import math
+
+    from spark_search import lm as LM
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    rows = LM.pmi_bigrams(docs, min_count=2, top_n=10).collect()
+    assert [(r["w1"], r["w2"], r["n_pair"]) for r in rows] == [
+        ("x", "y", 3),
+        ("y", "x", 2),
+    ]
+    assert abs(rows[0]["pmi"] - round(math.log(2.4), 6)) < 1e-9
+    assert abs(rows[1]["pmi"] - round(math.log(1.6), 6)) < 1e-9
+
+
+def test_pmi_bigrams_respects_doc_boundaries(spark):
+    """No bigram spans two documents: 'p q' + 'r s' yields no (q, r)."""
+    from spark_search import lm as LM
+
+    docs = spark.createDataFrame(
+        [(1, "p q"), (2, "r s")], "doc_id long, text string"
+    )
+    rows = LM.pmi_bigrams(docs, min_count=1, top_n=10).collect()
+    assert sorted((r["w1"], r["w2"]) for r in rows) == [("p", "q"), ("r", "s")]

@@ -434,6 +434,62 @@ def _q_bm25_suggest_indexed(spark, sf_dir):
     )
 
 
+# More-like-this: the Lucene MoreLikeThis analog composed from the
+# engine's BM25 layer — source doc MLT_SRC's top tf·idf terms become an
+# OR query, the source excluded with filter semantics (df stays global).
+MLT_SRC = 7
+MLT_M_TERMS = 10
+
+
+def _q_bm25_mlt(spark, sf_dir):
+    return _round_result(
+        P.more_like_this(_corpus(spark, sf_dir), MLT_SRC, m_terms=MLT_M_TERMS)
+    )
+
+
+def _q_bm25_mlt_indexed(spark, sf_dir):
+    rd = _indexed_reader(spark, sf_dir)
+    return _round_result(rd.more_like_this(MLT_SRC, m_terms=MLT_M_TERMS, k=10))
+
+
+def _mlt_oracle(src, m, k=10, min_df=2) -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+tf_all AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+src AS (SELECT term, tf FROM tf_all WHERE doc_id = {src}),
+dfe AS (SELECT term, count(*)::DOUBLE AS df FROM tf_all
+        WHERE term IN (SELECT term FROM src) GROUP BY 1
+        HAVING count(*) >= {min_df}),
+wts AS (SELECT src.term,
+               round(src.tf::DOUBLE
+                     * ln(1.0 + (stats.n_docs - dfe.df + 0.5) / (dfe.df + 0.5)),
+                     6) AS wt
+        FROM src JOIN dfe USING (term) CROSS JOIN stats
+        ORDER BY wt DESC, term ASC LIMIT {m}),
+mtf AS (SELECT * FROM tf_all WHERE term IN (SELECT term FROM wts)),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM mtf GROUP BY 1),
+scored AS (
+  SELECT mtf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * mtf.tf * {K1_PLUS_1}
+              / (mtf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM mtf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = mtf.doc_id
+  CROSS JOIN stats
+  WHERE mtf.doc_id <> {src}
+  GROUP BY mtf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _q_bm25_phrase(spark, sf_dir):
     return _round_result(P.phrase_topk(_corpus(spark, sf_dir), PHRASE))
 
@@ -1182,6 +1238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the declarative pipeline and the disk-index dictionary path
         "bm25_suggest_topk": _q_bm25_suggest,
         "bm25_suggest_topk_indexed": _q_bm25_suggest_indexed,
+        # more-like-this (Lucene MoreLikeThis analog): declarative +
+        # disk-index paths, one shared oracle
+        "bm25_mlt": _q_bm25_mlt,
+        "bm25_mlt_indexed": _q_bm25_mlt_indexed,
         # exact-phrase BM25: positions recomputed at query time (Q5
         # re-scan architecture); indexed form prunes candidates via
         # match_docs AND before verification
@@ -1292,6 +1352,8 @@ FROM (SELECT doc_id, {_CODE_TOKS_DUCK} AS arr
         "bm25_suggest_topk_indexed": _bm25_suggest_oracle(
             TERMS_SUGGEST, SUGGEST_MAX_DIST
         ),
+        "bm25_mlt": _mlt_oracle(MLT_SRC, MLT_M_TERMS),
+        "bm25_mlt_indexed": _mlt_oracle(MLT_SRC, MLT_M_TERMS),
         "bm25_phrase_topk": _bm25_phrase_oracle(PHRASE),
         "bm25_phrase_topk_indexed": _bm25_phrase_oracle(PHRASE),
         "bm25_phrase_topk_positional": _bm25_phrase_oracle(PHRASE),

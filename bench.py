@@ -151,6 +151,11 @@ def _measure(
     tq = time.time()
     reader.search_suggest(["part"], max_dist=2, k=10).collect()
     extra["q_suggest_indexed"] = round(time.time() - tq, 3)
+    # more-like-this: reverse lookup (O3) + dictionary weights + one
+    # filtered OR search — the composed similar-document query
+    tq = time.time()
+    reader.more_like_this(7, m_terms=10, k=10).collect()
+    extra["q_mlt_indexed"] = round(time.time() - tq, 3)
     # metadata-filtered search: scope the OR query to two languages
     # (~27% of docs) — measures the allow-list registry scan + the
     # filter-aware scoring stage (block-max pruning off under a filter)

@@ -296,6 +296,98 @@ def bm25_suggest_topk(
     return _bm25_rank(term_doc_tf(matched), corpus, k, tokenizer)
 
 
+def mlt_term_weights(
+    corpus: DataFrame,
+    src_doc_id: int,
+    tokenizer: str = "standard",
+    min_df: int = 2,
+) -> DataFrame:
+    """(term, wt) — the source document's terms weighted by
+    tf(t, src) · idf(t), idf over the FULL corpus (same formula as
+    scoring), wt rounded to 6dp for engine-stable ordering. The
+    more-like-this expansion table (Lucene MoreLikeThis's
+    interestingTerms, re-expressed relationally).
+
+    ``min_df`` drops terms appearing in fewer than that many documents
+    (Lucene MoreLikeThis minDocFreq): without it, idf dominance selects
+    the source doc's hapaxes — terms NO other document contains — and
+    the expansion query matches nothing. The default 2 merely requires
+    one other occurrence.
+
+    Plan: the source doc's tokens come from a doc_id-pruned scan; its
+    term set broadcasts into the corpus token stream, so the df pass
+    aggregates ONLY source-term rows (volume Σ df over the doc's
+    terms, never corpus size)."""
+    corpus = _floor(corpus)
+    tok = tokens(corpus, tokenizer)
+    src_tf = term_doc_tf(
+        tok.where(F.col("doc_id") == F.lit(int(src_doc_id)))
+    ).select("term", "tf")
+    matched = tok.join(F.broadcast(src_tf.select("term")), "term")
+    dfreq = doc_freq(term_doc_tf(matched)).where(
+        F.col("df") >= int(min_df)
+    )
+    dl = doc_lengths(corpus, tokenizer)
+    stats = corpus_stats_df(dl)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    return (
+        src_tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("wt"),
+        )
+    )
+
+
+def more_like_this(
+    corpus: DataFrame,
+    src_doc_id: int,
+    m_terms: int = 10,
+    k: int = 10,
+    tokenizer: str = "standard",
+    min_df: int = 2,
+) -> DataFrame:
+    """(doc_id, score, rank) — documents most similar to ``src_doc_id``
+    under BM25: the source doc's ``m_terms`` highest tf·idf terms
+    become an OR query, scored over the corpus with GLOBAL df/stats,
+    the source doc itself excluded from the result set (filter
+    semantics — its presence still counts in df/N/avgdl, so scores are
+    independent of the exclusion). The Lucene MoreLikeThis analog; the
+    reference engine has no similar-document surface (its index is
+    boolean membership only, SURVEY.md §0 fact 1) — this composes the
+    north-star BM25 layer.
+
+    Term selection orders by (wt DESC, term ASC) on the 6dp-rounded
+    weight among terms with df ≥ ``min_df`` (see
+    :func:`mlt_term_weights`), so engine and oracle pick the identical
+    set. The selected term list (≤ ``m_terms`` strings) is the only
+    thing collected to the driver — bounded by the parameter, not the
+    data.
+    """
+    wts = (
+        mlt_term_weights(corpus, src_doc_id, tokenizer, min_df)
+        .orderBy(F.col("wt").desc(), F.col("term").asc())
+        .limit(int(m_terms))
+        .collect()
+    )
+    sel = [r["term"] for r in wts]
+    if not sel:
+        return bm25_topk(corpus, [], WITH_SUGGESTIONS, k, tokenizer)
+    return bm25_topk(
+        corpus,
+        sel,
+        WITH_SUGGESTIONS,
+        k,
+        tokenizer,
+        doc_filter=(F.col("doc_id") != F.lit(int(src_doc_id))),
+    )
+
+
 # ------------------------------------------------------- phrase queries
 
 

@@ -1507,6 +1507,67 @@ class IndexReader:
         expanded = sorted(set(qterms) | set(self.suggest_terms(qterms, max_dist)))
         return self.search(expanded, WITH_SUGGESTIONS, k=k, doc_filter=doc_filter)
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        m_terms: int = 10,
+        k: int = 10,
+        doc_filter=None,
+        min_df: int = 2,
+    ) -> DataFrame:
+        """Documents most similar to ``doc_id`` — the Lucene
+        MoreLikeThis analog on the disk index, rank/score-identical to
+        ``pipeline.more_like_this`` over the same corpus (fresh index)
+        by construction:
+
+        1. the source doc's (term, tf) rows come from the O3 reverse
+           lookup (chunk-pruned, :meth:`doc_terms`) — bounded by one
+           document's vocabulary, never the corpus;
+        2. df per term from the term dictionary (zero jobs when the
+           vocab cache holds) → weights tf·idf rounded to 6dp among
+           terms with df ≥ ``min_df`` (Lucene minDocFreq: keeps idf
+           dominance from selecting source-only hapaxes that match
+           nothing), ordered (wt DESC, term ASC), top ``m_terms``
+           selected;
+        3. the standard OR-union :meth:`search` over the selected
+           terms, with the source doc excluded via the filter channel —
+           df/N/avgdl stay corpus-global, so scores are unchanged by
+           the exclusion.
+
+        ``doc_filter`` (registry columns) ANDs with the exclusion.
+        Staleness contract: after deletes, df from the dictionary
+        counts tombstoned docs until ``compact()`` — identical to every
+        other dictionary-driven path (match_terms docstring)."""
+        src = int(doc_id)
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        rows = self.doc_terms(src).collect()
+        if not rows:
+            return empty
+        meta = self.match_terms([r["term"] for r in rows], EXACT_MATCH)
+        dfm = {t: d for t, d, _, _ in meta}
+        n = float(self.stats.n_docs)
+        wts = sorted(
+            (
+                (round(int(r["tf"]) * _idf(n, float(dfm[r["term"]])), 6),
+                 r["term"])
+                for r in rows
+                if r["term"] in dfm and dfm[r["term"]] >= int(min_df)
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        sel = [t for _, t in wts[: int(m_terms)]]
+        if not sel:
+            return empty
+        excl = F.col("doc_id") != F.lit(src)
+        if doc_filter is not None:
+            flt = (
+                F.expr(doc_filter)
+                if isinstance(doc_filter, str)
+                else doc_filter
+            )
+            excl = excl & flt
+        return self.search(sel, WITH_SUGGESTIONS, k=k, doc_filter=excl)
+
     # ------------------------------------------------- full match sets
 
     def match_docs(self, terms: Iterable[str], mode: str = EXACT_MATCH) -> DataFrame:

@@ -100,3 +100,39 @@ def test_random_word_property(spark):
         got = {r.doc_id for r in P.bm25_topk(corpus, [w], P.EXACT_MATCH, 1000).collect()}
         assert got == oracle.match_set([w], P.EXACT_MATCH)
     corpus.unpersist()
+
+
+def test_more_like_this_paths_identical(spark, tmp_path):
+    """Declarative and disk-index more-like-this agree rank- and
+    score-exactly; the source doc is excluded but keeps contributing to
+    df/N/avgdl (filter semantics), and every expansion term comes from
+    the source document."""
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+    from spark_search.tokenizer import tokenize
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 80, seed=3)).cache()
+    src = corpus.selectExpr("min(doc_id) AS m").collect()[0]["m"]
+
+    decl = P.more_like_this(corpus, src, m_terms=8, k=12).collect()
+    assert decl, "MLT returned nothing on a non-trivial corpus"
+    assert all(r.doc_id != src for r in decl)
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx)
+    rd = IndexReader(spark, idx)
+    indexed = rd.more_like_this(src, m_terms=8, k=12).collect()
+    assert [(r.doc_id, round(r.score, 9), r["rank"]) for r in decl] == [
+        (r.doc_id, round(r.score, 9), r["rank"]) for r in indexed
+    ]
+
+    src_text = corpus.where(f"doc_id = {src}").collect()[0]["content"]
+    src_tokens = set(tokenize(src_text))
+    wts = P.mlt_term_weights(corpus, src).collect()
+    assert {r["term"] for r in wts} <= src_tokens
+    assert all(r["wt"] > 0 for r in wts)
+
+
+def test_more_like_this_missing_doc_empty(spark):
+    corpus = with_doc_ids(synthetic_corpus(spark, 20, seed=5))
+    assert P.more_like_this(corpus, 10**9, k=5).collect() == []

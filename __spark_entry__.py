@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spark_search import clustering as CL
 from spark_search import curate as CU
 from spark_search import decontam as DX
 from spark_search import dedup as DD
@@ -1181,6 +1182,21 @@ def _q_sim_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(_emb_raw(spark, sf_dir), SIM_QUERY_IDS)
 
 
+def _q_cluster_kmeans(spark, sf_dir):
+    # spherical k-means corpus map: 2 unrolled Lloyd iterations, seed
+    # centroids = k smallest vec_ids (the module's frozen protocol)
+    return CL.kmeans_assignments(_emb_raw(spark, sf_dir))
+
+
+def _q_sim_ivf_trained(spark, sf_dir):
+    # IVF ANN with the TRAINED coarse quantizer: kmeans centroids
+    # replace the seed cells — the production IVF topology
+    emb = _emb_raw(spark, sf_dir)
+    return SIM.ivf_topk(
+        emb, SIM_QUERY_IDS, centroids=CL.kmeans_centroids(emb)
+    )
+
+
 def _q_media_stats(spark, sf_dir):
     return MM.media_stats(_docs_raw(spark, sf_dir))
 
@@ -1305,6 +1321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_ann": _q_dedup_embedding_ann,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        # embedding clustering (spherical k-means) + trained-quantizer IVF
+        "cluster_kmeans": _q_cluster_kmeans,
+        "sim_ivf_topk_trained": _q_sim_ivf_trained,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
     }
@@ -1453,6 +1472,10 @@ FROM tf GROUP BY term
         "dedup_embedding_ann": DD.embedding_near_dup_ann_sql(),
         "sim_cosine_topk": SIM.cosine_topk_sql(SIM_QUERY_IDS),
         "sim_ivf_topk": SIM.ivf_topk_sql(SIM_QUERY_IDS),
+        "cluster_kmeans": CL.kmeans_assignments_sql(),
+        "sim_ivf_topk_trained": SIM.ivf_topk_sql(
+            SIM_QUERY_IDS, centroid_cte=CL.kmeans_centroid_cte()
+        ),
         "media_stats": MM.media_stats_sql(),
         "media_features": MM.media_features_summary_sql(),
     }

@@ -236,6 +236,7 @@ def _measure(
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
     from pyspark.sql import functions as F
+    from spark_search import clustering as CLU
     from spark_search import decontam as DX
     from spark_search import dedup as DD
     from spark_search import lm as LM
@@ -280,6 +281,7 @@ def _measure(
         ("pack_sequences", lambda: SA.pack_sequences(sf_docs).count()),
         ("sample_stratified", lambda: SA.sample_stratified(sf_docs).count()),
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
+        ("cluster_kmeans", lambda: CLU.kmeans_assignments(emb_raw).count()),
         ("media_features", lambda: MM.media_features_summary(sf_docs).count()),
     ]:
         fn()  # warm codegen/JIT once, like the search queries

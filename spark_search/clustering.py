@@ -1,0 +1,264 @@
+"""Distributed spherical k-means over the ``embeddings`` table.
+
+Corpus cartography for a training-data pipeline: cluster document
+embeddings to inspect/balance corpus composition (domain discovery,
+per-cluster sampling quotas) and to TRAIN the coarse quantizer the IVF
+ANN index (`similarity.ivf_topk`) probes — trained centroids give far
+tighter cells than the deterministic seed centroids alone.
+
+Reference analog: none — mmazurkevich/search-engine has no vector
+surface at all; this extends the training-pipeline scope beside
+`similarity`/`dedup.embedding_near_dup_ann` and reuses their
+conventions (cosine geometry, 6-dp rounded similarities, smallest-id
+determinism).
+
+Determinism (the oracle-parity contract): every cross-engine float is
+either (a) an index-ordered fold over identical doubles (dot products,
+norms — bit-identical on Spark and DuckDB) or (b) an unordered mean
+that is ROUNDED to 6 dp before any downstream comparison, so the two
+engines agree exactly unless a mean lands within ~1e-15 of a rounding
+boundary. Assignment ties break toward the smallest centroid id;
+empty clusters keep their previous centroid.
+
+Scale shape (100 TB / 10^9 vectors): per Lloyd iteration the plan is
+ONE broadcast cross-join scan (n·k rows, map-side reduced by a hash
+aggregation — no window, no sort), then one join + posexplode
+aggregation (n·d rows) for the per-dimension means. Only the k·d
+centroid floats ever reach the driver; k and d are parameters, not
+data. Iterations are a driver loop over lazily-planned jobs — the
+same topology MLlib's KMeans runs, expressed in DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import _with_norm
+
+__all__ = [
+    "kmeans_assignments",
+    "kmeans_assignments_sql",
+    "kmeans_centroids",
+    "kmeans_centroid_cte",
+]
+
+DEFAULT_K = 8
+DEFAULT_ITER = 2
+
+
+def _unit(e: DataFrame) -> DataFrame:
+    """(vec_id, u) — unit-normalized vectors; zero-norm vectors are
+    excluded (cosine undefined for them, same rule as cosine_topk's
+    null-score filter)."""
+    # try_divide: ANSI mode (Spark 4 default) evaluates the projection
+    # expression even for rows the norm > 0 filter will drop (observed:
+    # DIVIDE_BY_ZERO raised for a zero-norm row in the same stage);
+    # null-safe division keeps the guard semantic without depending on
+    # filter/project evaluation order.
+    return e.where(F.col("norm") > 0).select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: F.try_divide(x, F.col("norm"))
+        ).alias("u"),
+    )
+
+
+def _dot_lit(u, c):
+    return F.aggregate(
+        F.zip_with(u, c, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(un: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, sim) — nearest centroid by 6-dp rounded cosine,
+    ties to the smallest cell id. Hash-aggregation argmax (max of a
+    (sim, -cell) struct), NOT a per-vector window: no sort, map-side
+    combine, the broadcast cross-join never shuffles the corpus side."""
+    cn = F.sqrt(_dot_lit(F.col("c"), F.col("c")))
+    scored = un.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        F.round(_dot_lit(F.col("u"), F.col("c")) / cn, 6).alias("sim"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("sim"),
+                    (-F.col("cell")).alias("nc"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.nc")).cast("long").alias("cell"),
+            F.col("m.sim").alias("sim"),
+        )
+    )
+    return best
+
+
+def _centroid_rows(
+    spark, cents: List[Tuple[int, List[float]]]
+) -> DataFrame:
+    return spark.createDataFrame(cents, "cell long, c array<double>")
+
+
+def _fit(
+    emb: DataFrame, k: int, n_iter: int
+) -> Tuple[DataFrame, List[Tuple[int, List[float]]]]:
+    """Run the Lloyd loop; return (unit-vector frame, final centroid
+    list). Shared by the assignment and centroid surfaces."""
+    spark = emb.sparkSession
+    e = _with_norm(emb)
+    un = _unit(e)
+
+    seed_ids = [
+        int(r["vec_id"])
+        for r in un.select("vec_id").orderBy("vec_id").limit(int(k)).collect()
+    ]
+    seeds = un.where(F.col("vec_id").isin(seed_ids)).collect()
+    cents: List[Tuple[int, List[float]]] = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["u"]]) for r in seeds
+    )
+
+    for _ in range(int(n_iter)):
+        cent_df = _centroid_rows(spark, cents)
+        assign = _assign(un, cent_df)
+        means = (
+            assign.join(un, "vec_id")
+            .select("cell", F.posexplode("u").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("comp"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("ps"))
+            .select("cell", F.col("ps.comp").alias("c"))
+            .collect()
+        )
+        got = {int(r["cell"]): [float(x) for x in r["c"]] for r in means}
+        cents = [(cid, got.get(cid, prev)) for cid, prev in cents]
+
+    return un, cents
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITER,
+) -> DataFrame:
+    """(vec_id, cluster, sim) — spherical k-means assignment of every
+    (nonzero) embedding after ``n_iter`` Lloyd iterations.
+
+    Protocol (frozen; the DuckDB oracle unrolls it exactly):
+      1. centroids initialize to the unit vectors of the ``k`` smallest
+         vec_ids (the `similarity._centroid_frame` convention); a
+         cluster's id IS its seed vec_id;
+      2. each iteration: assign all vectors to the centroid maximizing
+         the 6-dp rounded cosine (ties → smallest id), then recompute
+         each centroid as the per-dimension mean of its members' unit
+         vectors, every component rounded to 6 dp; empty clusters keep
+         their previous centroid;
+      3. the returned frame is the assignment under the FINAL centroids
+         (so ``n_iter`` updates, ``n_iter + 1`` assignment passes, the
+         last one lazy — callers get a plain DataFrame plan).
+
+    Only k·d centroid components are ever collected (parameters, not
+    data); the per-iteration jobs are broadcast-join + hash-agg shaped,
+    shuffle volume n·k and n·d rows, corpus bytes never move twice.
+    """
+    un, cents = _fit(emb, int(k), int(n_iter))
+    final = _assign(un, _centroid_rows(emb.sparkSession, cents))
+    return final.select(
+        "vec_id", F.col("cell").alias("cluster"), "sim"
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    n_iter: int = DEFAULT_ITER,
+) -> DataFrame:
+    """(cell, cv, cnorm) — the FINAL trained centroids in the exact
+    frame shape `similarity.ivf_topk(centroids=...)` consumes: a
+    trained coarse quantizer for the IVF index. cnorm is the
+    index-ordered fold sqrt(Σ c²) over the 6-dp rounded components, so
+    engine and oracle compute bit-identical norms."""
+    _, cents = _fit(emb, int(k), int(n_iter))
+    cf = _centroid_rows(emb.sparkSession, cents)
+    return cf.select(
+        "cell",
+        F.col("c").alias("cv"),
+        F.sqrt(_dot_lit(F.col("c"), F.col("c"))).alias("cnorm"),
+    )
+
+
+def kmeans_centroid_cte(
+    k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER, prefix: str = "km_"
+) -> Tuple[str, str]:
+    """(cte_chain, final_name) — the unrolled Lloyd loop as a chain of
+    named CTE bodies (no leading WITH), every name ``prefix``-scoped so
+    a caller can splice the chain into a bigger query (the trained-IVF
+    oracle does). ``final_name`` is the (cell, c) table of the final
+    centroids."""
+    p = prefix
+    parts = [
+        f"""{p}e AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[], x -> x /
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))) AS u
+           FROM embeddings
+           WHERE sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) > 0),
+{p}c0 AS (SELECT vec_id AS cell, u AS c FROM {p}e ORDER BY vec_id LIMIT {int(k)})"""
+    ]
+    prev = f"{p}c0"
+    for i in range(int(n_iter)):
+        a, m, cm, cn = f"{p}a{i}", f"{p}m{i}", f"{p}cm{i}", f"{p}c{i + 1}"
+        parts.append(
+            f"""
+{a} AS (SELECT vec_id, cell FROM (
+    SELECT {p}e.vec_id, {prev}.cell,
+           row_number() OVER (
+               PARTITION BY {p}e.vec_id
+               ORDER BY round(list_dot_product({p}e.u, {prev}.c)
+                        / sqrt(list_dot_product({prev}.c, {prev}.c)), 6) DESC,
+                        {prev}.cell ASC) AS rn
+    FROM {p}e CROSS JOIN {prev}) WHERE rn = 1),
+{m} AS (SELECT {a}.cell, t.pos, round(avg(t.x), 6) AS comp
+        FROM {a} JOIN {p}e USING (vec_id),
+             LATERAL (SELECT unnest({p}e.u) AS x,
+                             generate_subscripts({p}e.u, 1) AS pos) AS t
+        GROUP BY {a}.cell, t.pos),
+{cm} AS (SELECT cell, list(comp ORDER BY pos) AS c FROM {m} GROUP BY cell),
+{cn} AS (SELECT {prev}.cell, coalesce({cm}.c, {prev}.c) AS c
+         FROM {prev} LEFT JOIN {cm} USING (cell))"""
+        )
+        prev = cn
+    return ",".join(parts), prev
+
+
+def kmeans_assignments_sql(
+    k: int = DEFAULT_K, n_iter: int = DEFAULT_ITER
+) -> str:
+    """DuckDB oracle twin of :func:`kmeans_assignments` over the
+    `embeddings` view — the Lloyd loop unrolled to ``n_iter``
+    update+assign rounds with identical rounding and tie-breaks."""
+    chain, fin_c = kmeans_centroid_cte(k, n_iter, prefix="km_")
+    return f"""
+WITH {chain},
+fin AS (SELECT vec_id, cell, sim FROM (
+    SELECT km_e.vec_id, {fin_c}.cell,
+           round(list_dot_product(km_e.u, {fin_c}.c)
+                 / sqrt(list_dot_product({fin_c}.c, {fin_c}.c)), 6) AS sim,
+           row_number() OVER (
+               PARTITION BY km_e.vec_id
+               ORDER BY round(list_dot_product(km_e.u, {fin_c}.c)
+                        / sqrt(list_dot_product({fin_c}.c, {fin_c}.c)), 6) DESC,
+                        {fin_c}.cell ASC) AS rn
+    FROM km_e CROSS JOIN {fin_c}) WHERE rn = 1)
+SELECT vec_id::BIGINT AS vec_id, cell::BIGINT AS cluster, sim FROM fin"""

@@ -204,15 +204,25 @@ def ivf_topk(
     k: int = DEFAULT_K,
     n_centroids: int = DEFAULT_CENTROIDS,
     nprobe: int = DEFAULT_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, vec_id, score, rank) — IVF approximate top-k: score only
     vectors whose cell is among the query's ``nprobe`` closest
     centroids. Deterministic (and therefore oracle-checkable) because
-    centroids and tie-breaks are."""
+    centroids and tie-breaks are.
+
+    ``centroids`` (a (cell, cv, cnorm) frame, e.g.
+    `clustering.kmeans_centroids`) replaces the deterministic seed
+    centroids with a TRAINED coarse quantizer — tighter cells, better
+    recall at the same nprobe; ``n_centroids`` is ignored then."""
     from .pipeline import topk_per_query
 
     e = _with_norm(emb)
-    cent = _centroid_frame(e, n_centroids)
+    cent = (
+        centroids
+        if centroids is not None
+        else _centroid_frame(e, n_centroids)
+    )
     # share the normalized frame + centroid table: the previous form
     # re-built _with_norm inside ann_assignments, scanning and norming
     # the corpus twice per query
@@ -274,14 +284,26 @@ def ivf_topk_sql(
     k: int = DEFAULT_K,
     n_centroids: int = DEFAULT_CENTROIDS,
     nprobe: int = DEFAULT_NPROBE,
+    centroid_cte: "tuple[str, str] | None" = None,
 ) -> str:
+    """``centroid_cte`` = (cte_chain, final_name) of a (cell, c) table
+    (e.g. `clustering.kmeans_centroid_cte`) — splices a trained
+    quantizer in place of the seed-centroid CTE, mirroring
+    ``ivf_topk(centroids=...)``."""
     ids = ", ".join(str(i) for i in query_ids)
+    if centroid_cte is not None:
+        chain, fin = centroid_cte
+        cent_src = f"""{chain},
+cent AS (SELECT cell, c AS cv,
+                sqrt(list_dot_product(c, c)) AS cnorm FROM {fin}),"""
+    else:
+        cent_src = f"""cent AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e
+         ORDER BY vec_id LIMIT {n_centroids}),"""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
            FROM embeddings),
-cent AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e
-         ORDER BY vec_id LIMIT {n_centroids}),
+{cent_src}
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, cent.cell,

@@ -46,6 +46,7 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
     """BatchEvalPython = per-row pickled Python (forbidden in every hot
     path, SURVEY.md §7.4.3). ArrowEvalPython / MapInPandas are the only
     allowed Python operators."""
+    from spark_search import clustering as CL
     from spark_search import decontam as DX
     from spark_search import dedup as D
     from spark_search import lm as LM
@@ -63,6 +64,7 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
         MX.mix_plan(sf_docs),
         LM.lm_scores(sf_docs),
         LM.pmi_bigrams(sf_docs),
+        CL.kmeans_assignments(sf_emb, k=4, n_iter=1),
         P.bm25_topk(corpus, ["data", "join"], P.WITH_SUGGESTIONS),
         X.token_counts(sf_docs),
         X.quality_scores(sf_docs),

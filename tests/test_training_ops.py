@@ -573,3 +573,56 @@ def test_pmi_bigrams_respects_doc_boundaries(spark):
     )
     rows = LM.pmi_bigrams(docs, min_count=1, top_n=10).collect()
     assert sorted((r["w1"], r["w2"]) for r in rows) == [("p", "q"), ("r", "s")]
+
+
+# ------------------------------------------------ embedding clustering
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two planted directions; seeds (smallest ids 0/1) sit one per
+    cluster, so Lloyd converges immediately and every vector lands
+    with its direction. Zero-norm vectors are excluded."""
+    from spark_search import clustering as CL
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.1, 0.9]),
+        (4, [0.8, -0.05]), (5, [-0.02, 0.7]),
+        (6, [0.0, 0.0]),  # zero norm: no defined cosine
+    ]
+    out = {r["vec_id"]: r for r in
+           CL.kmeans_assignments(_emb_df(spark, rows), k=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert {out[i]["cluster"] for i in (0, 2, 4)} == {0}
+    assert {out[i]["cluster"] for i in (1, 3, 5)} == {1}
+    assert all(r["sim"] > 0.9 for r in out.values())
+
+
+def test_kmeans_centroids_feed_ivf(spark):
+    """kmeans_centroids produces the (cell, cv, cnorm) quantizer frame
+    and ivf_topk(centroids=...) answers with it; every query's rank-1
+    hit is itself (cosine 1.0)."""
+    from spark_search import clustering as CL
+    from spark_search import similarity as SIM
+
+    rows = [(i, [1.0 + 0.01 * i, 0.1 * (i % 3)]) for i in range(8)]
+    rows += [(i, [0.05 * (i % 2), 2.0 - 0.01 * i]) for i in range(8, 16)]
+    emb = _emb_df(spark, rows)
+    cent = CL.kmeans_centroids(emb, k=2)
+    got = cent.collect()
+    assert sorted(r["cell"] for r in got) == [0, 1]
+    assert all(len(r["cv"]) == 2 and r["cnorm"] > 0 for r in got)
+    res = SIM.ivf_topk(emb, [0, 8], k=3, nprobe=1, centroids=cent).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q in (0, 8):
+        top = min(by_q[q], key=lambda r: r["rank"])
+        assert top["vec_id"] == q and abs(top["score"] - 1.0) < 1e-6

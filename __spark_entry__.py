@@ -1104,6 +1104,18 @@ def _q_pack_sequences(spark, sf_dir):
     return SA.pack_sequences(_docs_raw(spark, sf_dir), n_shards=SA.DEFAULT_N_SHARDS)
 
 
+def _q_pack_manifest(spark, sf_dir):
+    # per-sequence shard manifest (same explicit shard pin as
+    # pack_sequences so the oracle parameterizes identically)
+    return SA.pack_manifest(
+        _docs_raw(spark, sf_dir), n_shards=SA.DEFAULT_N_SHARDS
+    )
+
+
+def _q_length_histogram(spark, sf_dir):
+    return TX.length_histogram(_docs_raw(spark, sf_dir))
+
+
 def _q_sample_stratified(spark, sf_dir):
     return SA.sample_stratified(_docs_raw(spark, sf_dir))
 
@@ -1301,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_plan": _q_mix_plan,
         # corpus shaping: sequence packing + stratified sampling
         "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "length_histogram": _q_length_histogram,
         "sample_stratified": _q_sample_stratified,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
@@ -1452,6 +1466,8 @@ FROM tf GROUP BY term
         "mix_plan": MX.mix_plan_sql(),
         "text_secret_scan": TX.secret_scan_sql(text_expr=_SECRET_TEXT_DUCK),
         "pack_sequences": SA.pack_sequences_sql(),
+        "pack_manifest": SA.pack_manifest_sql(),
+        "length_histogram": TX.length_histogram_sql(),
         "sample_stratified": SA.sample_stratified_sql(),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),

@@ -279,6 +279,8 @@ def _measure(
         ("text_secret_scan", lambda: TX.secret_scan(sf_docs).count()),
         ("vocab_coverage", lambda: TX.vocab_coverage(sf_docs).count()),
         ("pack_sequences", lambda: SA.pack_sequences(sf_docs).count()),
+        ("pack_manifest", lambda: SA.pack_manifest(sf_docs).count()),
+        ("length_histogram", lambda: TX.length_histogram(sf_docs).count()),
         ("sample_stratified", lambda: SA.sample_stratified(sf_docs).count()),
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
         ("cluster_kmeans", lambda: CLU.kmeans_assignments(emb_raw).count()),

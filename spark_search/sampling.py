@@ -113,14 +113,32 @@ def pack_sequences(
     Deterministic given (input, n_shards): no RNG, no partition-order
     dependence — the window is keyed (shard) and ordered (doc_id).
     """
-    if n_shards is None:
-        spark = docs.sparkSession
-        n_rows = docs.count()
-        n_shards = max(
-            spark.sparkContext.defaultParallelism,
-            1 + n_rows // _ROWS_PER_SHARD,
-        )
-    tok = _n_tokens(F.col("text"))
+    return _packed_frame(docs, budget, n_shards, "text", [])
+
+
+def _resolve_shards(docs: DataFrame, n_shards: int | None) -> int:
+    if n_shards is not None:
+        return int(n_shards)
+    spark = docs.sparkSession
+    n_rows = docs.count()
+    return max(
+        spark.sparkContext.defaultParallelism,
+        1 + n_rows // _ROWS_PER_SHARD,
+    )
+
+
+def _packed_frame(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int | None,
+    text_col: str,
+    carry: list,
+) -> DataFrame:
+    """Shared packing plan: (doc_id, shard, pack_id, n_tokens,
+    start_offset[, carry...]) — one window per shard (see module
+    docstring for why packing shards instead of sorting globally)."""
+    n_shards = _resolve_shards(docs, n_shards)
+    tok = _n_tokens(F.col(text_col))
     shard = (F.col("doc_id").cast("long") % n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
@@ -131,6 +149,7 @@ def pack_sequences(
         F.col("doc_id").cast("long").alias("doc_id"),
         shard,
         tok.alias("n_tokens"),
+        *[F.col(c) for c in carry],
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
         "start_offset"
@@ -141,7 +160,8 @@ def pack_sequences(
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
         "n_tokens",
         start.cast("long"),
-    ).select("doc_id", "shard", "pack_id", "n_tokens", "start_offset")
+        *carry,
+    )
 
 
 def pack_sequences_sql(
@@ -250,3 +270,64 @@ SELECT doc_id, lang, strat_rank, strat_n
 FROM ranked
 WHERE strat_rank <= ceil(strat_n * {float(frac)})
 """
+
+
+def pack_manifest(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """(shard, pack_id, n_docs, n_tokens, first_doc, last_doc) — one
+    row per training sequence of :func:`pack_sequences`: the shard
+    manifest a downstream trainer (or `write_packed`) reads to know
+    what each sequence holds. Pure aggregation of the packing
+    assignment — |packs| rows, ~|corpus tokens|/budget."""
+    p = pack_sequences(docs, budget, n_shards)
+    return (
+        p.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+def pack_manifest_sql(
+    budget: int = DEFAULT_BUDGET, n_shards: int = DEFAULT_N_SHARDS
+) -> str:
+    return f"""
+SELECT shard, pack_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc
+FROM ({pack_sequences_sql(budget, n_shards)})
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id
+"""
+
+
+def write_packed(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = DEFAULT_BUDGET,
+    n_shards: int | None = None,
+    text_col: str = "text",
+) -> int:
+    """Materialize the packed corpus as a shard-partitioned parquet
+    dataset — the training-data SINK: one directory per shard
+    (``shard=N/``), rows (doc_id, shard, pack_id, n_tokens,
+    start_offset, <text_col>) ordered for sequential replay. A trainer
+    streams shard directories independently; at cluster scale each
+    shard is written by the tasks that own its window partition, no
+    global sort, no driver data. Returns the number of rows written.
+
+    The text payload rides the SAME exchange the packing window needs
+    (one shuffle by shard): no second corpus join.
+    """
+    out = _packed_frame(docs, budget, n_shards, text_col, [text_col])
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    return out.sparkSession.read.parquet(out_dir).count()

@@ -621,3 +621,73 @@ SELECT doc_id::BIGINT AS doc_id, n_emails, n_ipv4, n_hex32, n_aws_keys,
        n_cred_assigns, ({hits})::BIGINT AS has_secret
 FROM scanned
 """
+
+
+# --------------------------------------------------- length histogram
+
+# power-of-two token-count bin edges (left-closed; last bin open-ended):
+# the corpus-composition histogram every packing/curation decision reads
+LENGTH_BINS: List[int] = [0, 16, 32, 64, 128, 256, 512, 1024, 2048]
+
+
+def length_histogram(docs: DataFrame, bins: List[int] = None) -> DataFrame:
+    """(lang, bin_lo, n_docs, n_tokens, doc_share) — document-length
+    composition per language over fixed token-count bins (``bin_lo`` =
+    the bin's inclusive left edge; a doc lands in the LARGEST edge ≤ its
+    token count). ``doc_share`` is the row's fraction of ALL corpus
+    docs, so the table sums to 1.
+
+    Fixed bins, not quantiles, by design: exact corpus-wide quantiles
+    need a per-stratum global sort (the sample_stratified scale-killer
+    this repo removed), while fixed bins are a map + |langs × bins|-row
+    aggregation at any corpus size — and the histogram answers the same
+    shaping questions. NULL langs bucket as '__null__' (mixing.mix_plan
+    convention).
+    """
+    edges = sorted(bins or LENGTH_BINS)
+    n = F.size(_toks(F.col("text"))).cast("long")
+    b = F.lit(edges[0])
+    for e in edges[1:]:
+        b = F.when(n >= e, F.lit(e)).otherwise(b)
+    lang = F.coalesce(F.col("lang").cast("string"), F.lit("__null__"))
+    per = (
+        docs.select(lang.alias("lang"), n.alias("_n"), b.alias("bin_lo"))
+        .groupBy("lang", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy()  # |langs × bins| rows — safe global window
+    return per.select(
+        "lang",
+        F.col("bin_lo").cast("long").alias("bin_lo"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(total), 6
+        ).alias("doc_share"),
+    ).orderBy("lang", "bin_lo")
+
+
+def length_histogram_sql(bins: List[int] = None) -> str:
+    edges = sorted(bins or LENGTH_BINS)
+    toks = _toks_duck()
+    case = f"{edges[0]}"
+    for e in edges[1:]:
+        case = f"CASE WHEN n >= {e} THEN {e} ELSE {case} END"
+    return f"""
+WITH base AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS lang,
+         len({toks})::BIGINT AS n
+  FROM documents
+), binned AS (
+  SELECT lang, n, ({case})::BIGINT AS bin_lo FROM base
+), per AS (
+  SELECT lang, bin_lo, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+  FROM binned GROUP BY 1, 2
+)
+SELECT lang, bin_lo, n_docs, n_tokens,
+       round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS doc_share
+FROM per ORDER BY lang, bin_lo
+"""

@@ -626,3 +626,75 @@ def test_kmeans_centroids_feed_ivf(spark):
     for q in (0, 8):
         top = min(by_q[q], key=lambda r: r["rank"])
         assert top["vec_id"] == q and abs(top["score"] - 1.0) < 1e-6
+
+
+# ------------------------------------------ histogram / pack manifest
+
+
+def test_length_histogram_semantics(spark):
+    from spark_search import textops as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),                      # 3 tokens  -> bin 0
+            (2, " ".join(["t"] * 20), "en"),         # 20 tokens -> bin 16
+            (3, " ".join(["t"] * 16), "en"),         # 16 tokens -> bin 16 (edge)
+            (4, " ".join(["t"] * 40), None),         # 40 tokens -> bin 32, null lang
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["lang"], r["bin_lo"]): r
+           for r in TX.length_histogram(docs).collect()}
+    assert out[("en", 0)]["n_docs"] == 1
+    assert out[("en", 16)]["n_docs"] == 2
+    assert out[("en", 16)]["n_tokens"] == 36
+    assert out[("__null__", 32)]["n_docs"] == 1
+    assert abs(sum(r["doc_share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_pack_manifest_accounts_every_token(spark):
+    from spark_search import sampling as SA
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    man = SA.pack_manifest(docs, budget=32, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in man) == 20
+    assert sum(r["n_tokens"] for r in man) == sum(10 + i for i in range(20))
+    # packs within a shard are dense from 0
+    by_shard = {}
+    for r in man:
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for packs in by_shard.values():
+        assert sorted(packs) == list(range(len(packs)))
+
+
+def test_write_packed_roundtrip(spark, tmp_path):
+    """write_packed materializes a shard-partitioned parquet dataset
+    whose assignment agrees row-for-row with pack_sequences."""
+    import os
+
+    from spark_search import sampling as SA
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "packed")
+    n = SA.write_packed(docs, out, budget=16, n_shards=3)
+    assert n == 30
+    shards = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert shards == {"shard=0", "shard=1", "shard=2"}
+    back = spark.read.parquet(out)
+    assert back.count() == 30 and "text" in back.columns
+    got = {
+        (r["doc_id"], r["shard"], r["pack_id"], r["n_tokens"],
+         r["start_offset"])
+        for r in back.collect()
+    }
+    want = {
+        tuple(r)
+        for r in SA.pack_sequences(docs, budget=16, n_shards=3).collect()
+    }
+    assert got == want

@@ -232,3 +232,99 @@ def stream_index_updates(
     else:
         writer = writer.trigger(processingTime=poll_interval)
     return writer.start()
+
+
+# ------------------------------------------------ stateful stream dedup
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    poll_interval: str = "2 seconds",
+):
+    """Continuous exact deduplication of a document stream — the
+    streaming counterpart of ``dedup.exact_duplicates`` for an
+    ingest-time pipeline, built on ``applyInPandasWithState`` (the
+    custom-stateful-operator surface of Structured Streaming).
+
+    Watches ``input_dir`` for corpus-schema parquet drops; every
+    document is keyed by ``sha2(content, 256)`` and each key's state
+    records the first (repo, path) that claimed it. Output (appended
+    as parquet under ``output_dir``): one row per INPUT doc —
+    ``(content_sha, repo, path, keep, first_repo, first_path)`` with
+    ``keep`` true only for a hash's first-ever document (ties inside
+    one micro-batch break by (repo, path) asc). State persists in the
+    streaming checkpoint, so duplicates are caught ACROSS batches and
+    across restarts.
+
+    Scale shape: state is partitioned by content hash across executors
+    (the state store scales horizontally with the cluster; no driver
+    state), one row of state per DISTINCT document ever seen — the
+    same cardinality a batch dedup's shuffle carries, amortized over
+    the stream's lifetime instead of recomputed per run. NoTimeout by
+    design: an exact-dup registry must never forget (use the batch
+    ``dedup`` operators for bounded-window semantics).
+
+    Returns the StreamingQuery.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    stream = (
+        reader.parquet(input_dir)
+        .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        .select("content_sha", "repo", "path")
+    )
+
+    out_schema = (
+        "content_sha string, repo string, path string, keep boolean, "
+        "first_repo string, first_path string"
+    )
+    state_schema = "first_repo string, first_path string"
+
+    def dedup_fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["repo", "path"], kind="mergesort")
+        if state.exists:
+            first_repo, first_path = state.get
+            keep = [False] * len(rows)
+        else:
+            first_repo = str(rows.iloc[0]["repo"])
+            first_path = str(rows.iloc[0]["path"])
+            state.update((first_repo, first_path))
+            keep = [True] + [False] * (len(rows) - 1)
+        yield pd.DataFrame(
+            {
+                "content_sha": rows["content_sha"].values,
+                "repo": rows["repo"].values,
+                "path": rows["path"].values,
+                "keep": keep,
+                "first_repo": first_repo,
+                "first_path": first_path,
+            }
+        )
+
+    deduped = stream.groupBy("content_sha").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=poll_interval)
+    return writer.start()

@@ -179,3 +179,58 @@ def test_stream_requires_initialized_root(spark, tmp_path):
         stream_index_updates(
             spark, str(tmp_path / "nope"), str(tmp_path / "noroot")
         )
+
+
+def test_stream_dedup_exact_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState exact dedup: within-batch ties keep the
+    (repo, path)-smallest doc; cross-batch duplicates are caught by the
+    persisted state (second availableNow run, same checkpoint)."""
+    from pyspark.sql import Row
+
+    from spark_search.corpus import CORPUS_SCHEMA
+    from spark_search.streaming import stream_dedup_exact
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    out = str(tmp_path / "deduped")
+    cp = str(tmp_path / "cp")
+
+    def doc(repo, path, content):
+        return Row(repo=repo, path=path, commit="c0", lang="py",
+                   content=content)
+
+    b1 = spark.createDataFrame(
+        [doc("r1", "a.py", "alpha beta"),
+         doc("r1", "b.py", "gamma delta"),
+         doc("r2", "z.py", "alpha beta")],  # in-batch dup of a.py
+        CORPUS_SCHEMA,
+    )
+    _drop_batch(spark, b1, tmp_path, drop, "b1")
+    q = stream_dedup_exact(spark, drop, out, cp, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {(r["repo"], r["path"]): r
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == 3
+    assert got[("r1", "a.py")]["keep"] is True
+    assert got[("r1", "b.py")]["keep"] is True
+    assert got[("r2", "z.py")]["keep"] is False
+    assert got[("r2", "z.py")]["first_path"] == "a.py"
+
+    # batch 2: cross-batch dup of b.py + a fresh doc
+    b2 = spark.createDataFrame(
+        [doc("r3", "q.py", "gamma delta"),
+         doc("r3", "new.py", "epsilon zeta")],
+        CORPUS_SCHEMA,
+    )
+    _drop_batch(spark, b2, tmp_path, drop, "b2")
+    q = stream_dedup_exact(spark, drop, out, cp, available_now=True)
+    q.awaitTermination(120)
+
+    got = {(r["repo"], r["path"]): r
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == 5
+    assert got[("r3", "q.py")]["keep"] is False          # state remembered
+    assert got[("r3", "q.py")]["first_path"] == "b.py"
+    assert got[("r3", "new.py")]["keep"] is True

@@ -118,11 +118,9 @@ def _fit(
     e = _with_norm(emb)
     un = _unit(e)
 
-    seed_ids = [
-        int(r["vec_id"])
-        for r in un.select("vec_id").orderBy("vec_id").limit(int(k)).collect()
-    ]
-    seeds = un.where(F.col("vec_id").isin(seed_ids)).collect()
+    # one job, not two: the k smallest ids AND their vectors in a
+    # single ordered-limit collect (k rows; parameters, not data)
+    seeds = un.orderBy("vec_id").limit(int(k)).collect()
     cents: List[Tuple[int, List[float]]] = sorted(
         (int(r["vec_id"]), [float(x) for x in r["u"]]) for r in seeds
     )

@@ -25,6 +25,7 @@ from spark_search import clustering as CL
 from spark_search import curate as CU
 from spark_search import decontam as DX
 from spark_search import dedup as DD
+from spark_search import events as EV
 from spark_search import lm as LM
 from spark_search import mixing as MX
 from spark_search import multimodal as MM
@@ -1209,6 +1210,27 @@ def _q_sim_ivf_trained(spark, sf_dir):
     )
 
 
+def _events_raw(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_windowed(spark, sf_dir):
+    # tumbling event-time windows (date_trunc bucketing — plain
+    # timestamp group key, partition-prunable on a dated event log)
+    return EV.windowed_counts(_events_raw(spark, sf_dir))
+
+
+def _q_events_sessions(spark, sf_dir):
+    # inactivity-gap sessionization (30 min), per-user window
+    return EV.sessionize(_events_raw(spark, sf_dir))
+
+
+def _q_events_json_stats(spark, sf_dir):
+    # JSON property extraction parity (get_json_object vs
+    # json_extract_string)
+    return EV.json_prop_stats(_events_raw(spark, sf_dir))
+
+
 def _q_media_stats(spark, sf_dir):
     return MM.media_stats(_docs_raw(spark, sf_dir))
 
@@ -1338,6 +1360,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding clustering (spherical k-means) + trained-quantizer IVF
         "cluster_kmeans": _q_cluster_kmeans,
         "sim_ivf_topk_trained": _q_sim_ivf_trained,
+        # event-stream analytics (tumbling windows / sessionization /
+        # JSON props) over the events table
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "events_json_stats": _q_events_json_stats,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
     }
@@ -1492,6 +1519,9 @@ FROM tf GROUP BY term
         "sim_ivf_topk_trained": SIM.ivf_topk_sql(
             SIM_QUERY_IDS, centroid_cte=CL.kmeans_centroid_cte()
         ),
+        "events_windowed": EV.windowed_counts_sql(),
+        "events_sessions": EV.sessionize_sql(),
+        "events_json_stats": EV.json_prop_stats_sql(),
         "media_stats": MM.media_stats_sql(),
         "media_features": MM.media_features_summary_sql(),
     }

@@ -239,6 +239,7 @@ def _measure(
     from spark_search import clustering as CLU
     from spark_search import decontam as DX
     from spark_search import dedup as DD
+    from spark_search import events as EV
     from spark_search import lm as LM
     from spark_search import mixing as MX
     from spark_search import multimodal as MM
@@ -248,7 +249,8 @@ def _measure(
 
     sf_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-    sf_docs.count(), emb_raw.count()
+    sf_events = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    sf_docs.count(), emb_raw.count(), sf_events.count()
     ops: dict[str, float] = {}
     for name, fn in [
         ("dedup_minhash_lsh", lambda: DD.minhash_near_dup(sf_docs).count()),
@@ -285,6 +287,8 @@ def _measure(
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
         ("cluster_kmeans", lambda: CLU.kmeans_assignments(emb_raw).count()),
         ("media_features", lambda: MM.media_features_summary(sf_docs).count()),
+        ("events_windowed", lambda: EV.windowed_counts(sf_events).count()),
+        ("events_sessions", lambda: EV.sessionize(sf_events).count()),
     ]:
         fn()  # warm codegen/JIT once, like the search queries
         tq = time.time()

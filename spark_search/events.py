@@ -1,0 +1,178 @@
+"""Event-stream analytics over the ``events`` table
+(event_id, ts TIMESTAMP, user_id, event_type, value DOUBLE, props JSON).
+
+The engine's event-time surface: tumbling-window aggregation,
+inactivity-gap sessionization, and JSON-property extraction — the
+query shapes a pipeline's telemetry/ingest-log side needs alongside
+the document operators. The streaming twin of ``windowed_counts``
+(same window semantics under a watermark for late data) is
+``streaming.stream_event_counts``.
+
+Reference analog: none — mmazurkevich/search-engine has no
+time/event concept at all (its only "events" are the internal
+indexation queue, SURVEY.md §2.1 O2); this module is engine scope the
+north-star's analytics framing adds.
+
+Scale shape:
+  * ``windowed_counts`` — ONE partial+final hash aggregation keyed
+    (bucket, event_type): the 100 TB scan reduces map-side to
+    |buckets × types| rows. Bucketing is ``date_trunc`` (not Spark's
+    ``window()`` struct) so the group key is a plain timestamp —
+    byte-comparable across engines and partition-prunable when the
+    event log is date-partitioned on disk.
+  * ``sessionize`` — one window partitioned by user_id: state per
+    task is one user's event run. Users are a high-cardinality key, so
+    the sort parallelizes; a pathological single-user firehose (bot)
+    is the documented skew caveat — cap per-user events upstream or
+    pre-split by day before sessionizing such feeds.
+  * ``json_prop_stats`` — map-only extraction + tiny aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "windowed_counts",
+    "windowed_counts_sql",
+    "sessionize",
+    "sessionize_sql",
+    "json_prop_stats",
+    "json_prop_stats_sql",
+]
+
+DEFAULT_BUCKET = "day"          # date_trunc unit
+DEFAULT_GAP_MIN = 30            # session inactivity gap (minutes)
+
+
+def windowed_counts(events: DataFrame, bucket: str = DEFAULT_BUCKET) -> DataFrame:
+    """(window_start, event_type, n_events, n_users, sum_value) —
+    tumbling event-time windows via ``date_trunc(bucket, ts)`` per
+    event type: count, distinct users, summed value (6-dp rounded)."""
+    return (
+        events.select(
+            F.date_trunc(bucket, F.col("ts")).alias("window_start"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def windowed_counts_sql(bucket: str = DEFAULT_BUCKET) -> str:
+    return f"""
+SELECT CAST(date_trunc('{bucket}', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def sessionize(events: DataFrame, gap_min: int = DEFAULT_GAP_MIN) -> DataFrame:
+    """(user_id, session_id, n_events, t_start, t_end, sum_value) —
+    split each user's event run into sessions at inactivity gaps
+    > ``gap_min`` minutes (classic sessionization). ``session_id`` is
+    the user's 1-based session ordinal; ordering inside a user is
+    (ts, event_id) so simultaneous events are deterministic. Gap
+    comparison is pure interval arithmetic on the (NTZ) timestamps —
+    no epoch conversion, so the result is independent of any session
+    time zone."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    gap = F.expr(f"INTERVAL {int(gap_min)} MINUTES")
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = (
+        events.select("user_id", "event_id", "ts", "value")
+        .withColumn("_new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+    )
+    return (
+        run.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def sessionize_sql(gap_min: int = DEFAULT_GAP_MIN) -> str:
+    return f"""
+WITH run AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '{int(gap_min)} minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM run
+)
+SELECT user_id::BIGINT AS user_id, session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end,
+       round(sum(value), 6) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def json_prop_stats(events: DataFrame, prop: str = "k") -> DataFrame:
+    """(event_type, n_with_prop, min_k, max_k, avg_k) — numeric stats
+    of one JSON property of ``props`` per event type (the engine's
+    JSON-extraction surface; both engines parse the property as an
+    integer, missing/null props drop out)."""
+    k = F.get_json_object(F.col("props"), f"$.{prop}").cast("long")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_with_prop"),
+            F.min("_k").cast("long").alias("min_k"),
+            F.max("_k").cast("long").alias("max_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def json_prop_stats_sql(prop: str = "k") -> str:
+    return f"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.{prop}') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_with_prop,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""

@@ -328,3 +328,77 @@ def stream_dedup_exact(
     else:
         writer = writer.trigger(processingTime=poll_interval)
     return writer.start()
+
+
+# --------------------------------------- watermarked windowed counts
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+    poll_interval: str = "2 seconds",
+):
+    """Streaming twin of ``events.windowed_counts``: tumbling
+    event-time windows per event_type under a WATERMARK — the
+    late-data contract of Structured Streaming. Windows are emitted
+    (appended as parquet rows ``(window_start, window_end, event_type,
+    n_events, sum_value)``) exactly once, when the watermark passes
+    their end; events arriving later than ``watermark`` behind the
+    stream's max event time are DROPPED, bounding window state instead
+    of keeping every window open forever — the explicit trade a 100 TB
+    event feed forces (the batch twin over the full log is the exact
+    answer; this is the low-latency approximation with a declared
+    staleness bound).
+
+    State is keyed (window, event_type) in the executor-partitioned
+    state store; expired windows are evicted at watermark advance, so
+    state size is O(open windows × types), independent of stream
+    length. Returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (with zone); the events table stores
+    # NTZ wall clock — the cast interprets it in the session time zone,
+    # which is deterministic within a deployment (pin
+    # spark.sql.session.timeZone for cross-site reproducibility)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=poll_interval)
+    return writer.start()

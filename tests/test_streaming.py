@@ -234,3 +234,58 @@ def test_stream_dedup_exact_state_spans_batches(spark, tmp_path):
     assert got[("r3", "q.py")]["keep"] is False          # state remembered
     assert got[("r3", "q.py")]["first_path"] == "b.py"
     assert got[("r3", "new.py")]["keep"] is True
+
+
+def test_stream_event_counts_watermark_closes_and_drops_late(spark, tmp_path):
+    """Watermarked tumbling windows: a window is appended once when
+    the watermark passes its end; an event arriving behind the
+    watermark is dropped (no duplicate/updated window row)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from spark_search.streaming import EVENTS_SCHEMA, stream_event_counts
+
+    drop = str(tmp_path / "evdrop")
+    os.makedirs(drop)
+    out = str(tmp_path / "evout")
+    cp = str(tmp_path / "evcp")
+
+    def ev(i, h, m, typ, val=1.0):
+        return Row(event_id=i, ts=dt.datetime(2024, 1, 1, h, m),
+                   user_id=i % 3, event_type=typ, value=val, props="{}")
+
+    b1 = spark.createDataFrame(
+        [ev(0, 0, 10, "click"), ev(1, 0, 20, "click"),
+         ev(2, 1, 10, "view"), ev(3, 2, 10, "click"),
+         ev(4, 3, 10, "view")],
+        EVENTS_SCHEMA,
+    )
+    _drop_batch(spark, b1, tmp_path, drop, "ev1")
+    q = stream_event_counts(spark, drop, out, cp,
+                            window="1 hour", watermark="1 hour")
+    q.awaitTermination(120)
+    # max ts 03:10, watermark 02:10 -> windows [0,1) and [1,2) closed
+    rows = spark.read.parquet(out).collect()
+    got = {(r["window_start"].hour, r["event_type"]): r["n_events"]
+           for r in rows}
+    assert got == {(0, "click"): 2, (1, "view"): 1}
+
+    # batch 2: one on-time event (05:10) + one LATE click at 00:40
+    # (behind the 04:10 watermark -> dropped, no second hour-0 row)
+    b2 = spark.createDataFrame(
+        [ev(5, 5, 10, "click"), ev(6, 0, 40, "click")],
+        EVENTS_SCHEMA,
+    )
+    _drop_batch(spark, b2, tmp_path, drop, "ev2")
+    q = stream_event_counts(spark, drop, out, cp,
+                            window="1 hour", watermark="1 hour")
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    hour0 = [r for r in rows
+             if r["window_start"].hour == 0 and r["event_type"] == "click"]
+    assert len(hour0) == 1 and hour0[0]["n_events"] == 2  # late one dropped
+    # windows [2,3) and [3,4) closed by the advanced watermark
+    got = {(r["window_start"].hour, r["event_type"]): r["n_events"]
+           for r in rows}
+    assert got[(2, "click")] == 1 and got[(3, "view")] == 1

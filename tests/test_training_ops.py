@@ -698,3 +698,33 @@ def test_write_packed_roundtrip(spark, tmp_path):
         for r in SA.pack_sequences(docs, budget=16, n_shards=3).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------- event analytics
+
+
+def test_sessionize_splits_on_gap(spark):
+    import datetime as dt
+
+    from spark_search import events as EV
+
+    def ev(i, user, minute, val=1.0):
+        return (i, dt.datetime(2024, 1, 1, 0, 0) +
+                dt.timedelta(minutes=minute), user, "click", val, "{}")
+
+    rows = [
+        ev(0, 1, 0), ev(1, 1, 10), ev(2, 1, 50),   # gap 40 min -> 2 sessions
+        ev(3, 2, 0),                                # single-event session
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {(r["user_id"], r["session_id"]): r
+           for r in EV.sessionize(df, gap_min=30).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(1, 1)]["t_end"].minute == 10
+    assert out[(2, 1)]["n_events"] == 1

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Operator scale-stress harness: run the training-pipeline / analytics
+operators at ~100x the per-round bench's input (600k docs, 600k
+embeddings, 5M events — the same corpus size as the N->4N scaling
+criterion) and print one JSON line of wall times.
+
+Purpose: evidence for the "would this plan survive a 100x scale-up?"
+question — a plan with a hidden driver bottleneck, single-partition
+window, or quadratic term blows up visibly at this size while staying
+invisible at sf0.1 (5k docs). Inputs are synthesized deterministically
+(no external data), distributed (no driver materialization), and cached
+once; each op is timed on a warm cache.
+
+Usage: python bench_ops_scale.py [--docs 600000] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    n_docs = 600_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    argv = sys.argv
+    if "--docs" in argv:
+        n_docs = int(argv[argv.index("--docs") + 1])
+    if "--cpus" in argv:
+        cpus = int(argv[argv.index("--cpus") + 1])
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark_search_ops_scale")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_search import clustering as CL
+    from spark_search import decontam as DX
+    from spark_search import dedup as DD
+    from spark_search import events as EV
+    from spark_search import lm as LM
+    from spark_search import mixing as MX
+    from spark_search import pipeline as P
+    from spark_search import sampling as SA
+    from spark_search import textops as TX
+    from spark_search.corpus import synthetic_corpus_distributed
+    from spark_search.ids import with_doc_ids
+
+    scratch = tempfile.mkdtemp(prefix="ops_scale_")
+    t0 = time.time()
+    corpus_dir = os.path.join(scratch, "corpus")
+    synthetic_corpus_distributed(spark, n_docs, num_partitions=64).write.parquet(
+        corpus_dir
+    )
+    corpus = with_doc_ids(spark.read.parquet(corpus_dir)).cache()
+    corpus.count()
+    # the documents-table shape (doc_id, text, lang) the pipeline ops read
+    docs = corpus.select(
+        "doc_id",
+        F.col("content").alias("text"),
+        F.col("lang"),
+    ).cache()
+    docs.count()
+    gen_docs_sec = round(time.time() - t0, 1)
+
+    # deterministic synthetic embeddings: 64 dims of hash-mixed floats
+    t0 = time.time()
+    dims = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("vec_id") * F.lit(131) + i), F.lit(2000))
+            .cast("double") / F.lit(1000.0) - F.lit(1.0)
+        ).cast("float"),
+    )
+    emb = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("vec_id"))
+        .repartition(64)
+        .select("vec_id", dims.alias("embedding"))
+        .cache()
+    )
+    emb.count()
+    # deterministic synthetic events: ~8 per doc-count/real-scale mix
+    n_events = max(1_000_000, 8 * n_docs)
+    ev = (
+        spark.range(n_events)
+        .repartition(64)
+        .select(
+            F.col("id").alias("event_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0),
+                    (F.pmod(F.xxhash64("id"), F.lit(2_592_000))).cast("double"),
+                )
+            ).alias("ts"),
+            F.pmod(F.xxhash64(F.col("id") + 7), F.lit(100_000)).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("click"), F.lit("view"), F.lit("purchase"),
+                        F.lit("error")),
+                (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(4)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64(F.col("id") + 29), F.lit(10_000)).cast("double")
+             / F.lit(100.0)).alias("value"),
+            F.concat(F.lit('{"k": '),
+                     F.pmod(F.xxhash64(F.col("id") + 31), F.lit(100)),
+                     F.lit("}")).alias("props"),
+        )
+        .cache()
+    )
+    ev.count()
+    gen_aux_sec = round(time.time() - t0, 1)
+
+    ops = {}
+
+    def _force(df):
+        """count() alone under-measures: Catalyst prunes unique-key
+        left joins (and their inputs) out of a pure row count. Hashing
+        every column forces the full computation."""
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod keeps the sum far from int64 overflow (ANSI errors
+            # on it) while still depending on every column's value
+            F.sum(
+                F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(1_000_000))
+            ).alias("h"),
+        ).collect()[0]
+        return r["n"]
+
+    def timed(name, fn):
+        t = time.time()
+        n = fn()
+        ops[name] = {"sec": round(time.time() - t, 2), "rows": int(n)}
+
+    timed("lm_scores", lambda: _force(LM.lm_scores(docs)))
+    timed("pmi_bigrams", lambda: _force(LM.pmi_bigrams(docs)))
+    timed("text_repetition", lambda: _force(TX.repetition_scores(docs)))
+    timed("text_dup_spans", lambda: _force(TX.duplicated_ngram_shares(docs)))
+    timed("dedup_minhash_lsh", lambda: _force(DD.minhash_near_dup(docs)))
+    timed("decontaminate", lambda: _force(DX.decontaminate(
+        docs.where("doc_id % 37 <> 0"), docs.where("doc_id % 37 = 0"), n=3
+    )))
+    timed("mix_plan", lambda: _force(MX.mix_plan(docs)))
+    timed("length_histogram", lambda: _force(TX.length_histogram(docs)))
+    timed("pack_manifest", lambda: _force(SA.pack_manifest(docs)))
+    timed("sample_stratified", lambda: _force(SA.sample_stratified(docs)))
+    timed("more_like_this", lambda: _force(P.more_like_this(corpus, 7)))
+    timed("kmeans_600k_vecs", lambda: _force(CL.kmeans_assignments(emb)))
+    timed("events_windowed", lambda: _force(EV.windowed_counts(ev)))
+    timed("events_sessions", lambda: _force(EV.sessionize(ev)))
+    timed("events_json_stats", lambda: _force(EV.json_prop_stats(ev)))
+
+    out = {
+        "metric": "ops_scale_stress",
+        "n_docs": n_docs,
+        "n_vectors": n_docs,
+        "n_events": n_events,
+        "cpus": cpus,
+        "gen_docs_sec": gen_docs_sec,
+        "gen_aux_sec": gen_aux_sec,
+        "ops": ops,
+    }
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,30 +28,20 @@ a gram-keyed shuffle join, still Σ|grams| volume, never content bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .grams import gram_rows as _zip_gram_rows
 from .textops import _toks, _toks_duck
 
 __all__ = ["decontaminate", "decontaminate_sql"]
 
 
 def _gram_rows(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
-    """(id, s) word-n-gram rows via the codegen posexplode+lead pattern
-    (the repo's measured HOF-free shingle plan, dedup._shingle_rows)."""
-    ex = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.posexplode(_toks(F.col("text"))).alias("pos", "w"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("w", j).over(w) for j in range(1, n)]
-    gram = F.concat_ws(" ", F.col("w"), *leads) if leads else F.col("w")
-    guard = leads[-1].isNotNull() if leads else F.lit(True)
-    return (
-        ex.select(F.col(id_col), gram.alias("s"), guard.alias("_ok"))
-        .where("_ok")
-        .drop("_ok")
-    )
+    """(id, s) word-n-gram rows — map-only zip-of-slices (grams.py):
+    grams assemble inside each row, so the corpus side reaches its
+    first exchange already aggregated."""
+    return _zip_gram_rows(docs, n, _toks(F.col("text")), id_col)
 
 
 def decontaminate(

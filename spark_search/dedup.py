@@ -84,28 +84,26 @@ def _toks_duck(expr: str = "text") -> str:
 def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, s) — one row per distinct word n-gram shingle.
 
-    Built from exploded token rows with window ``lead`` (one
-    doc_id-keyed exchange + per-doc sort), NOT by exploding the
-    ``shingles_col`` array: Spark evaluates higher-order-function
-    lambdas on the interpreted expression path, and the per-row array
-    build measured 8.8 s vs 0.9 s for this codegen form at sf0.1
-    (same finding as minhash_signatures' docstring). Downstream
-    doc_id-keyed aggregations are exchange-free on top of the window's
-    partitioning. Output row set is identical (pinned by test)."""
+    ZERO-exchange: zip-of-slices gram build + per-row
+    ``array_distinct`` (grams.py: codegen slices + arrays_zip — no
+    lambda HOFs, which run interpreted and measured 8.8 s vs 0.9 s at
+    sf0.1; and no posexplode+window ``lead``, which shuffled AND
+    sorted every token row by doc_id before any shingle existed). The
+    per-doc distinct happens inside the row before the explode, so
+    the first exchange any shingle byte sees belongs to the CALLER's
+    aggregation. Output row set is identical (pinned by test)."""
+    from .grams import GRAM_FIELDS, zip_slices
+
     docs = _spread(docs)
-    tok = docs.select(
+    ex = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(_toks(F.col("text"))).alias("pos", "w"),
+        F.explode(
+            F.array_distinct(zip_slices(_toks(F.col("text")), n))
+        ).alias("p"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w", j).over(w) for j in range(1, n)]
-    gram = F.concat_ws(" ", F.col("w"), *leads) if leads else F.col("w")
-    guard = leads[-1].isNotNull() if leads else F.lit(True)
-    return (
-        tok.select("doc_id", gram.alias("s"), guard.alias("_ok"))
-        .where("_ok")
-        .select("doc_id", "s")
-        .distinct()
+    return ex.select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col("p")[g] for g in GRAM_FIELDS(n)]).alias("s"),
     )
 
 

@@ -34,13 +34,13 @@ Scale shape (the 100 TB question):
     the left; AQE skew-split applies); nothing is collected to the
     driver but the 2-value totals row. Three shuffles total, all bounded
     by Σ distinct-(doc,term), never content bytes.
-  * ``pmi_bigrams`` — bigram rows come from the repo's measured
-    codegen shingle plan (posexplode + window lead, dedup._shingle_rows
-    precedent); counts are map-side combined, the ``min_count`` filter
-    cuts the candidate table BEFORE the two unigram-count joins, and
-    only ``top_n`` rows survive to the driver. The final global sort
-    runs on the post-filter candidate table (collocations with
-    count >= min_count), orders of magnitude smaller than the corpus.
+  * ``pmi_bigrams`` — bigram rows come from the map-only zip-of-slices
+    gram build (grams.py); counts are map-side combined, the
+    ``min_count`` filter cuts the candidate table BEFORE the two
+    unigram-count joins, and only ``top_n`` rows survive to the driver.
+    The final global sort runs on the post-filter candidate table
+    (collocations with count >= min_count), orders of magnitude
+    smaller than the corpus.
 """
 
 from __future__ import annotations
@@ -173,26 +173,28 @@ def pmi_bigrams(
     by the ROUNDED pmi (6dp) desc, then (w1, w2) asc — bit-stable
     across engines because every count is an exact integer and the only
     float is one ln of their ratio.
+
+    Pair construction is MAP-ONLY — ``arrays_zip`` of the token array
+    with its own 1-shift (two codegen slices), exploded in place. The
+    previous posexplode + per-doc window ``lead`` shuffled AND sorted
+    every token row before pairing (measured 47.5 s vs 25.0 s
+    end-to-end at 600k docs / 120M pairs, local[32]); zip-of-slices
+    pairs tokens inside the row, so the first exchange any token byte
+    sees is the map-side-combined pair-count aggregation itself.
     """
-    ex = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(_toks(F.col("text"))).alias("pos", "w"),
+    t = _toks(F.col("text"))
+    ln_ = F.greatest(F.size(t) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(t, 1, ln_).alias("w1"), F.slice(t, 2, ln_).alias("w2")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        ex.select(
-            F.col("w").alias("w1"),
-            F.lead("w", 1).over(w).alias("w2"),
-        )
-        .where(F.col("w2").isNotNull())
-    )
+    pairs = docs.select(F.explode(z).alias("p")).select("p.w1", "p.w2")
     pair_counts = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
-    uni = ex.groupBy(F.col("w").alias("term")).agg(
-        F.count(F.lit(1)).alias("n_uni")
-    )
+    uni = docs.select(F.explode(_toks(F.col("text"))).alias("term")).groupBy(
+        "term"
+    ).agg(F.count(F.lit(1)).alias("n_uni"))
     t2 = pair_counts.agg(F.sum("n_pair").cast("double").alias("T2"))
     t1 = uni.agg(F.sum("n_uni").cast("double").alias("T1"))
     cand = pair_counts.where(F.col("n_pair") >= int(min_count))

@@ -348,60 +348,45 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
       * ``top_bigram_share`` — tokens covered by the single most
         frequent bigram, as a fraction of all tokens (count × 2 / n)
 
-    Plan shape: exploded token rows + one window ``lead`` build the
-    n-grams (the dedup._shingle_rows codegen pattern — NOT per-row
-    higher-order-function lambdas, which run on Spark's interpreted
-    expression path; and NOT the previous array_max(transform(
-    array_distinct, filter)) top-bigram scan, which was O(distinct²)
-    PER ROW — a 10k-token document cost ~10⁸ interpreted string
-    comparisons in one row). One doc_id-keyed exchange; every
-    aggregation on top of it (per-doc distinct counts, the
-    (doc_id, bigram) counts and their per-doc max) reuses that
-    partitioning, so per-doc work is linear in document length and
-    whole-stage-codegen'd end to end.
+    Plan shape: the distinct-token and distinct-n-gram fractions are
+    PER-ROW codegen expressions — ``array_distinct`` over the token
+    array and over its zip-of-slices n-gram array (grams.py; struct
+    distinctness equals joined-string distinctness because whitespace
+    tokens cannot contain the join space) — so that whole branch is
+    map-only. NOT per-row higher-order-function lambdas (interpreted
+    path), NOT the O(distinct²) array_max(transform(array_distinct,
+    filter)) scan, and NOT posexplode + window ``lead`` (a full
+    doc_id exchange AND sort of every token row). The one remaining
+    aggregation is the top-bigram mode — a (doc_id, bigram) hash count
+    with map-side combine, no sort — joined back to the map-only base.
     """
+    from .grams import zip_slices
+
     t = _toks(F.col("text"))
+    zn = zip_slices(t, n)
+    z2 = zip_slices(t, 2)
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(t).cast("long").alias("n_tokens"),
-    )
-    ex = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(t).alias("pos", "w"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w", j).over(w) for j in range(1, n)]
-    # n=1 degrades to unigrams (leads empty; the oracle SQL builder
-    # already produces working unigram SQL for n=1 — the two sides must
-    # agree on the parameter domain, not crash on one of them)
-    gn = (
-        F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads))
-        if leads
-        else F.col("w")
-    )  # null past the doc tail -> count()/countDistinct() skip it
-    g2 = F.when(
-        F.lead("w", 1).over(w).isNotNull(),
-        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(w)),
-    )
-    wdf = ex.select("doc_id", "w", gn.alias("_gn"), g2.alias("_g2"))
-    per_doc = wdf.groupBy("doc_id").agg(
-        F.countDistinct("w").alias("_d_tok"),
-        F.count("_gn").alias("_n_gn"),
-        F.countDistinct("_gn").alias("_d_gn"),
+        F.size(F.array_distinct(t)).cast("long").alias("_d_tok"),
+        F.size(zn).cast("long").alias("_n_gn"),
+        F.size(F.array_distinct(zn)).cast("long").alias("_d_gn"),
     )
     top2 = (
-        wdf.where(F.col("_g2").isNotNull())
-        .groupBy("doc_id", "_g2")
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(z2).alias("p"),
+        )
+        .groupBy("doc_id", "p")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("doc_id")
         .agg(F.max("_c").alias("_top2"))
     )
     nt = F.col("n_tokens")
     safe_n = F.when(nt > 0, nt.cast("double")).otherwise(F.lit(1.0))
-    n_gn = F.coalesce(F.col("_n_gn"), F.lit(0))
+    n_gn = F.col("_n_gn")
     return (
-        base.join(per_doc, "doc_id", "left")
-        .join(top2, "doc_id", "left")
+        base.join(top2, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -479,27 +464,19 @@ def duplicated_ngram_shares(
     n-gram (non-distinct), so dup_share is a per-position coverage
     fraction. Docs shorter than n tokens have 0 n-grams and share 0.
 
-    Plan shape: exploded token rows + window ``lead`` build the grams
-    (the dedup._shingle_rows codegen pattern), then
+    Plan shape: map-only zip-of-slices gram build (grams.py — no
+    window exchange/sort of token rows), then
       (doc_id, gram) count  ->  gram-keyed df agg  ->  gram-keyed join
       ->  doc_id-keyed sum
-    — three data-sized exchanges over (gram, count) rows, never over
+    — data-sized exchanges over (gram, count) rows, never over
     content bytes, and no per-row Python. At 100 TB the gram strings
     dominate shuffle volume; swapping the join key for xxhash64(gram)
     halves the bytes at a ~1e-9 collision risk — kept exact here so
     the DuckDB oracle (which groups raw strings) matches bit-for-bit.
     """
-    ex = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(_toks(F.col("text"))).alias("pos", "w"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w", j).over(w) for j in range(1, n)]
-    gram = F.concat_ws(" ", F.col("w"), *leads) if leads else F.col("w")
-    guard = leads[-1].isNotNull() if leads else F.lit(True)
-    grams = ex.select("doc_id", gram.alias("s"), guard.alias("_ok")).where(
-        "_ok"
-    )
+    from .grams import gram_rows
+
+    grams = gram_rows(docs, n, _toks(F.col("text")))
     per_ds = grams.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("_c"))
     dfreq = per_ds.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     dup = (

@@ -310,3 +310,28 @@ def test_search_many_scans_postings_once(spark, fixture_index):
         if "Location" in ln and "postings" in ln
     ]
     assert len(scans) == 1, plan
+
+
+def test_gram_ops_have_no_window_exchange(spark, sf_docs):
+    """The zip-of-slices gram build (grams.py) replaced posexplode +
+    per-doc window lead everywhere: none of these plans may contain a
+    Window operator (a window here means every token row is shuffled
+    AND sorted by doc_id before any gram exists)."""
+    from spark_search import decontam as DX
+    from spark_search import dedup as D
+    from spark_search import lm as LM
+    from spark_search import textops as X
+
+    for df in [
+        LM.pmi_bigrams(sf_docs),
+        X.repetition_scores(sf_docs),
+        X.duplicated_ngram_shares(sf_docs),
+        DX.decontaminate(
+            sf_docs.where("doc_id % 37 <> 0"),
+            sf_docs.where("doc_id % 37 = 0"),
+            n=3,
+        ),
+        D.minhash_signatures(sf_docs),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan[:2000]

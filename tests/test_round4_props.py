@@ -1,0 +1,147 @@
+"""Randomized invariants for the round-4 operators — the reference's
+property-test style (SearchEngineAppTest.java:55-102: sample random
+inputs, assert a semantic law) applied to the new surface."""
+
+import math
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _rand_docs(spark, n, seed, vocab=40, max_len=30):
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            " ".join(
+                f"w{rng.randrange(vocab)}" for _ in range(rng.randrange(max_len))
+            ),
+            rng.choice(["en", "de", "fr"]),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_self_is_total(spark):
+    """Law: decontaminating a corpus against ITSELF marks every gram
+    position contaminated (share 1.0 for every doc with >= n tokens)."""
+    from spark_search import decontam as DX
+
+    docs = _rand_docs(spark, 40, seed=1)
+    out = DX.decontaminate(docs, docs, n=3).collect()
+    assert len(out) == 40
+    for r in out:
+        assert 0.0 <= r["contam_share"] <= 1.0
+        assert r["n_contaminated"] <= r["n_ngrams"]
+        if r["n_ngrams"] > 0:
+            assert r["contam_share"] == 1.0
+            assert r["n_eval_docs_hit"] >= 1
+
+
+def test_decontaminate_disjoint_is_zero(spark):
+    """Law: disjoint vocabularies share no grams."""
+    from spark_search import decontam as DX
+
+    corpus = _rand_docs(spark, 20, seed=2)
+    ev = spark.createDataFrame(
+        [(900, "zz yy xx ww vv uu")], "doc_id long, text string"
+    )
+    out = DX.decontaminate(corpus, ev, n=3).collect()
+    assert all(r["n_contaminated"] == 0 for r in out)
+
+
+def test_lm_scores_laws(spark):
+    """Laws: ppl = e^xent >= 1; n_tokens matches the tokenizer; every
+    input doc gets exactly one row."""
+    from spark_search import lm as LM
+    from spark_search.tokenizer import tokenize
+
+    docs = _rand_docs(spark, 50, seed=3)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = LM.lm_scores(docs).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["n_tokens"] == len(texts[r["doc_id"]].split())
+        assert r["ppl"] >= 1.0 - 1e-9
+        assert abs(r["ppl"] - round(math.exp(r["xent"]), 6)) < 1e-4
+
+
+def test_kmeans_assigns_nearest_centroid(spark):
+    """Law: every vector's reported cluster maximizes rounded cosine
+    against the trained centroids (verified in numpy)."""
+    import numpy as np
+
+    from spark_search import clustering as CL
+
+    rng = random.Random(4)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = {
+        r["cell"]: (np.array(r["cv"]), r["cnorm"])
+        for r in CL.kmeans_centroids(emb, k=4).collect()
+    }
+    # numpy re-check with float32-cast inputs (what Spark read)
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+    for r in CL.kmeans_assignments(emb, k=4).collect():
+        u = vecs[r["vec_id"]]
+        u = u / math.sqrt(float((u * u).sum()))
+        sims = {
+            c: round(float(u @ cv) / cn, 6) for c, (cv, cn) in cents.items()
+        }
+        best = max(sims.values())
+        winners = sorted(c for c, s in sims.items() if s == best)
+        assert r["cluster"] == winners[0], (r, sims)
+        assert abs(r["sim"] - best) < 1e-5
+
+
+def test_more_like_this_ranks_and_excludes(spark):
+    """Laws: ranks are 1..k dense, scores non-increasing, source doc
+    absent, every score positive."""
+    from spark_search import pipeline as P
+
+    docs = _rand_docs(spark, 40, seed=5, vocab=15, max_len=25)
+    corpus = docs.select("doc_id", F.col("text").alias("content"))
+    out = P.more_like_this(corpus, 0, m_terms=6, k=8).collect()
+    assert out, "random corpus with tiny vocab must have neighbors"
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["doc_id"] != 0 and r["score"] > 0 for r in out)
+
+
+def test_windowed_counts_conserve_events(spark):
+    """Law: windows partition the event stream — counts and value sums
+    are conserved exactly."""
+    import datetime as dt
+
+    from spark_search import events as EV
+
+    rng = random.Random(6)
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(10000)),
+            rng.randrange(20),
+            rng.choice(["a", "b"]),
+            round(rng.uniform(0, 10), 2),
+            "{}",
+        )
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = EV.windowed_counts(ev, bucket="hour").collect()
+    assert sum(r["n_events"] for r in out) == 500
+    assert abs(sum(r["sum_value"] for r in out) - sum(r[4] for r in rows)) < 1e-3
+    sess = EV.sessionize(ev, gap_min=45).collect()
+    assert sum(r["n_events"] for r in sess) == 500

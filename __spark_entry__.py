@@ -26,6 +26,7 @@ from spark_search import curate as CU
 from spark_search import decontam as DX
 from spark_search import dedup as DD
 from spark_search import events as EV
+from spark_search import graph as GR
 from spark_search import lm as LM
 from spark_search import mixing as MX
 from spark_search import multimodal as MM
@@ -1179,6 +1180,18 @@ def _q_dedup_clusters(spark, sf_dir):
     return DD.dup_clusters(_docs_raw(spark, sf_dir))
 
 
+def _q_graph_pagerank(spark, sf_dir):
+    # PageRank centrality over the MinHash near-dup graph (symmetric):
+    # the connectivity-based canonical-keeper / quality prior; 3 power
+    # iterations, protocol frozen in graph.pagerank
+    docs = _docs_raw(spark, sf_dir)
+    pairs = DD.minhash_near_dup(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    return GR.pagerank(pairs, nodes, symmetric=True)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     return DD.embedding_near_dup(_emb_raw(spark, sf_dir))
 
@@ -1353,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transitive duplicate clusters over the minhash pairs
         # (graph.connected_components — the canonical-doc keep list)
         "dedup_clusters": _q_dedup_clusters,
+        "graph_pagerank": _q_graph_pagerank,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_ann": _q_dedup_embedding_ann,
         "sim_cosine_topk": _q_sim_cosine_topk,
@@ -1511,6 +1525,12 @@ FROM tf GROUP BY term
         "dedup_simhash": DD.simhash_sql(),
         "dedup_simhash_pairs": DD.simhash_near_dup_sql(),
         "dedup_clusters": DD.dup_clusters_sql(),
+        "graph_pagerank": GR.pagerank_cte(
+            "SELECT doc_a AS src, doc_b AS dst FROM "
+            f"({DD.minhash_near_dup_sql()}) q",
+            "SELECT doc_id AS id FROM documents",
+            symmetric=True,
+        ),
         "dedup_embedding": DD.embedding_near_dup_sql(),
         "dedup_embedding_ann": DD.embedding_near_dup_ann_sql(),
         "sim_cosine_topk": SIM.cosine_topk_sql(SIM_QUERY_IDS),

@@ -240,6 +240,7 @@ def _measure(
     from spark_search import decontam as DX
     from spark_search import dedup as DD
     from spark_search import events as EV
+    from spark_search import graph as GR
     from spark_search import lm as LM
     from spark_search import mixing as MX
     from spark_search import multimodal as MM
@@ -257,6 +258,13 @@ def _measure(
         ("dedup_simhash_pairs", lambda: DD.simhash_near_dup(sf_docs).count()),
         ("dedup_embedding_ann", lambda: DD.embedding_near_dup_ann(emb_raw).count()),
         ("dedup_clusters", lambda: DD.dup_clusters(sf_docs).count()),
+        ("graph_pagerank", lambda: GR.pagerank(
+            DD.minhash_near_dup(sf_docs).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            sf_docs.select(F.col("doc_id").cast("long").alias("id")),
+            symmetric=True,
+        ).count()),
         # batch-vs-state incremental dedup: state build (the one-time
         # ingest cost) is inside the timer too, so the number is the
         # conservative end-to-end cost; the steady-state batch probe

@@ -261,3 +261,150 @@ def _cc_loop(
         )
     return labels.select("id", F.col("label").alias("component"))
 
+
+
+# ------------------------------------------------------------ PageRank
+
+PR_DAMPING = 0.85
+PR_ITER = 3
+_PR_ROUND = 12  # per-iteration rounding: engine/oracle double sums
+                # agree to ~1e-15; rounding at 1e-12 absorbs the drift
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = PR_ITER,
+    damping: float = PR_DAMPING,
+    symmetric: bool = False,
+) -> DataFrame:
+    """(id, rank) — PageRank after ``n_iter`` power iterations, with
+    ``rank`` scaled by N (mean 1.0, scale-free) and rounded to 6 dp.
+    Centrality over the near-dup graph ranks a duplicate cluster's
+    most-connected member (an alternative canonical-keeper policy to
+    min-id), and over any doc-link graph it is the classic quality
+    prior.
+
+    Frozen protocol (the DuckDB oracle unrolls it exactly):
+      * edge set: self-loops dropped, directed pairs deduped;
+        ``symmetric=True`` adds every reverse edge first (undirected
+        graphs, e.g. near-dup pairs);
+      * p₀ = 1/N; each iteration
+        p'(v) = round((1-d)/N + d·(Σ_{u→v} p(u)/out(u) + dangling/N),
+        12) with dangling = Σ p(u) over zero-outdegree u;
+      * output rank = round(p·N, 6).
+
+    Scale shape: out-degrees join into the edge list ONCE before the
+    loop; each iteration is one src-keyed join + one dst-keyed
+    partial+final sum plus a broadcast single-row dangling total —
+    volume |E| + |V| per iteration, lineage cut per round
+    (localCheckpoint), nothing driver-side but the iteration counter.
+    Hub skew spreads across reducers because the aggregation key is
+    the DESTINATION."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    if symmetric:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    nn = nodes.select(F.col("id").cast("long").alias("id")).localCheckpoint()
+    n_nodes = nn.count()
+    if n_nodes == 0:
+        return nn.select("id", F.lit(0.0).alias("rank"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
+    ed = e.join(deg, "src").localCheckpoint()  # (src, dst, out)
+
+    d = float(damping)
+    base = (1.0 - d) / n_nodes
+    p = nn.select("id", F.lit(1.0 / n_nodes).alias("p")).localCheckpoint()
+    for _ in range(int(n_iter)):
+        contrib = (
+            ed.join(p.select(F.col("id").alias("src"), "p"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("p") / F.col("out")).alias("c"))
+        )
+        dang = (
+            p.join(deg.select(F.col("src").alias("id"), "out"), "id", "left")
+            .where(F.col("out").isNull())
+            .agg(F.coalesce(F.sum("p"), F.lit(0.0)).alias("dg"))
+        )
+        p = (
+            nn.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                F.round(
+                    F.lit(base)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dg") / F.lit(float(n_nodes))
+                    ),
+                    _PR_ROUND,
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return p.select(
+        "id", F.round(F.col("p") * F.lit(float(n_nodes)), 6).alias("rank")
+    )
+
+
+def pagerank_cte(
+    edges_sql: str,
+    nodes_sql: str,
+    n_iter: int = PR_ITER,
+    damping: float = PR_DAMPING,
+    symmetric: bool = False,
+    prefix: str = "pr_",
+) -> str:
+    """DuckDB oracle: the power iteration unrolled over arbitrary edge
+    and node CTE bodies (each a full SELECT producing (src, dst) /
+    (id)). Returns a complete query (id, rank)."""
+    q = prefix
+    d = float(damping)
+    sym = (
+        f"UNION SELECT dst, src FROM {q}e0" if symmetric else ""
+    )
+    parts = [
+        f"""{q}e0 AS ({edges_sql}),
+{q}n AS (SELECT id::BIGINT AS id FROM ({nodes_sql}) x),
+{q}tot AS (SELECT count(*)::DOUBLE AS n FROM {q}n),
+{q}e AS (SELECT DISTINCT src, dst FROM
+         (SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM {q}e0
+          {sym}) u WHERE src <> dst),
+{q}deg AS (SELECT src, count(*)::DOUBLE AS outd FROM {q}e GROUP BY src),
+{q}p0 AS (SELECT id, 1.0 / {q}tot.n AS p FROM {q}n CROSS JOIN {q}tot)"""
+    ]
+    prev = f"{q}p0"
+    for i in range(int(n_iter)):
+        c, dg, nxt = f"{q}c{i}", f"{q}d{i}", f"{q}p{i + 1}"
+        parts.append(
+            f"""
+{c} AS (SELECT e.dst AS id, sum(p.p / deg.outd) AS c
+        FROM {q}e e JOIN {prev} p ON p.id = e.src
+        JOIN {q}deg deg ON deg.src = e.src
+        GROUP BY e.dst),
+{dg} AS (SELECT coalesce(sum(p.p), 0.0) AS dg
+         FROM {prev} p LEFT JOIN {q}deg deg ON deg.src = p.id
+         WHERE deg.src IS NULL),
+{nxt} AS (SELECT n.id,
+                 round((1.0 - {d!r}) / {q}tot.n
+                       + {d!r} * (coalesce({c}.c, 0.0) + {dg}.dg / {q}tot.n),
+                       {_PR_ROUND}) AS p
+          FROM {q}n n
+          LEFT JOIN {c} ON {c}.id = n.id
+          CROSS JOIN {dg} CROSS JOIN {q}tot)"""
+        )
+        prev = nxt
+    parts.append(
+        f"""
+SELECT p.id::BIGINT AS id, round(p.p * {q}tot.n, 6) AS rank
+FROM {prev} p CROSS JOIN {q}tot"""
+    )
+    head = "WITH " + parts[0]
+    mid = ",".join(parts[1:-1])
+    return head + ("," + mid if mid else "") + parts[-1]

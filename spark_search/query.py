@@ -657,9 +657,22 @@ class IndexReader:
                 out.append(v)
             return pd.Series(out, dtype="Int32")
 
+        # JVM-side covering-range prefilter BEFORE the Arrow UDF: blocks
+        # are doc-sorted, so a term can contain the doc only if
+        # first(blocks).first_doc <= doc <= last(blocks).last_doc —
+        # plain codegen struct-field access that drops the (vast)
+        # majority of the chunk's vocabulary without shipping their
+        # heavy blocks bytes into Python. The UDF then re-checks
+        # per-block ranges and decodes at most one block per term.
+        covers = (
+            (F.element_at(F.col("blocks"), 1)["first_doc"] <= target)
+            & (F.element_at(F.col("blocks"), -1)["last_doc"] >= target)
+        )
         return (
             self.postings_df()
             .where(F.col("chunk") == chunk)
+            .where(F.size("blocks") > 0)
+            .where(covers)
             .select("term", tf_of(F.col("blocks")).alias("tf"))
             .where(F.col("tf").isNotNull())
         )

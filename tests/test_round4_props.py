@@ -145,3 +145,33 @@ def test_windowed_counts_conserve_events(spark):
     assert abs(sum(r["sum_value"] for r in out) - sum(r[4] for r in rows)) < 1e-3
     sess = EV.sessionize(ev, gap_min=45).collect()
     assert sum(r["n_events"] for r in sess) == 500
+
+
+def test_pagerank_laws(spark):
+    """Laws on a hand graph (1->{2,3,4}, 4->5, 2->1; 6 isolated):
+    total scaled rank sums to N (dangling mass redistributed), the hub
+    and the full-mass leaf tie, symmetric peers tie, isolated ranks
+    lowest."""
+    from spark_search import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (4, 5), (2, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    out = {r["id"]: r["rank"] for r in G.pagerank(edges, nodes).collect()}
+    assert abs(sum(out.values()) - 6.0) < 1e-3
+    assert out[1] == out[5] > out[2] > out[6] > 0
+    assert out[2] == out[3] == out[4]
+
+
+def test_pagerank_symmetric_regular_graph_is_uniform(spark):
+    """Law: on a connected regular undirected graph every node has
+    rank exactly 1.0 (a 4-cycle)."""
+    from spark_search import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    out = G.pagerank(edges, nodes, symmetric=True).collect()
+    assert all(abs(r["rank"] - 1.0) < 1e-6 for r in out)

@@ -175,3 +175,43 @@ def test_pagerank_symmetric_regular_graph_is_uniform(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
     out = G.pagerank(edges, nodes, symmetric=True).collect()
     assert all(abs(r["rank"] - 1.0) < 1e-6 for r in out)
+
+
+def test_round4_ops_tolerate_empty_inputs(spark):
+    """Every round-4 operator must return an EMPTY frame (not raise)
+    on empty inputs — degenerate-input guard, reference Q7 analog."""
+    from spark_search import clustering as CL
+    from spark_search import decontam as DX
+    from spark_search import events as EV
+    from spark_search import graph as G
+    from spark_search import lm as LM
+    from spark_search import mixing as MX
+    from spark_search import sampling as SA
+    from spark_search import textops as TX
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([], "id long")
+
+    for df in [
+        LM.lm_scores(docs),
+        LM.pmi_bigrams(docs),
+        DX.decontaminate(docs, docs, n=3),
+        MX.mix_plan(docs),
+        TX.length_histogram(docs),
+        TX.repetition_scores(docs),
+        SA.pack_manifest(docs, n_shards=4),
+        CL.kmeans_assignments(emb, k=4),
+        CL.kmeans_centroids(emb, k=4),
+        G.pagerank(edges, nodes),
+        EV.windowed_counts(ev),
+        EV.sessionize(ev),
+        EV.json_prop_stats(ev),
+    ]:
+        assert df.collect() == []

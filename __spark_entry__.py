@@ -1118,6 +1118,12 @@ def _q_length_histogram(spark, sf_dir):
     return TX.length_histogram(_docs_raw(spark, sf_dir))
 
 
+def _q_corpus_rollup(spark, sf_dir):
+    # ROLLUP(lang, source) composition report with the SQL-standard
+    # grouping bitmask (the engine's grouping-sets surface)
+    return TX.corpus_rollup(_docs_raw(spark, sf_dir))
+
+
 def _q_sample_stratified(spark, sf_dir):
     return SA.sample_stratified(_docs_raw(spark, sf_dir))
 
@@ -1350,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
         "length_histogram": _q_length_histogram,
+        "corpus_rollup": _q_corpus_rollup,
         "sample_stratified": _q_sample_stratified,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
@@ -1509,6 +1516,7 @@ FROM tf GROUP BY term
         "pack_sequences": SA.pack_sequences_sql(),
         "pack_manifest": SA.pack_manifest_sql(),
         "length_histogram": TX.length_histogram_sql(),
+        "corpus_rollup": TX.corpus_rollup_sql(),
         "sample_stratified": SA.sample_stratified_sql(),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),

@@ -668,3 +668,56 @@ SELECT lang, bin_lo, n_docs, n_tokens,
        round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS doc_share
 FROM per ORDER BY lang, bin_lo
 """
+
+
+# ----------------------------------------------------- rollup report
+
+
+def corpus_rollup(docs: DataFrame) -> DataFrame:
+    """(lang, source, grp, n_docs, n_tokens) — the corpus composition
+    report at every grouping level of ROLLUP(lang, source): per
+    (lang, source) cell, per-lang subtotal, grand total. ``grp`` is
+    the SQL-standard grouping bitmask (0 = leaf cell, 1 = lang
+    subtotal, 3 = grand total) so rolled-up NULLs are unambiguous;
+    aggregated-out keys render as '__all__'.
+
+    One partial+final aggregation — Spark expands rollup grouping sets
+    map-side, so the exchange carries |cells| × |levels| rows, never
+    the corpus. The engine's grouping-sets surface (the reference has
+    no aggregation at all, SURVEY.md §2.5)."""
+    t = _toks(F.col("text"))
+    return (
+        docs.select(
+            F.col("lang"),
+            F.col("source"),
+            F.size(t).cast("long").alias("_t"),
+        )
+        .rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("__all__")).alias("lang"),
+            F.coalesce("source", F.lit("__all__")).alias("source"),
+            F.col("grp").cast("long").alias("grp"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy("grp", "lang", "source")
+    )
+
+
+def corpus_rollup_sql() -> str:
+    toks = _toks_duck()
+    return f"""
+SELECT coalesce(lang, '__all__') AS lang,
+       coalesce(source, '__all__') AS source,
+       GROUPING(lang, source)::BIGINT AS grp,
+       count(*)::BIGINT AS n_docs,
+       sum(len({toks}))::BIGINT AS n_tokens
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY grp, lang, source
+"""

@@ -728,3 +728,31 @@ def test_sessionize_splits_on_gap(spark):
     assert out[(1, 2)]["n_events"] == 1
     assert out[(1, 1)]["t_end"].minute == 10
     assert out[(2, 1)]["n_events"] == 1
+
+
+def test_corpus_rollup_levels(spark):
+    """ROLLUP(lang, source): leaf cells, per-lang subtotals, grand
+    total — each level's counts sum to the total; grp bitmask
+    disambiguates rolled-up NULLs from real values."""
+    from spark_search import textops as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "en", "s1"), (2, "c", "en", "s2"),
+            (3, "d e f", "de", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = TX.corpus_rollup(docs).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert sorted(by_grp) == [0, 1, 3]
+    assert sum(r["n_docs"] for r in by_grp[0]) == 3
+    assert {(r["lang"], r["n_docs"], r["n_tokens"]) for r in by_grp[1]} == {
+        ("en", 2, 3), ("de", 1, 3)
+    }
+    g = by_grp[3][0]
+    assert (g["lang"], g["source"], g["n_docs"], g["n_tokens"]) == (
+        "__all__", "__all__", 3, 6
+    )

@@ -49,6 +49,7 @@ TERMS_EXACT = ["spark"]
 TERMS_OR = ["data", "join", "merge"]
 TERMS_AND = ["spark", "query"]
 TERMS_PREFIX = ["sca"]  # matches 'scan'
+TERMS_CONTAINS = ["abl"]  # wildcard *abl*: 'table', ...
 TERMS_STATS = ["spark", "join", "data", "vector", "hash"]
 
 
@@ -210,6 +211,8 @@ def _bm25_oracle(terms, mode, k=10, doc_where=None, toks=None,
     uniq = list(dict.fromkeys(terms))
     if mode == P.START_WITH:
         pred = " OR ".join(f"term LIKE '{t}%'" for t in uniq)
+    elif mode == P.CONTAINS_MATCH:
+        pred = " OR ".join(f"term LIKE '%{t}%'" for t in uniq)
     else:
         inlist = ", ".join(f"'{t}'" for t in uniq)
         pred = f"term IN ({inlist})"
@@ -357,6 +360,16 @@ def _q_bm25_and_indexed(spark, sf_dir):
 
 def _q_bm25_prefix_indexed(spark, sf_dir):
     return _indexed_topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
+
+
+def _q_bm25_contains(spark, sf_dir):
+    # wildcard substring mode (the engine's CONTAINS_MATCH extension):
+    # dictionary expansion by substring, then the standard OR union
+    return _topk(spark, sf_dir, TERMS_CONTAINS, P.CONTAINS_MATCH)
+
+
+def _q_bm25_contains_indexed(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, TERMS_CONTAINS, P.CONTAINS_MATCH)
 
 
 def _q_bm25_code(spark, sf_dir):
@@ -1281,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk": _q_bm25_or,
         "bm25_and_topk": _q_bm25_and,
         "bm25_prefix_topk": _q_bm25_prefix,
+        "bm25_contains_topk": _q_bm25_contains,
+        "bm25_contains_topk_indexed": _q_bm25_contains_indexed,
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_filtered_topk_indexed": _q_bm25_filtered_indexed,
         "bm25_multi_topk": _q_bm25_multi,
@@ -1398,6 +1413,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_topk": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_and_topk": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
+        "bm25_contains_topk": _bm25_oracle(TERMS_CONTAINS, P.CONTAINS_MATCH),
+        "bm25_contains_topk_indexed": _bm25_oracle(
+            TERMS_CONTAINS, P.CONTAINS_MATCH
+        ),
         "bm25_filtered_topk": _bm25_oracle(
             TERMS_OR, P.WITH_SUGGESTIONS, doc_where=FILTER_DUCK
         ),

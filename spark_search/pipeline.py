@@ -37,6 +37,7 @@ EXACT_MATCH = "EXACT_MATCH"
 START_WITH = "START_WITH"
 WITH_SUGGESTIONS = "WITH_SUGGESTIONS"  # OR over the explicit query list
 AND_MATCH = "AND_MATCH"  # conjunctive extension (north-star intersection)
+CONTAINS_MATCH = "CONTAINS_MATCH"  # substring-of-term expansion (wildcard *q*)
 
 
 def _floor(df: DataFrame) -> DataFrame:
@@ -103,10 +104,10 @@ def corpus_stats_df(dl: DataFrame) -> DataFrame:
 
 
 def _match_filter(col, terms: List[str], mode: str):
-    if mode == START_WITH:
+    if mode in (START_WITH, CONTAINS_MATCH):
         cond = None
         for t in terms:
-            c = col.startswith(t)
+            c = col.startswith(t) if mode == START_WITH else col.contains(t)
             cond = c if cond is None else (cond | c)
         return cond
     # EXACT_MATCH, WITH_SUGGESTIONS and AND_MATCH are exact-term IN-lists;

@@ -48,6 +48,7 @@ from .codec import decode_block, decode_positions
 from .pipeline import (
     AND_MATCH,
     B,
+    CONTAINS_MATCH,
     EXACT_MATCH,
     K1,
     START_WITH,
@@ -173,11 +174,19 @@ def cancel_search(spark: SparkSession, tag: str) -> None:
 
 def _term_predicate(qterms: List[str], mode: str):
     """The query's (small, bounded-size) term predicate — pushed into
-    the parquet scan on both the dictionary and the postings."""
-    if mode == START_WITH:
+    the parquet scan on both the dictionary and the postings.
+    START_WITH pushes as StringStartsWith (min/max-prunable on the
+    term-sorted files); CONTAINS_MATCH pushes as StringContains
+    (row-level only — substring queries cannot range-prune, the
+    dictionary scan is their floor cost)."""
+    if mode in (START_WITH, CONTAINS_MATCH):
         cond = None
         for q in qterms:
-            c = F.col("term").startswith(q)
+            c = (
+                F.col("term").startswith(q)
+                if mode == START_WITH
+                else F.col("term").contains(q)
+            )
             cond = c if cond is None else (cond | c)
         return cond
     return F.col("term").isin(qterms)
@@ -518,6 +527,14 @@ class IndexReader:
                 hi = bisect.bisect_left(ts, q + "\U0010ffff")
                 hit.extend(ts[lo:hi])
             matched = sorted(dict.fromkeys(hit))
+        elif mode == CONTAINS_MATCH:
+            # substring match has no sorted-order structure: one linear
+            # pass over the cached vocabulary (bounded by the vocab
+            # cache gate; the distributed fallback handles the rest)
+            ts = self._dict_terms
+            matched = sorted(
+                dict.fromkeys(t for t in ts if any(q in t for q in qterms))
+            )
         else:
             matched = [t for t in qterms if t in d]
         return [(t, d[t][0], d[t][1], d[t][2]) for t in matched]
@@ -1004,7 +1021,7 @@ class IndexReader:
         # (startswith('') — exactly what search()'s predicate and
         # _dict_expand's full-range bisect do), so it must stay in or
         # the batch diverges from the per-query bit-identical contract.
-        keep_empty = mode == START_WITH
+        keep_empty = mode in (START_WITH, CONTAINS_MATCH)
         pairs = [
             (qid, t)
             for qid, ts in qmap.items()
@@ -1077,16 +1094,21 @@ class IndexReader:
         # per query. Size is bounded by the batch input (or the
         # collected expansion cap).
         q_by_term: Optional[Dict[str, List[str]]] = None
-        if mode != START_WITH:
+        if mode not in (START_WITH, CONTAINS_MATCH):
             q_by_term = {}
             for qid, t in pairs:
                 q_by_term.setdefault(t, []).append(qid)
         elif expanded_terms is not None:
             q_by_term = {}
+            hits = (
+                (lambda t, q: t.startswith(q))
+                if mode == START_WITH
+                else (lambda t, q: q in t)
+            )
             for t in expanded_terms:
                 qids = list(
                     dict.fromkeys(
-                        qid for qid, pfx in pairs if t.startswith(pfx)
+                        qid for qid, pfx in pairs if hits(t, pfx)
                     )
                 )
                 if qids:
@@ -1110,7 +1132,9 @@ class IndexReader:
                 meta.select("term", "idf")
                 .join(
                     F.broadcast(qlit),
-                    F.col("term").startswith(F.col("qterm")),
+                    F.col("term").startswith(F.col("qterm"))
+                    if mode == START_WITH
+                    else F.col("term").contains(F.col("qterm")),
                 )
                 .select("query_id", "term", "idf")
                 .dropDuplicates(["query_id", "term"])
@@ -2069,6 +2093,9 @@ class IndexReader:
 
 def _match_token(tok: str, qterms: List[str], mode: str) -> bool:
     # predicate per reference SimpleSearchManager.java:196-202
+    # (CONTAINS_MATCH is the engine's wildcard extension)
     if mode == START_WITH:
         return any(tok.startswith(q) for q in qterms)
+    if mode == CONTAINS_MATCH:
+        return any(q in tok for q in qterms)
     return tok in qterms

@@ -136,3 +136,38 @@ def test_more_like_this_paths_identical(spark, tmp_path):
 def test_more_like_this_missing_doc_empty(spark):
     corpus = with_doc_ids(synthetic_corpus(spark, 20, seed=5))
     assert P.more_like_this(corpus, 10**9, k=5).collect() == []
+
+
+def test_contains_mode_paths_identical(spark, tmp_path):
+    """CONTAINS_MATCH (wildcard *q*): disk-index and declarative paths
+    agree rank/score-exactly; the expansion is a superset of EXACT."""
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 60, seed=9)).cache()
+    decl = P.bm25_topk(corpus, ["por"], P.CONTAINS_MATCH, k=12).collect()
+    assert decl, "substring 'por' (import/export-ish tokens) must match"
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx)
+    rd = IndexReader(spark, idx)
+    indexed = rd.search(["por"], P.CONTAINS_MATCH, k=12).collect()
+    assert [(r.doc_id, round(r.score, 9), r["rank"]) for r in decl] == [
+        (r.doc_id, round(r.score, 9), r["rank"]) for r in indexed
+    ]
+    # distributed fallback (no cached dictionary) must agree too
+    indexed2 = rd.search(
+        ["por"], P.CONTAINS_MATCH, k=12, local_max_postings=0
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in indexed] == [
+        (r.doc_id, round(r.score, 9)) for r in indexed2
+    ]
+    exact_docs = {
+        r.doc_id
+        for r in P.bm25_topk(corpus, ["import"], P.EXACT_MATCH, 1000).collect()
+    }
+    contains_docs = {
+        r.doc_id
+        for r in P.bm25_topk(corpus, ["por"], P.CONTAINS_MATCH, 1000).collect()
+    }
+    assert exact_docs <= contains_docs

@@ -50,6 +50,7 @@ TERMS_OR = ["data", "join", "merge"]
 TERMS_AND = ["spark", "query"]
 TERMS_PREFIX = ["sca"]  # matches 'scan'
 TERMS_CONTAINS = ["abl"]  # wildcard *abl*: 'table', ...
+TERMS_NOT = ["table"]     # NOT clause for the exclusion query
 TERMS_STATS = ["spark", "join", "data", "vector", "hash"]
 
 
@@ -206,7 +207,7 @@ _CODE_TOKS_DUCK = tokens_sql("text", tokenizer="code", dialect="duckdb")
 
 
 def _bm25_oracle(terms, mode, k=10, doc_where=None, toks=None,
-                 text_expr="coalesce(text, '')") -> str:
+                 text_expr="coalesce(text, '')", exclude_terms=None) -> str:
     toks = toks or _TOKS_DUCK
     uniq = list(dict.fromkeys(terms))
     if mode == P.START_WITH:
@@ -227,6 +228,13 @@ def _bm25_oracle(terms, mode, k=10, doc_where=None, toks=None,
         if doc_where
         else ""
     )
+    if exclude_terms:
+        xlist = ", ".join(f"'{t}'" for t in exclude_terms)
+        allow += (
+            " JOIN (SELECT doc_id FROM corpus WHERE doc_id NOT IN "
+            f"(SELECT doc_id FROM toks WHERE term IN ({xlist}))) nx "
+            "ON nx.doc_id = tf.doc_id"
+        )
     return f"""
 WITH corpus AS (SELECT doc_id, {text_expr} AS text FROM documents),
 toks AS (SELECT doc_id, unnest({toks}) AS term FROM corpus),
@@ -360,6 +368,32 @@ def _q_bm25_and_indexed(spark, sf_dir):
 
 def _q_bm25_prefix_indexed(spark, sf_dir):
     return _indexed_topk(spark, sf_dir, TERMS_PREFIX, P.START_WITH)
+
+
+def _q_bm25_not(spark, sf_dir):
+    # Lucene prohibited clause: OR query minus docs containing 'table'
+    # (filter semantics — df/N/avgdl stay global)
+    res = P.bm25_topk(
+        _corpus(spark, sf_dir), TERMS_OR, P.WITH_SUGGESTIONS,
+        exclude_terms=TERMS_NOT,
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_bm25_not_indexed(spark, sf_dir):
+    rd = _indexed_reader(spark, sf_dir)
+    res = rd.search(
+        TERMS_OR, P.WITH_SUGGESTIONS, k=10, exclude_terms=TERMS_NOT
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def _q_bm25_contains(spark, sf_dir):
@@ -1296,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_topk": _q_bm25_prefix,
         "bm25_contains_topk": _q_bm25_contains,
         "bm25_contains_topk_indexed": _q_bm25_contains_indexed,
+        "bm25_not_topk": _q_bm25_not,
+        "bm25_not_topk_indexed": _q_bm25_not_indexed,
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_filtered_topk_indexed": _q_bm25_filtered_indexed,
         "bm25_multi_topk": _q_bm25_multi,
@@ -1414,6 +1450,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "bm25_contains_topk": _bm25_oracle(TERMS_CONTAINS, P.CONTAINS_MATCH),
+        "bm25_not_topk": _bm25_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, exclude_terms=TERMS_NOT
+        ),
+        "bm25_not_topk_indexed": _bm25_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, exclude_terms=TERMS_NOT
+        ),
         "bm25_contains_topk_indexed": _bm25_oracle(
             TERMS_CONTAINS, P.CONTAINS_MATCH
         ),

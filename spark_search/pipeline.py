@@ -133,9 +133,16 @@ def bm25_topk(
     k: int = 10,
     tokenizer: str = "standard",
     doc_filter=None,
+    exclude_terms: Iterable[str] = None,
 ) -> DataFrame:
     """End-to-end declarative BM25 top-k over a corpus DataFrame that
     already has ``doc_id``. Returns (doc_id, score, rank).
+
+    ``exclude_terms`` (Lucene NOT / prohibited clauses): documents
+    containing ANY excluded term are dropped from the result set with
+    filter semantics — df/N/avgdl stay corpus-global, surviving docs
+    keep their scores. One extra token-filter pass bounded by the
+    excluded terms' df, anti-joined before scoring.
 
     Plan shape (what Catalyst produces, verified via .explain in tests):
     scan -> split/explode -> partial+final agg (tf) -> broadcast joins of
@@ -172,7 +179,15 @@ def bm25_topk(
     matched = tok.where(_match_filter(F.col("term"), qterms, mode))
     tf = term_doc_tf(matched)
     require_n = len(qterms) if mode == AND_MATCH else None
-    return _bm25_rank(tf, corpus, k, tokenizer, require_n, doc_filter)
+    excl = [t for t in dict.fromkeys(exclude_terms or []) if t]
+    exclude_docs = (
+        tok.where(F.col("term").isin(excl)).select("doc_id").distinct()
+        if excl
+        else None
+    )
+    return _bm25_rank(
+        tf, corpus, k, tokenizer, require_n, doc_filter, exclude_docs
+    )
 
 
 def _bm25_rank(
@@ -182,6 +197,7 @@ def _bm25_rank(
     tokenizer: str,
     require_n: int | None = None,
     doc_filter=None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail: (term, doc_id, tf) rows of MATCHED terms ->
     (doc_id, score, rank) top-k. df comes from the tf rows themselves
@@ -194,6 +210,11 @@ def _bm25_rank(
     # keeps every doc containing the term, so doc_freq(tf) IS the global
     # df — no second pass over the corpus needed.
     dfreq = doc_freq(tf)
+    if exclude_docs is not None:
+        # NOT clause: membership-only anti-join AFTER df is taken
+        # (global stats), before dl/scoring so excluded docs never
+        # shuffle further
+        tf = tf.join(exclude_docs, "doc_id", "left_anti")
     if doc_filter is not None:
         flt = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
         # semi join, not a row-filter on tf: the filter predicate lives

@@ -407,24 +407,36 @@ class IndexReader:
             return F.broadcast(grouped)
         return grouped
 
-    def _allow_by_chunk(self, doc_filter) -> DataFrame:
-        """doc_filter -> (chunk, _allow): allowed positions per chunk,
-        shaped exactly like the doclens arrays — one registry scan (the
-        filter predicate pushes down to the registry parquet), a
-        map-side (chunk, pos) projection, then one small-by-construction
-        aggregation (≤ chunk_span ints per group). INNER-joining this
-        into the scoring stage prunes chunks with no allowed docs before
-        any block decode, and no allowed-set ever concentrates on the
-        driver."""
-        flt = (
-            F.expr(doc_filter)
-            if isinstance(doc_filter, str)
-            else doc_filter
-        )
+    def _allow_by_chunk(self, doc_filter=None, exclude_terms=None) -> DataFrame:
+        """(doc_filter, exclude_terms) -> (chunk, _allow): allowed
+        positions per chunk, shaped exactly like the doclens arrays —
+        one registry scan (the filter predicate pushes down to the
+        registry parquet), a map-side (chunk, pos) projection, then one
+        small-by-construction aggregation (≤ chunk_span ints per
+        group). ``exclude_terms`` anti-joins the registry against the
+        excluded terms' match set (the index's own doc-level filter —
+        volume Σ df over excluded terms, the distributed NOT). INNER-
+        joining this into the scoring stage prunes chunks with no
+        allowed docs before any block decode, and no allowed-set ever
+        concentrates on the driver."""
         sp = self.chunk_span
+        src = self.docs_df()
+        if doc_filter is not None:
+            flt = (
+                F.expr(doc_filter)
+                if isinstance(doc_filter, str)
+                else doc_filter
+            )
+            src = src.where(flt)
+        ids = src
+        if exclude_terms:
+            ids = ids.join(
+                self.match_docs(list(exclude_terms), EXACT_MATCH),
+                "doc_id",
+                "left_anti",
+            )
         return (
-            self.docs_df()
-            .where(flt)
+            ids
             .select(
                 (F.col("doc_id") / sp).cast("long").alias("chunk"),
                 (F.col("doc_id") % sp).cast("int").alias("pos"),
@@ -704,8 +716,16 @@ class IndexReader:
         prune: bool = True,
         local_max_postings: Optional[int] = _LOCAL_MAX_POSTINGS,
         doc_filter=None,
+        exclude_terms=None,
     ) -> DataFrame:
         """BM25 top-k -> DataFrame (doc_id, score, rank).
+
+        ``exclude_terms``: documents containing ANY of these terms are
+        dropped from the RESULT SET (Lucene NOT / prohibited clauses)
+        with the same global-stats filter semantics as ``doc_filter``
+        — df/N/avgdl unchanged, so surviving docs keep their scores.
+        Resolved through the index itself (match-set anti-join, volume
+        Σ df over the excluded terms); composes with ``doc_filter``.
 
         ``local_max_postings`` gates the driver-side small-query fast
         path (0/None disables it; the distributed plan is always the
@@ -724,6 +744,7 @@ class IndexReader:
         unfiltered scores could prune docs that belong in the FILTERED
         top-k."""
         qterms = list(dict.fromkeys(terms))
+        excl = [t for t in dict.fromkeys(exclude_terms or []) if t]
         n_query_terms = len(qterms)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if not qterms:
@@ -811,6 +832,7 @@ class IndexReader:
         if (
             local_max_postings
             and doc_filter is None
+            and not excl
             and head  # wide expansions carry counters but no metadata
             and total_df is not None
             and total_df <= local_max_postings
@@ -834,7 +856,7 @@ class IndexReader:
         )
 
         theta = 0.0
-        if prune and mode != AND_MATCH and doc_filter is None:
+        if prune and mode != AND_MATCH and doc_filter is None and not excl:
             # θ bootstrap costs extra driver jobs; only worth it when
             # enough postings could be skipped (unknown-size expansions
             # always bootstrap — they are the heavy ones)
@@ -870,9 +892,11 @@ class IndexReader:
             joined = joined.withColumn(
                 "_dels", F.lit(None).cast("array<long>")
             )
-        has_allow = doc_filter is not None
+        has_allow = doc_filter is not None or bool(excl)
         if has_allow:
-            joined = joined.join(self._allow_by_chunk(doc_filter), "chunk")
+            joined = joined.join(
+                self._allow_by_chunk(doc_filter, excl), "chunk"
+            )
 
         avgdl = stats.avgdl
         span = self.chunk_span

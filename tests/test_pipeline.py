@@ -171,3 +171,41 @@ def test_contains_mode_paths_identical(spark, tmp_path):
         for r in P.bm25_topk(corpus, ["por"], P.CONTAINS_MATCH, 1000).collect()
     }
     assert exact_docs <= contains_docs
+
+
+def test_exclude_terms_filter_semantics(spark, tmp_path):
+    """NOT clauses: excluded docs vanish, survivors keep their exact
+    unexcluded scores (df/N/avgdl global), both paths identical."""
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 60, seed=13)).cache()
+    base = {
+        r.doc_id: r.score
+        for r in P.bm25_topk(
+            corpus, ["import", "return"], P.WITH_SUGGESTIONS, k=1000
+        ).collect()
+    }
+    has_def = {
+        r.doc_id
+        for r in P.bm25_topk(corpus, ["def"], P.EXACT_MATCH, 100000).collect()
+    }
+    decl = P.bm25_topk(
+        corpus, ["import", "return"], P.WITH_SUGGESTIONS, k=12,
+        exclude_terms=["def"],
+    ).collect()
+    assert decl
+    for r in decl:
+        assert r.doc_id not in has_def
+        assert abs(r.score - base[r.doc_id]) < 1e-12  # scores unchanged
+    assert [r["rank"] for r in decl] == list(range(1, len(decl) + 1))
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx)
+    rd = IndexReader(spark, idx)
+    indexed = rd.search(
+        ["import", "return"], P.WITH_SUGGESTIONS, k=12, exclude_terms=["def"]
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9), r["rank"]) for r in decl] == [
+        (r.doc_id, round(r.score, 9), r["rank"]) for r in indexed
+    ]

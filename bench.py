@@ -156,6 +156,16 @@ def _measure(
     tq = time.time()
     reader.more_like_this(7, m_terms=10, k=10).collect()
     extra["q_mlt_indexed"] = round(time.time() - tq, 3)
+    # wildcard substring mode (dictionary scan floor) + NOT clause
+    tq = time.time()
+    reader.search(["abl"], P.CONTAINS_MATCH, k=10).collect()
+    extra["q_contains_indexed"] = round(time.time() - tq, 3)
+    tq = time.time()
+    reader.search(
+        ["data", "join", "merge"], P.WITH_SUGGESTIONS, k=10,
+        exclude_terms=["table"],
+    ).collect()
+    extra["q_not_indexed"] = round(time.time() - tq, 3)
     # metadata-filtered search: scope the OR query to two languages
     # (~27% of docs) — measures the allow-list registry scan + the
     # filter-aware scoring stage (block-max pruning off under a filter)

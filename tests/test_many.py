@@ -315,3 +315,30 @@ def test_declarative_batch_respects_doc_filter(spark, synth):
     assert [(q, d, round(s, 9), r) for q, d, s, r in got] == [
         (q, d, round(s, 9), r) for q, d, s, r in exp
     ]
+
+
+def test_search_many_contains_mode(spark, tmp_path):
+    """Batch CONTAINS queries agree with per-query search (same
+    bit-identical contract as the other modes)."""
+    from spark_search import pipeline as P
+    from spark_search.build import build_index
+    from spark_search.corpus import synthetic_corpus
+    from spark_search.ids import with_doc_ids
+    from spark_search.query import IndexReader
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 50, seed=21)).cache()
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx)
+    rd = IndexReader(spark, idx)
+    batch = {"qa": ["por"], "qb": ["urn"], "qc": ["zzznope"]}
+    got = rd.search_many(batch, P.CONTAINS_MATCH, k=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "qc" not in by_q  # no match, no rows
+    for qid, terms in [("qa", ["por"]), ("qb", ["urn"])]:
+        single = rd.search(terms, P.CONTAINS_MATCH, k=8).collect()
+        assert [(r.doc_id, r.score, r["rank"]) for r in
+                sorted(by_q.get(qid, []), key=lambda r: r["rank"])] == [
+            (r.doc_id, r.score, r["rank"]) for r in single
+        ], qid

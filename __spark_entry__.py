@@ -1305,6 +1305,113 @@ def _q_media_features(spark, sf_dir):
     return MM.media_features_summary(_docs_raw(spark, sf_dir))
 
 
+# ------------------------------------------------- facets + snippets
+
+
+def _facet_pred(terms, mode) -> str:
+    uniq = list(dict.fromkeys(terms))
+    if mode == P.START_WITH:
+        return " OR ".join(f"term LIKE '{t}%'" for t in uniq)
+    if mode == P.CONTAINS_MATCH:
+        return " OR ".join(f"term LIKE '%{t}%'" for t in uniq)
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    return f"term IN ({inlist})"
+
+
+def _facet_oracle(terms, mode, facet="lang") -> str:
+    uniq = list(dict.fromkeys(terms))
+    pred = _facet_pred(uniq, mode)
+    having = (
+        f" HAVING count(DISTINCT term) = {len(uniq)}"
+        if mode == P.AND_MATCH
+        else ""
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text, {facet} FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+hit AS (SELECT doc_id FROM toks WHERE {pred} GROUP BY doc_id{having})
+SELECT {facet}, count(*)::BIGINT AS doc_count
+FROM corpus JOIN hit USING (doc_id)
+GROUP BY {facet}
+ORDER BY doc_count DESC, {facet} ASC
+"""
+
+
+def _snippet_oracle(terms, mode, k=10, width=3) -> str:
+    uniq = list(dict.fromkeys(terms))
+    pred = _facet_pred(uniq, mode)
+    having = (
+        f"HAVING count(*) = {len(uniq)}" if mode == P.AND_MATCH else ""
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE {pred}),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id {having}
+),
+topk AS (
+  SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+arrs AS (SELECT c.doc_id, {_TOKS_DUCK} AS arr
+         FROM corpus c JOIN topk t ON t.doc_id = c.doc_id),
+tp AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+       FROM arrs),
+fp AS (SELECT doc_id, min(pos)::BIGINT AS first_pos
+       FROM tp WHERE {pred} GROUP BY doc_id)
+SELECT t.doc_id, t.score, t.rank, fp.first_pos,
+       array_to_string(
+         a.arr[greatest(1, fp.first_pos - {width}):fp.first_pos + {width}],
+         ' ') AS snippet
+FROM topk t
+JOIN fp ON fp.doc_id = t.doc_id
+JOIN arrs a ON a.doc_id = t.doc_id
+ORDER BY t.rank
+"""
+
+
+def _q_facet_lang(spark, sf_dir):
+    out = P.facet_counts(
+        _corpus(spark, sf_dir), TERMS_OR, mode=P.WITH_SUGGESTIONS, facet="lang"
+    )
+    return out.select("lang", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def _q_facet_lang_indexed(spark, sf_dir):
+    out = _indexed_reader(spark, sf_dir).search_facets(
+        TERMS_OR, mode=P.WITH_SUGGESTIONS, facet="lang"
+    )
+    return out.select("lang", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def _q_bm25_snippets(spark, sf_dir):
+    out = P.snippets(
+        _corpus(spark, sf_dir), TERMS_OR, mode=P.WITH_SUGGESTIONS, k=10, width=3
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        "snippet",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the disk index over sf0.001, answer a BM25
     top-10 multi-term OR query via IndexReader.search (codec + pruning
@@ -1368,6 +1475,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": _q_bm25_phrase,
         "bm25_phrase_topk_indexed": _q_bm25_phrase_indexed,
         "bm25_phrase_topk_positional": _q_bm25_phrase_positional,
+        # search-result facet counts (Lucene faceting analog) over the
+        # un-truncated match set; indexed form reads ONLY the index
+        # (registry carries repo/lang — no corpus scan)
+        "facet_lang": _q_facet_lang,
+        "facet_lang_indexed": _q_facet_lang_indexed,
+        # hit highlighting: top-k + first matched token position +
+        # ±3-token snippet, one broadcast-semi-joined corpus pass
+        "bm25_snippets": _q_bm25_snippets,
         # un-truncated index match set (reference getValue semantics)
         "match_set_exact_indexed": _q_match_set_indexed,
         "reverse_doc_terms_indexed": _q_reverse_doc_terms_indexed,
@@ -1473,6 +1588,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk_indexed": _bm25_oracle(TERMS_AND, P.AND_MATCH),
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "bm25_or_topk_merged": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "facet_lang": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(
             TERMS_CODE, P.WITH_SUGGESTIONS,
             toks=_CODE_TOKS_DUCK, text_expr=_CODE_TEXT_DUCK,

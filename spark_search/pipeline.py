@@ -691,3 +691,111 @@ def bm25_topk_many(
             F.col("_nt") == F.col("_need")
         )
     return topk_per_query(scored.select("query_id", "doc_id", "score"), k)
+
+
+# ------------------------------------------------------------- faceting
+
+
+def facet_counts(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    mode: str = EXACT_MATCH,
+    facet: str = "lang",
+    tokenizer: str = "standard",
+    top_n: int = None,
+) -> DataFrame:
+    """Search-result facet counts — the Lucene faceting analog the
+    reference's Swing app approximates by eyeballing the path column
+    (reference app/.../SearchResultTableModel.java renders rows only;
+    no aggregation exists there). For the UN-truncated match set of
+    ``terms``/``mode`` (the reference's ``getValue`` doc-set semantics,
+    tree/SearchEngineConcurrentTree.java:163-195), count matching
+    documents per value of one corpus metadata column
+    (repo / lang / commit / ...). Returns (``facet``, doc_count),
+    doc_count DESC, facet ASC.
+
+    Plan: tokenize -> match filter (BEFORE any shuffle, so only
+    matching term rows move) -> distinct doc_id (partial+final agg) ->
+    equi-join back to the corpus registry columns -> partial+final
+    count per facet value. Volume after the filter is sum(df) over the
+    expansion, never corpus size; the facet agg output is |distinct
+    values|, driver-safe. AND mode keeps docs holding every query term
+    (countDistinct over the exact IN-list, same as bm25_topk)."""
+    qterms = list(dict.fromkeys(terms))
+    m = _floor(tokens(corpus, tokenizer)).where(
+        _match_filter(F.col("term"), qterms, mode)
+    )
+    if mode == AND_MATCH:
+        hit = (
+            m.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("_m"))
+            .where(F.col("_m") == len(qterms))
+            .select("doc_id")
+        )
+    else:
+        hit = m.select("doc_id").distinct()
+    out = (
+        corpus.select("doc_id", facet)
+        .join(hit, "doc_id")
+        .groupBy(facet)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col(facet).asc())
+    )
+    return out.limit(top_n) if top_n else out
+
+
+# ------------------------------------------------------------- snippets
+
+
+def snippets(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    mode: str = EXACT_MATCH,
+    k: int = 10,
+    width: int = 3,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """Hit highlighting: BM25 top-k plus, per result, the first matching
+    token's position and a ±``width``-token snippet around it — the
+    result-presentation step the reference leaves to its Swing table
+    (which shows the whole row text, app/.../SearchRowRenderer.java).
+    Token-faithful: "first match" means the first TOKEN matched by the
+    query mode, not a substring hit inside a larger token.
+
+    Returns (doc_id, score, rank, first_pos, snippet); ``first_pos`` is
+    the 1-based token index, ``snippet`` the matched window joined by
+    single spaces (tokenizers strip whitespace runs, so the snippet is
+    a canonical rendering, not a byte slice of the source).
+
+    Plan: the bm25_topk result (k rows) broadcasts into ONE corpus
+    scan (broadcast hash semi-join — content is read once, never
+    shuffled); tokenize + posexplode run over only those k rows, the
+    min(pos) agg sees at most k groups, and the window slice is a
+    per-row codegen expression. Cost = bm25_topk + O(k) extra rows."""
+    qterms = list(dict.fromkeys(terms))
+    top = bm25_topk(corpus, qterms, mode=mode, k=k, tokenizer=tokenizer)
+    rows = (
+        corpus.join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id", "score", "rank",
+            tokens_col(F.col("content"), tokenizer).alias("_arr"),
+        )
+    )
+    first = (
+        rows.select("doc_id", F.posexplode("_arr").alias("_p", "term"))
+        .where(_match_filter(F.col("term"), qterms, mode))
+        .groupBy("doc_id")
+        .agg((F.min("_p") + F.lit(1)).alias("first_pos"))
+    )
+    start = F.greatest(F.lit(1), F.col("first_pos") - width)
+    end = F.col("first_pos") + width
+    return (
+        rows.join(first, "doc_id")
+        .select(
+            "doc_id", "score", "rank", "first_pos",
+            F.concat_ws(
+                " ", F.slice(F.col("_arr"), start, end - start + F.lit(1))
+            ).alias("snippet"),
+        )
+        .orderBy(F.col("rank").asc())
+    )

@@ -1693,6 +1693,33 @@ class IndexReader:
             hit = hit.join(dels, "doc_id", "left_anti")
         return hit
 
+    def search_facets(
+        self,
+        terms: Iterable[str],
+        mode: str = EXACT_MATCH,
+        facet: str = "lang",
+        top_n: Optional[int] = None,
+    ) -> DataFrame:
+        """Facet counts over the UN-truncated match set, straight off
+        the index: ``match_docs`` (bucket/term-pruned postings decode,
+        volume Σ df) equi-joined to the segment REGISTRY — which
+        already carries repo/path/commit/lang, so no corpus read
+        happens — then a partial+final count per facet value. The
+        declarative twin is ``pipeline.facet_counts``; both implement
+        the Lucene faceting analog the reference lacks (its Swing
+        table renders rows unaggregated). Returns (facet, doc_count),
+        doc_count DESC, facet ASC."""
+        hit = self.match_docs(terms, mode)
+        out = (
+            self.docs_df()
+            .select("doc_id", facet)
+            .join(hit, "doc_id")
+            .groupBy(facet)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col(facet).asc())
+        )
+        return out.limit(top_n) if top_n else out
+
     # ------------------------------------------------------ phrase search
 
     def _positional_occurrences(

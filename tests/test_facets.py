@@ -1,0 +1,132 @@
+"""Facet counts + snippets: declarative and indexed paths agree with
+each other and with hand-computable fixtures."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_search import pipeline as P
+from spark_search.build import build_index
+from spark_search.query import IndexReader
+
+
+ROWS = [
+    # (doc_id, repo, path, commit, lang, content)
+    (1, "r1", "a.txt", "c", "en", "alpha beta gamma alpha"),
+    (2, "r1", "b.txt", "c", "en", "beta delta"),
+    (3, "r2", "c.txt", "c", "de", "alpha alpha epsilon"),
+    (4, "r2", "d.txt", "c", "fr", "zeta eta theta"),
+    (5, "r3", "e.txt", "c", "de", "beta beta beta alpha"),
+]
+SCHEMA = "doc_id long, repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def reader(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("facet_idx"))
+    build_index(spark, corpus, d)
+    return IndexReader(spark, d)
+
+
+def _facets(df):
+    return [(r["lang"], r["doc_count"]) for r in df.collect()]
+
+
+def test_facet_counts_or(corpus):
+    got = _facets(P.facet_counts(corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS))
+    # alpha: 1,3,5  beta: 1,2,5  -> union {1,2,3,5}: en=2, de=2
+    assert got == [("de", 2), ("en", 2)]
+
+
+def test_facet_counts_and(corpus):
+    got = _facets(P.facet_counts(corpus, ["alpha", "beta"], P.AND_MATCH))
+    # docs with BOTH: 1 (en), 5 (de)
+    assert got == [("de", 1), ("en", 1)]
+
+
+def test_facet_counts_prefix(corpus):
+    got = _facets(P.facet_counts(corpus, ["ze"], P.START_WITH))
+    assert got == [("fr", 1)]
+
+
+def test_facet_repo_column(corpus):
+    got = P.facet_counts(
+        corpus, ["beta"], P.EXACT_MATCH, facet="repo"
+    ).collect()
+    assert [(r["repo"], r["doc_count"]) for r in got] == [
+        ("r1", 2), ("r3", 1)
+    ]
+
+
+def test_indexed_facets_match_declarative(corpus, reader):
+    for mode, terms in [
+        (P.WITH_SUGGESTIONS, ["alpha", "beta"]),
+        (P.AND_MATCH, ["alpha", "beta"]),
+        (P.START_WITH, ["ze"]),
+    ]:
+        a = _facets(P.facet_counts(corpus, terms, mode))
+        b = _facets(reader.search_facets(terms, mode))
+        assert a == b, (mode, a, b)
+
+
+def test_facet_top_n(corpus):
+    got = _facets(
+        P.facet_counts(corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, top_n=1)
+    )
+    assert len(got) == 1
+
+
+def test_facet_excludes_nonmatching_docs(corpus, reader):
+    # 'zeta' only in doc 4 (fr)
+    assert _facets(reader.search_facets(["zeta"])) == [("fr", 1)]
+
+
+# ------------------------------------------------------------ snippets
+
+
+def test_snippet_window_and_pos(corpus):
+    out = P.snippets(corpus, ["delta"], P.EXACT_MATCH, k=5, width=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 2
+    assert r["first_pos"] == 2  # 'beta delta' -> token 2
+    assert r["snippet"] == "beta delta"  # window clipped at doc end
+
+
+def test_snippet_clips_at_start(corpus):
+    out = P.snippets(corpus, ["zeta"], P.EXACT_MATCH, k=5, width=2).collect()
+    r = out[0]
+    assert r["first_pos"] == 1
+    assert r["snippet"] == "zeta eta theta"
+
+
+def test_snippet_first_occurrence_of_any_term(corpus):
+    # doc 1: alpha(1) beta(2) gamma(3) alpha(4); query hits min pos 1
+    out = {
+        r["doc_id"]: r
+        for r in P.snippets(
+            corpus, ["beta", "gamma"], P.WITH_SUGGESTIONS, k=5, width=0
+        ).collect()
+    }
+    assert out[1]["first_pos"] == 2
+    assert out[1]["snippet"] == "beta"
+
+
+def test_snippet_ranks_match_bm25(corpus):
+    top = P.bm25_topk(corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=5)
+    sn = P.snippets(corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=5)
+    a = [(r["doc_id"], r["rank"], round(r["score"], 9)) for r in top.collect()]
+    b = [(r["doc_id"], r["rank"], round(r["score"], 9)) for r in sn.collect()]
+    assert a == b

@@ -1412,6 +1412,10 @@ def _q_bm25_snippets(spark, sf_dir):
     )
 
 
+def _q_shuffle_shards(spark, sf_dir):
+    return SA.shuffle_shards(_docs_raw(spark, sf_dir), n_shards=8, seed=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the disk index over sf0.001, answer a BM25
     top-10 multi-term OR query via IndexReader.search (codec + pruning
@@ -1524,6 +1528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "corpus_rollup": _q_corpus_rollup,
         "sample_stratified": _q_sample_stratified,
+        # deterministic global training-order shuffle (seeded epoch
+        # permutation: shard + exact in-shard position, no global sort)
+        "shuffle_shards": _q_shuffle_shards,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
         # corpus LM statistics: unigram-LM quality scoring + PMI
@@ -1697,6 +1704,7 @@ FROM tf GROUP BY term
         "length_histogram": TX.length_histogram_sql(),
         "corpus_rollup": TX.corpus_rollup_sql(),
         "sample_stratified": SA.sample_stratified_sql(),
+        "shuffle_shards": SA.shuffle_shards_sql(n_shards=8, seed=7),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),
         "text_lm_scores": LM.lm_scores_sql(),

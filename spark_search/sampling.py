@@ -331,3 +331,114 @@ def write_packed(
     out = _packed_frame(docs, budget, n_shards, text_col, [text_col])
     out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     return out.sparkSession.read.parquet(out_dir).count()
+
+
+# ----------------------------------------------------- global shuffle
+
+
+def _shuffle_key(seed: int) -> Column:
+    """Seeded deterministic permutation key: Knuth hash of
+    (doc_id XOR seed). XOR-ing BEFORE the multiplicative hash gives a
+    genuinely different permutation per seed (adding after the hash
+    would only rotate the same order); the XOR stays inside 32 bits so
+    the overflow-safe hash contract holds."""
+    mixed = (F.col("doc_id").cast("long") % F.lit(HASH_MOD)).bitwiseXOR(
+        F.lit(int(seed) % HASH_MOD)
+    )
+    return knuth_hash(mixed)
+
+
+def _shuffle_key_sql(seed: int) -> str:
+    return knuth_hash_sql(f"xor(doc_id::BIGINT % {HASH_MOD}, {int(seed) % HASH_MOD})")
+
+
+def shuffle_shards(
+    docs: DataFrame, n_shards: int = 64, seed: int = 0
+) -> DataFrame:
+    """(doc_id, shard, pos) — a deterministic global training-order
+    shuffle: every document gets a shard (``hash % n_shards``) and an
+    exact 1-based position within its shard, the total order being
+    (hash, doc_id). Same (n_shards, seed) ⇒ byte-identical epoch order
+    on any engine, partition layout, or cluster size — the property a
+    resumable trainer needs to skip to "shard 17, position 3,041,882"
+    after a restart.
+
+    Scale: NO whole-shard window. The bucket id is the hash's top bits
+    — a prefix of the ordering key — so a tiny (shard × 4096) count
+    table gives each bucket its exact offset within the shard (the
+    ``sample_stratified`` rank decomposition, keyed by shard instead
+    of stratum); rows then rank inside (shard, bucket) windows of
+    ~|corpus|/(n_shards·4096) rows. Cost: one map pass + one tiny agg
+    + one bounded-partition window exchange."""
+    rows = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _shuffle_key(seed).alias("_h"),
+    ).withColumn("shard", (F.col("_h") % n_shards).cast("int")).withColumn(
+        "_b", F.shiftright(F.col("_h"), _BUCKET_SHIFT)
+    )
+
+    counts = rows.groupBy("shard", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        F.col("shard").alias("_s"),
+        F.col("_b").alias("_bb"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_offset"),
+    )
+
+    w_in = Window.partitionBy("shard", "_b").orderBy("_h", "doc_id")
+    return (
+        rows.join(
+            F.broadcast(offsets),
+            (rows["shard"] == offsets["_s"]) & (rows["_b"] == offsets["_bb"]),
+        )
+        .select(
+            "doc_id",
+            rows["shard"].alias("shard"),
+            (F.col("_offset") + F.row_number().over(w_in)).cast("long").alias(
+                "pos"
+            ),
+        )
+    )
+
+
+def shuffle_shards_sql(n_shards: int = 64, seed: int = 0) -> str:
+    """DuckDB oracle: the direct whole-shard window (fine at sf<=0.01),
+    same hash arithmetic, same (hash, doc_id) total order."""
+    h = _shuffle_key_sql(seed)
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ({h} % {n_shards})::INTEGER AS shard,
+       row_number() OVER (
+           PARTITION BY ({h} % {n_shards})
+           ORDER BY {h}, doc_id
+       )::BIGINT AS pos
+FROM documents
+"""
+
+
+def write_shuffled(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    seed: int = 0,
+    text_col: str = "text",
+) -> int:
+    """Materialize the shuffled epoch as a shard-partitioned parquet
+    dataset: one ``shard=N/`` directory per shard, rows stored in
+    ``pos`` order (``sortWithinPartitions`` — each shard is one write
+    task's sorted run, there is NO global sort and no driver data).
+    The text payload joins onto the doc_id/pos frame by one equi-join
+    and rides the shard exchange. Returns rows written."""
+    order = shuffle_shards(docs, n_shards=n_shards, seed=seed)
+    payload = docs.select(F.col("doc_id").cast("long").alias("doc_id"), text_col)
+    out = (
+        order.join(payload, "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("pos")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    return out.sparkSession.read.parquet(out_dir).count()

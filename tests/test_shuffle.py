@@ -1,0 +1,98 @@
+"""Deterministic global shuffle (shuffle_shards / write_shuffled):
+permutation properties, seed sensitivity, layout invariance, sink
+ordering."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_search import sampling as SA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    ).cache()
+    df.count()
+    return df
+
+
+def test_is_a_permutation(docs, spark):
+    out = SA.shuffle_shards(docs, n_shards=8, seed=0)
+    rows = out.collect()
+    assert len(rows) == 400
+    assert len({r["doc_id"] for r in rows}) == 400
+    # positions within each shard are exactly 1..|shard|
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    assert set(by_shard) <= set(range(8))
+
+
+def test_seed_changes_order_not_membership(docs):
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in SA.shuffle_shards(docs, 8, seed=0).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in SA.shuffle_shards(docs, 8, seed=1).collect()}
+    assert {t[0] for t in a} == {t[0] for t in b}
+    assert a != b  # a different permutation, not a rotation
+
+
+def test_partition_layout_invariant(docs):
+    a = sorted(tuple(r) for r in SA.shuffle_shards(docs, 8, seed=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in SA.shuffle_shards(docs.repartition(13), 8, seed=3).collect()
+    )
+    assert a == b
+
+
+def test_no_whole_shard_window(docs):
+    # the row_number rank must decompose over (shard, bucket) windows,
+    # never a whole-shard one: every window spec that partitions by
+    # shard must also partition by the hash bucket _b
+    import re
+
+    explained = SA.shuffle_shards(docs, 4)._jdf.queryExecution().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", explained)
+    shard_specs = [s for s in specs if "shard#" in s]
+    assert shard_specs, "expected a windowed rank in the plan"
+    for s in shard_specs:
+        assert "_b#" in s, s
+
+
+def test_write_shuffled_orders_each_shard(docs, tmp_path, spark):
+    out = str(tmp_path / "shuf")
+    n = SA.write_shuffled(docs, out, n_shards=4, seed=5)
+    assert n == 400
+    back = spark.read.parquet(out)
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {
+        0, 1, 2, 3
+    }
+    # per-file ordering: rows inside each parquet file are pos-sorted
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(out, "shard=*", "*.parquet")):
+        ps = pq.read_table(f, columns=["pos"])["pos"].to_pylist()
+        assert ps == sorted(ps), f
+    # and the shuffled order matches shuffle_shards exactly
+    expect = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in SA.shuffle_shards(docs, 4, seed=5).collect()
+    }
+    got = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in back.select("doc_id", "shard", "pos").collect()
+    }
+    assert got == expect

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spark_search import bpe as BP
 from spark_search import clustering as CL
 from spark_search import curate as CU
 from spark_search import decontam as DX
@@ -1416,6 +1417,34 @@ def _q_shuffle_shards(spark, sf_dir):
     return SA.shuffle_shards(_docs_raw(spark, sf_dir), n_shards=8, seed=7)
 
 
+# BPE merge training: enough merges to exercise multi-char symbol
+# merges (step 6+ merges 'er </w>' at sf0.001) but cheap under the
+# unrolled oracle
+BPE_MERGES = 8
+_BPE_DICTS: dict[str, tuple[int, object]] = {}
+
+
+def _bpe_dict(spark, sf_dir):
+    """Train once per (sf_dir, session); both BPE queries share it."""
+    key = os.path.abspath(sf_dir)
+    ent = _BPE_DICTS.get(key)
+    if ent is None or ent[0] != id(spark):
+        _, dic = BP.bpe_train(
+            _docs_raw(spark, sf_dir), n_merges=BPE_MERGES, return_dict=True
+        )
+        ent = (id(spark), dic)
+        _BPE_DICTS[key] = ent
+    return ent[1]
+
+
+def _q_bpe_merges(spark, sf_dir):
+    return BP.bpe_train(_docs_raw(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _q_bpe_token_counts(spark, sf_dir):
+    return BP.bpe_token_counts(_docs_raw(spark, sf_dir), _bpe_dict(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the disk index over sf0.001, answer a BM25
     top-10 multi-term OR query via IndexReader.search (codec + pruning
@@ -1531,6 +1560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic global training-order shuffle (seeded epoch
         # permutation: shard + exact in-shard position, no global sort)
         "shuffle_shards": _q_shuffle_shards,
+        # BPE subword-merge training (word-dictionary statistics; the
+        # corpus is read once) + dictionary-side corpus encoding
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "text_lang_confusion": _q_text_lang_confusion,
         "text_fingerprints": _q_text_fingerprints,
         # corpus LM statistics: unigram-LM quality scoring + PMI
@@ -1705,6 +1738,8 @@ FROM tf GROUP BY term
         "corpus_rollup": TX.corpus_rollup_sql(),
         "sample_stratified": SA.sample_stratified_sql(),
         "shuffle_shards": SA.shuffle_shards_sql(n_shards=8, seed=7),
+        "bpe_merges": BP.bpe_train_sql(BPE_MERGES, _TOKS_DUCK, "merges"),
+        "bpe_token_counts": BP.bpe_train_sql(BPE_MERGES, _TOKS_DUCK, "counts"),
         "text_lang_confusion": TX.lang_confusion_sql(),
         "text_fingerprints": TX.fingerprints_sql(),
         "text_lm_scores": LM.lm_scores_sql(),

@@ -1,0 +1,269 @@
+"""Distributed byte-pair-encoding (BPE) merge training — the
+subword-tokenizer learning step of an LLM data pipeline (Sennrich et
+al. 2016, "Neural Machine Translation of Rare Words with Subword
+Units"), built Spark-first.
+
+Scale shape (the 100 TB question): BPE statistics are WORD-dictionary
+statistics. The corpus is read ONCE to build (word, count); every
+merge iteration after that runs on the distinct-word dictionary, whose
+size is Zipf-bounded (millions of rows at corpus scale, not corpus
+rows). Per iteration:
+
+  * pair counting — split the symbol string, pair adjacent symbols via
+    the zip-of-slices gram builder (grams.zip_slices: map-only,
+    codegen, zero exchange), one partial+final weighted count, and a
+    TakeOrdered(1) for the arg-max pair. Driver holds ONE row per
+    iteration (the winning pair), never data.
+  * merge application — a per-word left fold (``F.aggregate``) that
+    reproduces BPE's greedy left-to-right merge exactly, including
+    overlapping runs (``a a a a a`` with pair (a,a) -> ``aa aa a``).
+    The fold is an interpreted higher-order function — this repo's
+    plan rules ban those from CORPUS-sized paths (grams.py) — but here
+    it runs over dictionary rows only, each O(word length): the
+    documented exception, same as the reference-free driver loops in
+    clustering.py/graph.py. Each round persists the new dictionary and
+    unpersists the old (lineage cut, the graph.py loop pattern).
+
+Determinism protocol (frozen; the DuckDB oracle unrolls it per level):
+symbols start as the word's UTF-8 characters plus a final ``</w>``
+end-of-word marker (angle brackets are tokenizer delimiters, so no
+corpus token can collide with it); the winning pair maximizes
+(count DESC, pair-string ASC); training stops when the best count
+drops below ``min_count`` (default 2 — a pair seen once compresses
+nothing).
+
+Encoding reuses the same insight: ``bpe_token_counts`` applies the
+learned merges to the DICTIONARY (cheap) and joins the per-word subword
+count back onto the corpus token stream — the corpus is never folded.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .grams import zip_slices
+from .tokenizer import tokens_col
+
+EOW = "</w>"
+
+
+def word_dict(docs: DataFrame, text_col: str = "text",
+              tokenizer: str = "standard") -> DataFrame:
+    """(word, wcount, seq) — the distinct-word dictionary with each
+    word's initial symbol string (space-joined characters + ``</w>``).
+    The ONLY corpus-sized pass in BPE training."""
+    toks = docs.select(
+        F.explode(tokens_col(F.col(text_col), tokenizer)).alias("word")
+    )
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .withColumn(
+            "seq",
+            F.concat(
+                F.concat_ws(" ", F.split(F.col("word"), "")),
+                F.lit(" " + EOW),
+            ),
+        )
+    )
+
+
+def pair_counts(dic: DataFrame) -> DataFrame:
+    """(pair, cnt) — corpus-weighted adjacent-symbol pair counts from
+    the dictionary. zip-of-slices keeps this map-only + one agg."""
+    syms = F.split(F.col("seq"), " ")
+    ex = dic.select(
+        "wcount", F.explode(zip_slices(syms, 2)).alias("p")
+    )
+    return ex.select(
+        F.concat_ws(" ", F.col("p.g0"), F.col("p.g1")).alias("pair"),
+        "wcount",
+    ).groupBy("pair").agg(F.sum("wcount").cast("long").alias("cnt"))
+
+
+def merge_expr(seq: Column, a: str, b: str) -> Column:
+    """Apply ONE merge (a, b) -> ab to a symbol string: greedy
+    left-to-right, exact BPE semantics (verified against overlapping
+    runs). Left fold with a string accumulator; symbols contain no
+    spaces, so the `` a``-suffix check is an exact symbol-boundary
+    test."""
+    ab = a + b
+    return F.aggregate(
+        F.split(seq, " "),
+        F.lit(""),
+        lambda acc, x: F.when(acc == "", x)
+        .when(
+            ((acc == a) | acc.endswith(" " + a)) & (x == b),
+            F.concat(acc.substr(F.lit(1), F.length(acc) - len(a)), F.lit(ab)),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+    tokenizer: str = "standard",
+    return_dict: bool = False,
+):
+    """Learn ``n_merges`` BPE merges from a corpus. Returns a DataFrame
+    (step, pair, cnt) — the ordered merge table, the artifact a
+    tokenizer ships — or ``(merge_table, final_dictionary)`` when
+    ``return_dict`` is set (the dictionary then feeds
+    ``bpe_token_counts`` without retraining)."""
+    spark = docs.sparkSession
+    dic = word_dict(docs, text_col, tokenizer).persist()
+    merges: List[Tuple[int, str, int]] = []
+    try:
+        for step in range(1, n_merges + 1):
+            top = (
+                pair_counts(dic)
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_count:
+                break
+            pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+            a, b = pair.split(" ", 1)
+            merges.append((step, pair, cnt))
+            nxt = dic.withColumn("seq", merge_expr(F.col("seq"), a, b)).persist()
+            nxt.count()  # materialize before dropping the parent
+            dic.unpersist()
+            dic = nxt
+        out = spark.createDataFrame(
+            merges or [], "step long, pair string, cnt long"
+        )
+        if return_dict:
+            return out, dic
+        return out
+    finally:
+        if not return_dict:
+            dic.unpersist()
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    dic: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_tokens) — encode the corpus under a
+    trained dictionary WITHOUT folding any corpus row: per-word subword
+    counts come from the dictionary's merged symbol strings (split
+    size), then one equi-join onto the corpus token stream and a
+    per-doc sum. The join's build side is the dictionary."""
+    per_word = dic.select(
+        "word", F.size(F.split(F.col("seq"), " ")).alias("_nsub")
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(tokens_col(F.col(text_col), tokenizer)).alias("word"),
+    )
+    return (
+        toks.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # the </w> marker is one symbol of every word's seq; count
+            # true subwords only
+            (F.sum("_nsub") - F.count(F.lit(1))).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+
+def _seq0_sql(word: str) -> str:
+    return (
+        f"array_to_string(string_split_regex({word}, ''), ' ') || ' {EOW}'"
+    )
+
+
+def _pairs_sql(lvl: str) -> str:
+    """(pair, cnt) CTE body over a level's (word, wcount, seq)."""
+    return f"""
+  SELECT sym || ' ' || nxt AS pair, sum(wcount)::BIGINT AS cnt
+  FROM (
+    SELECT wcount, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM (
+      SELECT word, wcount, unnest(l) AS sym,
+             generate_subscripts(l, 1) AS pos
+      FROM (SELECT word, wcount, string_split(seq, ' ') AS l FROM {lvl})
+    )
+  )
+  WHERE nxt IS NOT NULL
+  GROUP BY 1"""
+
+
+def _apply_sql(lvl: str, m: str) -> str:
+    """Next-level dictionary: apply merge table ``m`` (1 row: a, b) to
+    every word of ``lvl`` with the same greedy left fold
+    (list_reduce with a string accumulator)."""
+    return f"""
+  SELECT word, wcount,
+         list_reduce(
+           list_prepend('', string_split(seq, ' ')),
+           (acc, x) -> CASE
+             WHEN acc = '' THEN x
+             WHEN (acc = m.a OR right(acc, len(m.a) + 1) = ' ' || m.a)
+                  AND x = m.b
+               THEN left(acc, len(acc) - len(m.a)) || m.a || m.b
+             ELSE acc || ' ' || x END
+         ) AS seq
+  FROM {lvl}, {m} m"""
+
+
+def bpe_train_sql(
+    n_merges: int, toks_expr: str, final: str = "merges"
+) -> str:
+    """Unrolled-oracle WITH-clause chain (the kmeans/pagerank
+    precedent): lvl0 .. lvl{n}, m1 .. m{n}. ``final`` picks the output:
+    'merges' -> (step, pair, cnt); 'counts' -> per-doc
+    (doc_id, n_tokens, n_bpe_tokens) under the final dictionary.
+    ``toks_expr`` is the engine-matching DuckDB tokenize expression
+    over column ``text``."""
+    parts = [
+        f"""lvl0 AS (
+  SELECT word, count(*)::BIGINT AS wcount, {_seq0_sql("word")} AS seq
+  FROM (SELECT unnest({toks_expr}) AS word
+        FROM (SELECT coalesce(text, '') AS text FROM documents))
+  GROUP BY word
+)"""
+    ]
+    steps = []
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS ({_pairs_sql(f"lvl{i - 1}")}
+),
+m{i} AS (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         pair, cnt
+  FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+lvl{i} AS ({_apply_sql(f"lvl{i - 1}", f"m{i}")}
+)"""
+        )
+        steps.append(f"SELECT {i}::BIGINT AS step, pair, cnt FROM m{i}")
+    with_clause = ",\n".join(parts)
+    if final == "merges":
+        body = "\nUNION ALL\n".join(steps)
+        return f"WITH {with_clause}\n{body}\nORDER BY step"
+    return f"""WITH {with_clause}
+SELECT doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_tokens,
+       (sum(len(string_split(seq, ' '))) - count(*))::BIGINT AS n_bpe_tokens
+FROM (SELECT doc_id, unnest({toks_expr}) AS word
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
+JOIN lvl{n_merges} USING (word)
+GROUP BY doc_id
+"""

@@ -1,0 +1,99 @@
+"""BPE merge training: greedy-fold exactness (overlapping runs),
+determinism across partition layouts, merge-table shape, and
+dictionary-side encoding invariants."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_search import bpe as BP
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "wide wider widest new new"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    return df
+
+
+def _fold(spark, seq, a, b):
+    return spark.range(1).select(
+        BP.merge_expr(F.lit(seq), a, b).alias("r")
+    ).collect()[0]["r"]
+
+
+def test_merge_fold_is_greedy_left_to_right(spark):
+    # overlapping same-symbol runs: pairs merge disjointly, left first
+    assert _fold(spark, "a a a", "a", "a") == "aa a"
+    assert _fold(spark, "a a a a", "a", "a") == "aa aa"
+    assert _fold(spark, "a a a a a", "a", "a") == "aa aa a"
+    assert _fold(spark, "x a b a b y", "a", "b") == "x ab ab y"
+    assert _fold(spark, "h e l l o", "l", "l") == "h e ll o"
+    # multi-char left symbol; suffix check must be symbol-exact
+    assert _fold(spark, "x xa b", "a", "b") == "x xa b"
+    assert _fold(spark, "er t er", "er", "t") == "ert er"
+
+
+def test_word_dict_symbols(spark, docs):
+    d = {r["word"]: (r["wcount"], r["seq"])
+         for r in BP.word_dict(docs).collect()}
+    assert d["low"] == (4, "l o w </w>")
+    assert d["new"] == (3, "n e w </w>")
+
+
+def test_first_merge_is_most_frequent_pair(spark, docs):
+    m = BP.bpe_train(docs, n_merges=1).collect()
+    # pair weights: 'w </w>' appears in low(4)+new(3)=7 words... compute:
+    # low:4 l-o,o-w,w-</w>; new:3 n-e,e-w,w-</w> -> w-</w> cnt 7 tops
+    assert m[0]["pair"] == "w </w>"
+    assert m[0]["cnt"] == 7
+
+
+def test_training_is_layout_invariant(spark, docs):
+    a = [tuple(r) for r in BP.bpe_train(docs, n_merges=6).collect()]
+    b = [tuple(r) for r in BP.bpe_train(docs.repartition(7), n_merges=6).collect()]
+    assert a == b
+    assert len(a) == 6
+    # counts never increase as merges consume pairs deterministically?
+    # (not strictly monotone in general BPE, but steps must be 1..6)
+    assert [t[0] for t in a] == [1, 2, 3, 4, 5, 6]
+
+
+def test_min_count_stops_training(spark):
+    one = spark.createDataFrame([(1, "q z")], "doc_id long, text string")
+    m = BP.bpe_train(one, n_merges=10).collect()
+    # every pair occurs once; min_count=2 stops before any merge
+    assert m == []
+
+
+def test_token_counts_bounds(spark, docs):
+    merges, dic = BP.bpe_train(docs, n_merges=4, return_dict=True)
+    out = {r["doc_id"]: r for r in BP.bpe_token_counts(docs, dic).collect()}
+    dic.unpersist()
+    raw = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")).collect()}
+    for did, r in out.items():
+        assert r["n_tokens"] == raw[did]
+        # each word is at least 1 subword, at most its char count
+        assert r["n_bpe_tokens"] >= r["n_tokens"]
+
+
+def test_zero_merges_counts_are_char_counts(spark, docs):
+    dic = BP.word_dict(docs).persist()
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in BP.bpe_token_counts(docs, dic).collect()}
+    chars = {r["doc_id"]: r["c"] for r in docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", " ", "")).alias("c")).collect()}
+    dic.unpersist()
+    assert out == chars

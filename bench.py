@@ -195,6 +195,20 @@ def _measure(
     reader.search_many(batch16, P.WITH_SUGGESTIONS, k=10).collect()
     extra["q_multi16_indexed"] = round(time.time() - tq, 3)
 
+    # facet counts off the index alone (match_docs decode + registry
+    # agg — no corpus read) and declarative snippets (top-k + one
+    # broadcast-semi-joined highlight pass)
+    tq = time.time()
+    reader.search_facets(
+        ["data", "join", "merge"], P.WITH_SUGGESTIONS, facet="lang"
+    ).collect()
+    extra["q_facets_indexed"] = round(time.time() - tq, 3)
+    tq = time.time()
+    P.snippets(
+        corpus, ["data", "join", "merge"], P.WITH_SUGGESTIONS, k=10
+    ).collect()
+    extra["q_snippets_declarative"] = round(time.time() - tq, 3)
+
     # code-tokenizer declarative query: same OR query through the
     # identifier-aware "code" analyzer (two regexp_replace boundary
     # rules + split + lower, all codegen) — measures the code-payload
@@ -246,6 +260,7 @@ def _measure(
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
     from pyspark.sql import functions as F
+    from spark_search import bpe as BP
     from spark_search import clustering as CLU
     from spark_search import decontam as DX
     from spark_search import dedup as DD
@@ -302,6 +317,12 @@ def _measure(
         ("pack_manifest", lambda: SA.pack_manifest(sf_docs).count()),
         ("length_histogram", lambda: TX.length_histogram(sf_docs).count()),
         ("sample_stratified", lambda: SA.sample_stratified(sf_docs).count()),
+        ("shuffle_shards", lambda: SA.shuffle_shards(
+            sf_docs, n_shards=64, seed=1
+        ).count()),
+        # 8-merge BPE training (word-dictionary loop; the corpus pass
+        # is the tokenize+count inside word_dict)
+        ("bpe_train8", lambda: BP.bpe_train(sf_docs, n_merges=8).count()),
         ("sim_cosine_topk", lambda: SIM.cosine_topk(emb_raw, [0, 1, 2]).count()),
         ("cluster_kmeans", lambda: CLU.kmeans_assignments(emb_raw).count()),
         ("media_features", lambda: MM.media_features_summary(sf_docs).count()),

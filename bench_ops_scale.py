@@ -49,6 +49,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from spark_search import bpe as BP
     from spark_search import clustering as CL
     from spark_search import decontam as DX
     from spark_search import dedup as DD
@@ -159,6 +160,10 @@ def main() -> None:
     timed("length_histogram", lambda: _force(TX.length_histogram(docs)))
     timed("pack_manifest", lambda: _force(SA.pack_manifest(docs)))
     timed("sample_stratified", lambda: _force(SA.sample_stratified(docs)))
+    timed("shuffle_shards", lambda: _force(SA.shuffle_shards(
+        docs, n_shards=256, seed=1
+    )))
+    timed("bpe_train8", lambda: int(BP.bpe_train(docs, n_merges=8).count()))
     timed("more_like_this", lambda: _force(P.more_like_this(corpus, 7)))
     timed("kmeans_600k_vecs", lambda: _force(CL.kmeans_assignments(emb)))
     timed("events_windowed", lambda: _force(EV.windowed_counts(ev)))

@@ -1386,6 +1386,57 @@ ORDER BY t.rank
 """
 
 
+def _grouped_oracle(terms, mode, k=3, group="lang") -> str:
+    uniq = list(dict.fromkeys(terms))
+    pred = _facet_pred(uniq, mode)
+    having = (
+        f"HAVING count(*) = {len(uniq)}" if mode == P.AND_MATCH else ""
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text, {group} FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE {pred}),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id {having}
+)
+SELECT {group}, doc_id, score, rank FROM (
+  SELECT c.{group}, s.doc_id::BIGINT AS doc_id, round(s.score, 6) AS score,
+         row_number() OVER (
+             PARTITION BY c.{group}
+             ORDER BY s.score DESC, s.doc_id ASC
+         )::BIGINT AS rank
+  FROM scored s JOIN corpus c ON c.doc_id = s.doc_id
+)
+WHERE rank <= {k}
+"""
+
+
+def _q_bm25_grouped(spark, sf_dir):
+    out = P.bm25_topk_grouped(
+        _corpus(spark, sf_dir), TERMS_OR, mode=P.WITH_SUGGESTIONS, k=3,
+        group="lang",
+    )
+    return out.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_facet_lang(spark, sf_dir):
     out = P.facet_counts(
         _corpus(spark, sf_dir), TERMS_OR, mode=P.WITH_SUGGESTIONS, facet="lang"
@@ -1513,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (registry carries repo/lang — no corpus scan)
         "facet_lang": _q_facet_lang,
         "facet_lang_indexed": _q_facet_lang_indexed,
+        # diversified results: top-3 per language in ONE query (salted
+        # two-phase per-group tournament over the scored match set)
+        "bm25_grouped_topk": _q_bm25_grouped,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1629,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "bm25_or_topk_merged": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "facet_lang": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "bm25_grouped_topk": _grouped_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

@@ -190,22 +190,22 @@ def bm25_topk(
     )
 
 
-def _bm25_rank(
+def _bm25_scored(
     tf: DataFrame,
     corpus: DataFrame,
-    k: int,
     tokenizer: str,
     require_n: int | None = None,
     doc_filter=None,
     exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared scoring tail: (term, doc_id, tf) rows of MATCHED terms ->
-    (doc_id, score, rank) top-k. df comes from the tf rows themselves
-    (the match filter keeps every doc containing a matched term, so
-    doc_freq(tf) IS the global df); dl/avgdl/N from the corpus.
-    ``require_n`` enforces AND semantics (doc must hold that many
-    distinct matched terms). ``doc_filter`` drops disallowed docs AFTER
-    df is taken (global-stats filter semantics, see bm25_topk)."""
+    """Shared scoring body: (term, doc_id, tf) rows of MATCHED terms ->
+    un-truncated (doc_id, score) over the whole match set. df comes
+    from the tf rows themselves (the match filter keeps every doc
+    containing a matched term, so doc_freq(tf) IS the global df);
+    dl/avgdl/N from the corpus. ``require_n`` enforces AND semantics
+    (doc must hold that many distinct matched terms). ``doc_filter``
+    drops disallowed docs AFTER df is taken (global-stats filter
+    semantics, see bm25_topk)."""
     # Global document frequency of each matched term: the term filter
     # keeps every doc containing the term, so doc_freq(tf) IS the global
     # df — no second pass over the corpus needed.
@@ -244,11 +244,23 @@ def _bm25_rank(
         # intersection semantics: doc must contain every query term.
         # tf rows are unique per (term, doc), so _nt == matched-term count.
         scored = scored.where(F.col("_nt") == require_n)
-    scored = (
-        scored.drop("_nt")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+    return scored.drop("_nt")
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    tokenizer: str,
+    require_n: int | None = None,
+    doc_filter=None,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Shared scoring tail: ``_bm25_scored`` + global top-k ->
+    (doc_id, score, rank)."""
+    scored = _bm25_scored(
+        tf, corpus, tokenizer, require_n, doc_filter, exclude_docs
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     # rank over ≤k rows — the window after the limit is trivially small.
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return scored.select("doc_id", "score", F.row_number().over(w).alias("rank"))
@@ -798,4 +810,54 @@ def snippets(
             ).alias("snippet"),
         )
         .orderBy(F.col("rank").asc())
+    )
+
+
+# ------------------------------------------------------ grouped top-k
+
+
+def bm25_topk_grouped(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    mode: str = EXACT_MATCH,
+    k: int = 5,
+    group: str = "lang",
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """Diversified results: the top-``k`` BM25 hits WITHIN EVERY value
+    of one metadata column (top results per lang / repo / ...), in ONE
+    query — the result-diversification step a plain global top-k
+    cannot express (a hot group otherwise crowds out every other).
+    Returns (``group``, doc_id, score, rank), rank 1..k per group;
+    scores are bit-identical to ``bm25_topk`` over the same corpus
+    (same scoring body, same df/dl/stats arithmetic).
+
+    Plan: the un-truncated scored match set (volume Σ df) equi-joins
+    the corpus registry for the group column, then the per-group cut
+    runs through ``topk_per_query``'s salted two-phase tournament — a
+    hot group's match set is ranked in ~1/S-sized slices first, so no
+    task ever sorts a whole group."""
+    qterms = list(dict.fromkeys(terms))
+    if not qterms:
+        return (
+            corpus.select(group, "doc_id")
+            .where(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0))
+        )
+    corpus = _floor(corpus)
+    tok = tokens(corpus, tokenizer)
+    matched = tok.where(_match_filter(F.col("term"), qterms, mode))
+    tf = term_doc_tf(matched)
+    require_n = len(qterms) if mode == AND_MATCH else None
+    scored = _bm25_scored(tf, corpus, tokenizer, require_n)
+    joined = scored.join(corpus.select("doc_id", group), "doc_id")
+    cut = topk_per_query(
+        joined.select(
+            F.col(group).alias("query_id"), "doc_id", "score"
+        ),
+        k,
+    )
+    return cut.select(
+        F.col("query_id").alias(group), "doc_id", "score", "rank"
     )

@@ -130,3 +130,51 @@ def test_snippet_ranks_match_bm25(corpus):
     a = [(r["doc_id"], r["rank"], round(r["score"], 9)) for r in top.collect()]
     b = [(r["doc_id"], r["rank"], round(r["score"], 9)) for r in sn.collect()]
     assert a == b
+
+
+# ------------------------------------------------------- grouped top-k
+
+
+def test_grouped_topk_per_group_ranks(corpus):
+    out = P.bm25_topk_grouped(
+        corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2, group="lang"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append((r["rank"], r["doc_id"], r["score"]))
+    # matched docs: en {1,2}, de {3,5} -> two groups, 2 rows each
+    assert set(by) == {"en", "de"}
+    for g, rows in by.items():
+        assert [r[0] for r in sorted(rows)] == [1, 2]
+        # scores within a group are rank-ordered
+        srt = sorted(rows)
+        assert srt[0][2] >= srt[1][2]
+
+
+def test_grouped_scores_match_global_bm25(corpus):
+    glob = {
+        r["doc_id"]: r["score"]
+        for r in P.bm25_topk(
+            corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=10
+        ).collect()
+    }
+    grp = P.bm25_topk_grouped(
+        corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=5, group="lang"
+    ).collect()
+    for r in grp:
+        assert r["score"] == glob[r["doc_id"]], r
+
+
+def test_grouped_k_truncates(corpus):
+    out = P.bm25_topk_grouped(
+        corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=1, group="lang"
+    ).collect()
+    assert sorted((r["lang"], r["rank"]) for r in out) == [
+        ("de", 1), ("en", 1)
+    ]
+
+
+def test_grouped_empty_query(corpus):
+    assert (
+        P.bm25_topk_grouped(corpus, [], P.WITH_SUGGESTIONS).count() == 0
+    )

@@ -82,6 +82,17 @@ def test_no_row_at_a_time_python_anywhere(spark, corpus, sf_docs, sf_emb):
         S.ivf_topk(sf_emb, [0]),
         M.extract_features(M.media_table(sf_docs)),
     ]
+    from spark_search import bpe as BP
+    from spark_search import sampling as SA
+
+    dfs += [
+        P.facet_counts(corpus, ["data", "join"], P.WITH_SUGGESTIONS),
+        P.snippets(corpus, ["data", "join"], P.WITH_SUGGESTIONS),
+        P.bm25_topk_grouped(corpus, ["data", "join"], P.WITH_SUGGESTIONS),
+        SA.shuffle_shards(sf_docs, n_shards=8),
+        BP.pair_counts(BP.word_dict(sf_docs)),
+        BP.bpe_token_counts(sf_docs, BP.word_dict(sf_docs)),
+    ]
     for df in dfs:
         assert "BatchEvalPython" not in plan_of(df)
 

@@ -199,9 +199,14 @@ def test_round4_ops_tolerate_empty_inputs(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     nodes = spark.createDataFrame([], "id long")
 
+    from spark_search import bpe as BP
+
     for df in [
         LM.lm_scores(docs),
         LM.pmi_bigrams(docs),
+        SA.shuffle_shards(docs, n_shards=4),
+        BP.bpe_train(docs, n_merges=3),
+        BP.bpe_token_counts(docs, BP.word_dict(docs)),
         DX.decontaminate(docs, docs, n=3),
         MX.mix_plan(docs),
         TX.length_histogram(docs),

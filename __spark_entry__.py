@@ -1437,6 +1437,18 @@ def _q_bm25_grouped(spark, sf_dir):
     )
 
 
+def _q_bm25_grouped_indexed(spark, sf_dir):
+    out = _indexed_reader(spark, sf_dir).search_grouped(
+        TERMS_OR, mode=P.WITH_SUGGESTIONS, k=3, group="lang"
+    )
+    return out.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_facet_lang(spark, sf_dir):
     out = P.facet_counts(
         _corpus(spark, sf_dir), TERMS_OR, mode=P.WITH_SUGGESTIONS, facet="lang"
@@ -1567,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diversified results: top-3 per language in ONE query (salted
         # two-phase per-group tournament over the scored match set)
         "bm25_grouped_topk": _q_bm25_grouped,
+        "bm25_grouped_topk_indexed": _q_bm25_grouped_indexed,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1684,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_topk_merged": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "facet_lang": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_grouped_topk": _grouped_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "bm25_grouped_topk_indexed": _grouped_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

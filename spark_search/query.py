@@ -717,6 +717,7 @@ class IndexReader:
         local_max_postings: Optional[int] = _LOCAL_MAX_POSTINGS,
         doc_filter=None,
         exclude_terms=None,
+        _group: Optional[str] = None,
     ) -> DataFrame:
         """BM25 top-k -> DataFrame (doc_id, score, rank).
 
@@ -746,7 +747,13 @@ class IndexReader:
         qterms = list(dict.fromkeys(terms))
         excl = [t for t in dict.fromkeys(exclude_terms or []) if t]
         n_query_terms = len(qterms)
-        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        empty = (
+            self.spark.createDataFrame([], RESULT_SCHEMA)
+            if _group is None
+            else self.spark.createDataFrame(
+                [], f"{_group} string, doc_id long, score double, rank int"
+            )
+        )
         if not qterms:
             return empty
 
@@ -900,7 +907,10 @@ class IndexReader:
 
         avgdl = stats.avgdl
         span = self.chunk_span
-        loc_k = k
+        # grouped mode keeps the chunk's WHOLE hit set: a chunk-local
+        # global-score cut could drop a small group's best doc. Volume
+        # stays bounded by Σ df (the match set) — same as match_docs.
+        loc_k = k if _group is None else (1 << 62)
         n_query = n_query_terms
 
         def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -977,6 +987,21 @@ class IndexReader:
         local = joined.groupBy("chunk").applyInPandas(score_chunk, _LOCAL_SCHEMA)
         if need_all:
             local = local.where(F.col("nterms") == n_query_terms)
+        if _group is not None:
+            from .pipeline import topk_per_query
+
+            scored = local.select("doc_id", "score").join(
+                self.docs_df().select("doc_id", _group), "doc_id"
+            )
+            cut = topk_per_query(
+                scored.select(
+                    F.col(_group).alias("query_id"), "doc_id", "score"
+                ),
+                k,
+            )
+            return cut.select(
+                F.col("query_id").alias(_group), "doc_id", "score", "rank"
+            )
         topk = (
             local.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
@@ -986,6 +1011,38 @@ class IndexReader:
             (r["doc_id"], float(r["score"]), i + 1) for i, r in enumerate(topk)
         ]
         return _rows_literal_df(self.spark, out, _RESULT_FIELDS) if out else empty
+
+    def search_grouped(
+        self,
+        terms: Iterable[str],
+        mode: str = EXACT_MATCH,
+        k: int = 5,
+        group: str = "lang",
+        doc_filter=None,
+        exclude_terms=None,
+    ) -> DataFrame:
+        """Diversified results off the index: top-``k`` BM25 hits
+        within every value of one REGISTRY column (lang / repo / ...),
+        one query -> (group, doc_id, score, rank). The declarative twin
+        is ``pipeline.bm25_topk_grouped``; scores are bit-identical to
+        ``search`` (same sorted-term per-chunk accumulation).
+
+        Plan deltas vs ``search``: block-max pruning off and the
+        chunk-local cut disabled (either could drop a small group's
+        best doc — correctness, not taste), so the scored volume is
+        the full match set (Σ df, the ``match_docs`` bound); the
+        per-group cut then runs through the salted two-phase
+        tournament, never a whole-group sort."""
+        return self.search(
+            terms,
+            mode,
+            k=k,
+            prune=False,
+            local_max_postings=0,
+            doc_filter=doc_filter,
+            exclude_terms=exclude_terms,
+            _group=group,
+        )
 
     # ------------------------------------------------ batched queries
 

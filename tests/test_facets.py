@@ -178,3 +178,45 @@ def test_grouped_empty_query(corpus):
     assert (
         P.bm25_topk_grouped(corpus, [], P.WITH_SUGGESTIONS).count() == 0
     )
+
+
+def test_indexed_grouped_matches_declarative(corpus, reader):
+    for mode, terms in [
+        (P.WITH_SUGGESTIONS, ["alpha", "beta"]),
+        (P.AND_MATCH, ["alpha", "beta"]),
+        (P.START_WITH, ["ze"]),
+    ]:
+        a = sorted(
+            (r["lang"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in P.bm25_topk_grouped(
+                corpus, terms, mode, k=2, group="lang"
+            ).collect()
+        )
+        b = sorted(
+            (r["lang"], r["doc_id"], round(r["score"], 9), r["rank"])
+            for r in reader.search_grouped(
+                terms, mode, k=2, group="lang"
+            ).collect()
+        )
+        assert a == b, (mode, a, b)
+
+
+def test_indexed_grouped_empty_query(reader):
+    out = reader.search_grouped([], P.WITH_SUGGESTIONS)
+    assert out.collect() == []
+    assert out.columns == ["lang", "doc_id", "score", "rank"]
+
+
+def test_indexed_grouped_respects_tombstones(spark, corpus, tmp_path):
+    from spark_search.maintain import delete_docs
+
+    d = str(tmp_path / "gidx")
+    d2 = str(tmp_path / "gidx_del")
+    build_index(spark, corpus, d)
+    delete_docs(spark, d, d2, [5])
+    out = IndexReader(spark, d2).search_grouped(
+        ["alpha", "beta"], P.WITH_SUGGESTIONS, k=5
+    ).collect()
+    assert 5 not in {r["doc_id"] for r in out}
+    # de group survives via doc 3
+    assert {r["lang"] for r in out} == {"en", "de"}

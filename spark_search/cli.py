@@ -16,6 +16,10 @@ of (SparkSession, paths, arguments) — so cluster deployment is:
     spark-submit ... job.py search --index <dir> --terms data --filter "lang='en'"
     spark-submit ... job.py search-many --index <dir> \
         --queries '{"q1": ["data", "join"], "q2": ["spark"]}'
+    spark-submit ... job.py facets --index <dir> --terms data,join --facet lang
+    spark-submit ... job.py grouped --index <dir> --terms data,join --group repo
+    spark-submit ... job.py shuffle --corpus <dir> --out <dir> --shards 1024
+    spark-submit ... job.py bpe-train --corpus <dir> --merges 64
 
 ``job.py`` (repo root) is the submittable driver file; it only calls
 ``spark_search.cli.main``. On a real cluster the session comes from
@@ -146,6 +150,59 @@ def main(argv=None) -> int:
                    help="SQL predicate over registry columns")
     f.add_argument("--limit", type=int, default=100)
 
+    fc = sub.add_parser(
+        "facets",
+        help="facet counts (docs per lang/repo/...) over the "
+             "un-truncated match set, straight off the index",
+    )
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--terms", required=True, help="comma-separated")
+    fc.add_argument("--mode", default="OR", choices=sorted(_MODES))
+    fc.add_argument("--facet", default="lang",
+                    help="registry column: repo/path/commit/lang")
+    fc.add_argument("--top-n", type=int, default=None)
+    fc.add_argument("--limit", type=int, default=100)
+
+    gr = sub.add_parser(
+        "grouped",
+        help="diversified results: BM25 top-k within every value of a "
+             "registry column, one query",
+    )
+    gr.add_argument("--index", required=True)
+    gr.add_argument("--terms", required=True, help="comma-separated")
+    gr.add_argument("--mode", default="OR", choices=sorted(_MODES))
+    gr.add_argument("--k", type=int, default=5)
+    gr.add_argument("--group", default="lang",
+                    help="registry column: repo/path/commit/lang")
+    gr.add_argument("--filter", default=None,
+                    help="SQL predicate over registry columns")
+    gr.add_argument("--limit", type=int, default=100)
+
+    sh = sub.add_parser(
+        "shuffle",
+        help="seeded deterministic epoch shuffle -> shard=N/ parquet "
+             "runs in position order",
+    )
+    sh.add_argument("--corpus", required=True,
+                    help="parquet dir or table:<name> (needs doc_id, "
+                         "or ids are assigned as in build)")
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--shards", type=int, default=64)
+    sh.add_argument("--seed", type=int, default=0)
+    sh.add_argument("--text-col", default="content")
+
+    bp = sub.add_parser(
+        "bpe-train",
+        help="learn byte-pair-encoding merges from the corpus "
+             "(one corpus pass + dictionary-sized iterations)",
+    )
+    bp.add_argument("--corpus", required=True)
+    bp.add_argument("--merges", type=int, default=16)
+    bp.add_argument("--min-count", type=int, default=2)
+    bp.add_argument("--tokenizer", default="standard")
+    bp.add_argument("--text-col", default="content")
+    bp.add_argument("--limit", type=int, default=1000)
+
     args = p.parse_args(argv)
     # pure-argparse validation BEFORE paying Spark startup
     if args.cmd == "search-many" and (
@@ -206,6 +263,39 @@ def main(argv=None) -> int:
         })
         return 0
 
+    if args.cmd == "shuffle":
+        from .ids import with_doc_ids
+        from .sampling import write_shuffled
+
+        corpus = _load_corpus(spark, args.corpus)
+        if "doc_id" not in corpus.columns:
+            corpus = with_doc_ids(corpus)
+        n = write_shuffled(
+            corpus, args.out, n_shards=args.shards, seed=args.seed,
+            text_col=args.text_col,
+        )
+        _emit({
+            "cmd": "shuffle", "out": args.out, "n_rows": n,
+            "n_shards": args.shards, "seed": args.seed,
+            "wall_sec": round(time.time() - t0, 3),
+        })
+        return 0
+
+    if args.cmd == "bpe-train":
+        from .bpe import bpe_train
+
+        corpus = _load_corpus(spark, args.corpus)
+        merges = bpe_train(
+            corpus, n_merges=args.merges, min_count=args.min_count,
+            text_col=args.text_col, tokenizer=args.tokenizer,
+        )
+        rows = _rows(merges.orderBy("step"), args.limit)
+        _emit({
+            "cmd": "bpe-train", "n_merges": len(rows),
+            "wall_sec": round(time.time() - t0, 3), "rows": rows,
+        })
+        return 0
+
     from .query import IndexReader
 
     rd = IndexReader(spark, args.index)
@@ -221,6 +311,28 @@ def main(argv=None) -> int:
         return 0
 
     terms = [t for t in args.terms.split(",") if t]
+    if args.cmd == "facets":
+        res = rd.search_facets(
+            terms, _MODES[args.mode], facet=args.facet, top_n=args.top_n
+        )
+        rows = _rows(res, args.limit)
+        _emit({
+            "cmd": "facets", "terms": terms, "facet": args.facet,
+            "wall_sec": round(time.time() - t0, 3), "rows": rows,
+        })
+        return 0
+    if args.cmd == "grouped":
+        res = rd.search_grouped(
+            terms, _MODES[args.mode], k=args.k, group=args.group,
+            doc_filter=args.filter,
+        )
+        rows = _rows(res.orderBy(args.group, "rank"), args.limit)
+        _emit({
+            "cmd": "grouped", "terms": terms, "group": args.group,
+            "k": args.k,
+            "wall_sec": round(time.time() - t0, 3), "rows": rows,
+        })
+        return 0
     if args.cmd == "search":
         res = rd.search(
             terms, _MODES[args.mode], k=args.k, doc_filter=args.filter

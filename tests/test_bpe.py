@@ -97,3 +97,74 @@ def test_zero_merges_counts_are_char_counts(spark, docs):
         F.length(F.regexp_replace("text", " ", "")).alias("c")).collect()}
     dic.unpersist()
     assert out == chars
+
+
+# ---------------------------------------- randomized reference check
+
+
+def _py_bpe(texts, n_merges, min_count=2):
+    """Straight-line pure-Python BPE (Sennrich alg. 1) — the
+    independent semantics reference for the distributed trainer."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in words.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        mx = max(pc.values())
+        if mx < min_count:
+            break
+        pair = min(" ".join(p) for p, c in pc.items() if c == mx)
+        a, b = pair.split(" ", 1)
+        merges.append((step, pair, mx))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_random_corpora_match_python_reference(spark):
+    import random
+
+    for seed in [7, 23, 91, 1337]:
+        rng = random.Random(seed)
+        # tiny alphabet forces overlapping-run and tie-break cases
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 10))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 20)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        exp_merges, exp_vocab = _py_bpe(texts, n_merges=6)
+        got, dic = BP.bpe_train(
+            docs, n_merges=6, tokenizer="whitespace", return_dict=True
+        )
+        got_merges = [(r["step"], r["pair"], r["cnt"]) for r in
+                      got.orderBy("step").collect()]
+        assert got_merges == exp_merges, (seed, got_merges, exp_merges)
+        got_vocab = {r["word"]: r["seq"].split(" ")
+                     for r in dic.collect()}
+        dic.unpersist()
+        assert got_vocab == exp_vocab, seed

@@ -1437,6 +1437,80 @@ def _q_bm25_grouped(spark, sf_dir):
     )
 
 
+# hybrid retrieval: BM25 candidate recall (top-C) re-ranked by
+# embedding cosine to a query vector; vec_id aligns with doc_id in the
+# driver tables
+HYBRID_C = 50
+HYBRID_QVEC = 7
+HYBRID_ALPHA = 0.5
+
+
+def _hybrid_oracle(terms, mode, qid, k=10, c=50, alpha=0.5) -> str:
+    uniq = list(dict.fromkeys(terms))
+    pred = _facet_pred(uniq, mode)
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE {pred}),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topc AS (SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS b
+         FROM scored ORDER BY score DESC, doc_id ASC LIMIT {c}),
+mx AS (SELECT max(b) AS mx FROM topc),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings),
+q AS (SELECT v AS qv, norm AS qnorm FROM e WHERE vec_id = {qid}),
+h AS (SELECT t.doc_id,
+             round(t.b / mx.mx, 6) AS bm25_norm,
+             round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6)
+               AS cos_sim
+      FROM topc t
+      JOIN e ON e.vec_id = t.doc_id
+      CROSS JOIN q CROSS JOIN mx),
+f AS (SELECT doc_id, bm25_norm, cos_sim,
+             round({float(alpha)} * bm25_norm
+                   + {1.0 - float(alpha)} * cos_sim, 6) AS score
+      FROM h
+      WHERE bm25_norm IS NOT NULL AND cos_sim IS NOT NULL)
+SELECT doc_id, bm25_norm, cos_sim, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM f ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_hybrid_topk(spark, sf_dir):
+    cand = P.bm25_topk(
+        _corpus(spark, sf_dir), TERMS_OR, P.WITH_SUGGESTIONS, k=HYBRID_C
+    )
+    return SIM.hybrid_rerank(
+        cand, _emb_raw(spark, sf_dir), HYBRID_QVEC, k=10, alpha=HYBRID_ALPHA
+    )
+
+
+def _q_hybrid_topk_indexed(spark, sf_dir):
+    cand = _indexed_reader(spark, sf_dir).search(
+        TERMS_OR, P.WITH_SUGGESTIONS, k=HYBRID_C
+    )
+    return SIM.hybrid_rerank(
+        cand, _emb_raw(spark, sf_dir), HYBRID_QVEC, k=10, alpha=HYBRID_ALPHA
+    )
+
+
 def _q_bm25_grouped_indexed(spark, sf_dir):
     out = _indexed_reader(spark, sf_dir).search_grouped(
         TERMS_OR, mode=P.WITH_SUGGESTIONS, k=3, group="lang"
@@ -1580,6 +1654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase per-group tournament over the scored match set)
         "bm25_grouped_topk": _q_bm25_grouped,
         "bm25_grouped_topk_indexed": _q_bm25_grouped_indexed,
+        # hybrid retrieval: lexical recall (BM25 top-C) + semantic
+        # re-rank (embedding cosine), 6-dp-rounded blend protocol
+        "hybrid_topk": _q_hybrid_topk,
+        "hybrid_topk_indexed": _q_hybrid_topk_indexed,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1698,6 +1776,14 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_grouped_topk": _grouped_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_grouped_topk_indexed": _grouped_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "hybrid_topk": _hybrid_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, HYBRID_QVEC,
+            c=HYBRID_C, alpha=HYBRID_ALPHA,
+        ),
+        "hybrid_topk_indexed": _hybrid_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, HYBRID_QVEC,
+            c=HYBRID_C, alpha=HYBRID_ALPHA,
+        ),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

@@ -357,3 +357,75 @@ SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id,
        score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------ hybrid re-rank
+
+
+def hybrid_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = DEFAULT_K,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Hybrid retrieval: re-rank a BM25 candidate set by embedding
+    cosine to a query vector — the lexical-recall + semantic-precision
+    two-stage serving shape. ``candidates`` is any (doc_id, score)
+    frame (``pipeline.bm25_topk`` or ``IndexReader.search`` with a
+    generous k); the final score is
+    ``alpha * bm25/max(bm25) + (1-alpha) * cosine``.
+
+    Cross-engine determinism protocol (frozen): every intermediate is
+    rounded to 6 dp BEFORE entering the next operation — raw BM25,
+    then the max-normalized ratio, then the cosine, then the blend —
+    so Spark and the DuckDB oracle compute identical doubles at every
+    step. Candidates without an embedding row (or a zero-norm vector)
+    drop out, mirroring try_divide-NULL semantics.
+
+    Scale: the candidate set is O(candidate-k) rows — it BROADCASTS
+    into one embeddings scan (semi-join; the corpus-sized side never
+    shuffles); the query vector and the 1-row max ride the same
+    broadcast. The final rank is a window over ≤ |candidates| rows."""
+    d = _probe_dim(emb)
+    e = _with_norm(emb, d)
+    q = e.where(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cand = candidates.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("_b"),
+    )
+    mx = cand.agg(F.max("_b").alias("_mx"))
+    scored = (
+        e.join(F.broadcast(cand), e["vec_id"] == cand["doc_id"])
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.round(F.try_divide(F.col("_b"), F.col("_mx")), 6).alias(
+                "bm25_norm"
+            ),
+            F.round(
+                _cos_sim(
+                    F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm"), d
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull() & F.col("bm25_norm").isNotNull())
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(float(alpha)) * F.col("bm25_norm")
+                + F.lit(1.0 - float(alpha)) * F.col("cos_sim"),
+                6,
+            ),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "bm25_norm", "cos_sim", "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

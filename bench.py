@@ -209,6 +209,18 @@ def _measure(
     ).collect()
     extra["q_snippets_declarative"] = round(time.time() - tq, 3)
 
+    # hybrid retrieval: indexed BM25 top-50 recall broadcast into one
+    # embeddings scan for the cosine re-rank
+    from spark_search import similarity as SIMX
+
+    emb_hyb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tq = time.time()
+    SIMX.hybrid_rerank(
+        reader.search(["data", "join", "merge"], P.WITH_SUGGESTIONS, k=50),
+        emb_hyb, 7, k=10,
+    ).collect()
+    extra["q_hybrid_indexed"] = round(time.time() - tq, 3)
+
     # code-tokenizer declarative query: same OR query through the
     # identifier-aware "code" analyzer (two regexp_replace boundary
     # rules + split + lower, all codegen) — measures the code-payload

@@ -346,3 +346,15 @@ def test_gram_ops_have_no_window_exchange(spark, sf_docs):
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, plan[:2000]
+
+
+def test_hybrid_candidates_are_broadcast(spark, corpus, sf_emb):
+    """The candidate set must broadcast into the embeddings scan (the
+    corpus-sized side never shuffles for a k-row candidate list)."""
+    from spark_search import similarity as S
+
+    cand = P.bm25_topk(corpus, ["data", "join"], P.WITH_SUGGESTIONS, k=50)
+    plan = plan_of(S.hybrid_rerank(cand, sf_emb, 7, k=10))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in the re-rank stage
+    assert "SortMergeJoin" not in plan

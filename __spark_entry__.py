@@ -1493,6 +1493,62 @@ FROM f ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _hybrid_rrf_oracle(terms, mode, qid, k=10, c=50, rrf_k=60) -> str:
+    uniq = list(dict.fromkeys(terms))
+    pred = _facet_pred(uniq, mode)
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE {pred}),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topc AS (SELECT doc_id::BIGINT AS doc_id, score AS b
+         FROM scored ORDER BY score DESC, doc_id ASC LIMIT {c}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings),
+q AS (SELECT v AS qv, norm AS qnorm FROM e WHERE vec_id = {qid}),
+j AS (SELECT t.doc_id, t.b,
+             round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS c
+      FROM topc t JOIN e ON e.vec_id = t.doc_id CROSS JOIN q),
+jc AS (SELECT * FROM j WHERE c IS NOT NULL),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY b DESC, doc_id ASC)::BIGINT
+               AS bm25_rank,
+             row_number() OVER (ORDER BY c DESC, doc_id ASC)::BIGINT
+               AS cos_rank
+      FROM jc),
+f AS (SELECT doc_id, bm25_rank, cos_rank,
+             round(1.0 / ({float(rrf_k)} + bm25_rank)
+                   + 1.0 / ({float(rrf_k)} + cos_rank), 6) AS score
+      FROM r)
+SELECT doc_id, bm25_rank, cos_rank, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM f ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    cand = _indexed_reader(spark, sf_dir).search(
+        TERMS_OR, P.WITH_SUGGESTIONS, k=HYBRID_C
+    )
+    return SIM.hybrid_rrf(cand, _emb_raw(spark, sf_dir), HYBRID_QVEC, k=10)
+
+
 def _q_hybrid_topk(spark, sf_dir):
     cand = P.bm25_topk(
         _corpus(spark, sf_dir), TERMS_OR, P.WITH_SUGGESTIONS, k=HYBRID_C
@@ -1658,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-rank (embedding cosine), 6-dp-rounded blend protocol
         "hybrid_topk": _q_hybrid_topk,
         "hybrid_topk_indexed": _q_hybrid_topk_indexed,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1783,6 +1840,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk_indexed": _hybrid_oracle(
             TERMS_OR, P.WITH_SUGGESTIONS, HYBRID_QVEC,
             c=HYBRID_C, alpha=HYBRID_ALPHA,
+        ),
+        "hybrid_rrf_topk": _hybrid_rrf_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, HYBRID_QVEC, c=HYBRID_C
         ),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),

@@ -429,3 +429,71 @@ def hybrid_rerank(
         "doc_id", "bm25_norm", "cos_sim", "score",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def hybrid_rrf(
+    candidates: DataFrame,
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = DEFAULT_K,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over the same
+    two-stage shape as ``hybrid_rerank``: score =
+    ``1/(rrf_k + rank_bm25) + 1/(rrf_k + rank_cosine)``. Rank-based, so
+    it needs no score normalization and no alpha tuning — the standard
+    fusion when the two score distributions are incomparable.
+
+    Protocol (frozen): both ranks are computed over the EMBEDDED
+    candidate subset (candidates without an embedding row or with a
+    zero-norm vector drop first, as in ``hybrid_rerank``), each by
+    (its score DESC, doc_id ASC); the fused score is rounded to 6 dp;
+    final order (score DESC, doc_id ASC). Integer ranks make the
+    fusion cross-engine exact by construction.
+
+    Scale: identical to ``hybrid_rerank`` — candidate broadcast into
+    one embeddings scan; both rank windows see ≤ |candidates| rows."""
+    d = _probe_dim(emb)
+    e = _with_norm(emb, d)
+    q = e.where(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cand = candidates.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").alias("_b"),
+    )
+    joined = (
+        e.join(F.broadcast(cand), e["vec_id"] == cand["doc_id"])
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "_b",
+            F.round(
+                _cos_sim(
+                    F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm"), d
+                ),
+                6,
+            ).alias("_c"),
+        )
+        .where(F.col("_c").isNotNull())
+    )
+    w_b = Window.orderBy(F.col("_b").desc(), F.col("doc_id").asc())
+    w_c = Window.orderBy(F.col("_c").desc(), F.col("doc_id").asc())
+    fused = joined.select(
+        "doc_id",
+        F.row_number().over(w_b).cast("long").alias("bm25_rank"),
+        F.row_number().over(w_c).cast("long").alias("cos_rank"),
+    ).withColumn(
+        "score",
+        F.round(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("bm25_rank"))
+            + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("cos_rank")),
+            6,
+        ),
+    )
+    top = fused.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "bm25_rank", "cos_rank", "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

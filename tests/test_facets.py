@@ -220,3 +220,25 @@ def test_indexed_grouped_respects_tombstones(spark, corpus, tmp_path):
     assert 5 not in {r["doc_id"] for r in out}
     # de group survives via doc 3
     assert {r["lang"] for r in out} == {"en", "de"}
+
+
+def test_grouped_equals_per_group_filtered_search(corpus, reader):
+    """Lucene filter-query semantics make these two the same query:
+    grouped top-k for group value L == filtered search with
+    doc_filter lang=L (global stats either way)."""
+    grp = {}
+    for r in reader.search_grouped(
+        ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2, group="lang"
+    ).collect():
+        grp.setdefault(r["lang"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for lang in grp:
+        flt = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in reader.search(
+                ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2,
+                doc_filter=f"lang = '{lang}'",
+            ).collect()
+        ]
+        assert sorted(grp[lang]) == sorted(flt), lang

@@ -89,3 +89,27 @@ def test_blend_is_rounded_convex_combination(corpus, emb):
         raw = 0.25 * r["bm25_norm"] + 0.75 * r["cos_sim"]
         assert abs(r["score"] - raw) <= 5.0000001e-7
         assert r["score"] == round(r["score"], 6)  # already 6-dp
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_ranks_and_score(corpus, emb):
+    cand = P.bm25_topk(corpus, ["apple"], P.EXACT_MATCH, k=10)
+    out = SIM.hybrid_rrf(cand, emb, 9, k=10, rrf_k=60).collect()
+    assert [r["doc_id"] for r in out] == sorted(
+        (r["doc_id"] for r in out),
+        key=lambda d: next(-x["score"] for x in out if x["doc_id"] == d),
+    )
+    for r in out:
+        expect = round(1.0 / (60 + r["bm25_rank"]) + 1.0 / (60 + r["cos_rank"]), 6)
+        assert abs(r["score"] - expect) <= 1e-9
+    # both rank columns are permutations of 1..n
+    n = len(out)
+    assert sorted(r["bm25_rank"] for r in out) == list(range(1, n + 1))
+    assert sorted(r["cos_rank"] for r in out) == list(range(1, n + 1))
+
+
+def test_rrf_drops_unembedded(corpus, emb):
+    cand = P.bm25_topk(corpus, ["durian"], P.EXACT_MATCH, k=10)
+    assert SIM.hybrid_rrf(cand, emb, 9).collect() == []

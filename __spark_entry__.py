@@ -26,6 +26,7 @@ from spark_search import clustering as CL
 from spark_search import curate as CU
 from spark_search import decontam as DX
 from spark_search import dedup as DD
+from spark_search import evals as EVL
 from spark_search import events as EV
 from spark_search import graph as GR
 from spark_search import lm as LM
@@ -1610,6 +1611,113 @@ def _q_shuffle_shards(spark, sf_dir):
     return SA.shuffle_shards(_docs_raw(spark, sf_dir), n_shards=8, seed=7)
 
 
+# offline ranking evaluation: search_many rankings scored against a
+# deterministic synthetic qrels table (rel = f(doc_id, query number))
+EVAL_K = 10
+
+
+def _eval_qrels(spark, sf_dir):
+    ids = spark.createDataFrame(
+        [(q, int(q[1:])) for q in MULTI_QUERIES], "query_id string, _qn int"
+    )
+    e = (F.col("doc_id") * 7 + F.col("_qn")) % 5
+    return (
+        _docs_raw(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .crossJoin(F.broadcast(ids))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(e == 0, 2).when(e == 1, 1).otherwise(0).alias("rel"),
+        )
+    )
+
+
+def _q_eval_metrics(spark, sf_dir):
+    res = _indexed_reader(spark, sf_dir).search_many(
+        MULTI_QUERIES, P.WITH_SUGGESTIONS, k=EVAL_K
+    )
+    return EVL.ranking_metrics(res, _eval_qrels(spark, sf_dir), k=EVAL_K)
+
+
+def _eval_oracle(queries, k=10) -> str:
+    pairs = [
+        (qid, t) for qid, ts in queries.items() for t in dict.fromkeys(ts)
+    ]
+    union = sorted({t for _, t in pairs})
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    qns = ", ".join(f"('{q}', {int(q[1:])})" for q in queries)
+    inlist = ", ".join(f"'{t}'" for t in union)
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE term IN ({inlist})),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qmap AS (SELECT * FROM (VALUES {vals}) AS v(query_id, term)),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT qmap.query_id, tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN qmap USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id::BIGINT AS doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         )::BIGINT AS rank
+  FROM scored
+),
+res AS (SELECT * FROM ranked WHERE rank <= {k}),
+qrels AS (
+  SELECT q.query_id, d.doc_id::BIGINT AS doc_id,
+         CASE ((d.doc_id * 7 + q.qn) % 5)
+           WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+  FROM documents d
+  CROSS JOIN (VALUES {qns}) q(query_id, qn)
+),
+qr AS (SELECT * FROM qrels WHERE rel > 0),
+hits AS (SELECT r.query_id, r.doc_id, r.rank, qr.rel
+         FROM res r JOIN qr USING (query_id, doc_id)),
+per_hit AS (
+  SELECT query_id, max(1.0 / rank) AS _mrr,
+         sum((pow(2.0, rel) - 1.0) / log2(1.0 + rank)) AS _dcg,
+         count(*)::BIGINT AS _n_hit
+  FROM hits GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, sum((pow(2.0, rel) - 1.0) / log2(1.0 + _r)) AS _idcg
+  FROM (SELECT query_id, rel, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+               ) AS _r
+        FROM qr)
+  WHERE _r <= {k} GROUP BY 1
+),
+n_rel AS (SELECT query_id, count(*)::BIGINT AS _n_rel FROM qr GROUP BY 1),
+n_ret AS (SELECT query_id, count(*)::BIGINT AS _n_ret FROM res GROUP BY 1)
+SELECT n_ret.query_id,
+       round(coalesce(_mrr, 0.0), 6) AS mrr,
+       round(coalesce(_dcg, 0.0) / _idcg, 6) AS ndcg,
+       round(coalesce(_n_hit, 0)::DOUBLE
+             / least(_n_ret, {k})::DOUBLE, 6) AS precision,
+       round(coalesce(_n_hit, 0)::DOUBLE / _n_rel::DOUBLE, 6) AS recall
+FROM n_ret
+JOIN n_rel USING (query_id)
+JOIN ideal USING (query_id)
+LEFT JOIN per_hit USING (query_id)
+"""
+
+
 # BPE merge training: enough merges to exercise multi-char symbol
 # merges (step 6+ merges 'er </w>' at sf0.001) but cheap under the
 # unrolled oracle
@@ -1715,6 +1823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "hybrid_topk_indexed": _q_hybrid_topk_indexed,
         "hybrid_rrf_topk": _q_hybrid_rrf,
+        # offline ranking eval: MRR/NDCG/P/R@10 of search_many
+        # rankings vs a deterministic qrels table
+        "eval_ranking_metrics": _q_eval_metrics,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1844,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": _hybrid_rrf_oracle(
             TERMS_OR, P.WITH_SUGGESTIONS, HYBRID_QVEC, c=HYBRID_C
         ),
+        "eval_ranking_metrics": _eval_oracle(MULTI_QUERIES, k=EVAL_K),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

@@ -1,0 +1,114 @@
+"""Ranking-quality evaluation: MRR / NDCG@k / precision@k / recall@k
+over a (query_id, doc_id, rank) result set against graded relevance
+judgments — the offline eval harness that closes the serving loop
+(run the query set through ``search_many``, score the rankings against
+qrels, track the metrics per release).
+
+Scale shape: results are |queries|·k rows, qrels are the judgment set;
+one equi-join on (query_id, doc_id), one partial+final agg per query,
+and a tiny mean row. Nothing is corpus-sized; the expensive part —
+producing the rankings — is the engine's own batched search (ONE
+postings scan for the whole query set).
+
+Determinism: DCG uses the standard (2^rel - 1)/log2(1 + rank) gain
+with integer rel and integer ranks, so every term is an exact double
+on any engine; per-query metrics round to 6 dp (cross-engine exact,
+same protocol as the rest of the repo)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["ranking_metrics", "mean_metrics"]
+
+
+def _dcg_term(rel_col, rank_col):
+    return (F.pow(F.lit(2.0), rel_col.cast("double")) - F.lit(1.0)) / F.log2(
+        F.lit(1.0) + rank_col.cast("double")
+    )
+
+
+def ranking_metrics(
+    results: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Per-query metrics. ``results``: (query_id, doc_id, rank) — e.g.
+    ``IndexReader.search_many`` / ``pipeline.bm25_topk_many`` output;
+    rows past rank ``k`` are ignored. ``qrels``: (query_id, doc_id,
+    rel) with integer grades, rel > 0 meaning relevant. Queries present
+    in ``results`` but with NO relevant qrels produce NULL metrics
+    (undefined, not zero — a query with an empty judgment set is not a
+    failure); queries absent from ``results`` score 0 via
+    ``mean_metrics`` only if their qrels exist and you outer-join —
+    this function evaluates the rankings it is given.
+
+    Returns (query_id, mrr, ndcg, precision, recall) rounded to 6 dp.
+    """
+    res = results.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    ).where(F.col("rank") <= k)
+    qr = qrels.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rel").cast("int").alias("rel"),
+    ).where(F.col("rel") > 0)
+
+    # hits: retrieved ∩ relevant, with rank and grade
+    hits = res.join(qr, ["query_id", "doc_id"])
+    per_hit = hits.groupBy("query_id").agg(
+        F.max(F.lit(1.0) / F.col("rank")).alias("_mrr"),
+        F.sum(_dcg_term(F.col("rel"), F.col("rank"))).alias("_dcg"),
+        F.count(F.lit(1)).alias("_n_hit"),
+    )
+
+    # ideal DCG: the query's qrels sorted by grade DESC fill ranks 1..k
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        qr.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(_dcg_term(F.col("rel"), F.col("_r"))).alias("_idcg"),
+        )
+    )
+    n_rel = qr.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_rel"))
+    n_ret = res.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_ret"))
+
+    out = (
+        n_ret.join(n_rel, "query_id")  # inner: only judged queries score
+        .join(ideal, "query_id")
+        .join(per_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("_mrr"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
+                / F.least(F.col("_n_ret"), F.lit(k)).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
+                / F.col("_n_rel").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+    return out
+
+
+def mean_metrics(per_query: DataFrame) -> DataFrame:
+    """One-row corpus means over ``ranking_metrics`` output (the
+    number a release gate tracks). 6-dp rounded."""
+    return per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("mrr"), 6).alias("mean_mrr"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        F.round(F.avg("precision"), 6).alias("mean_precision"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+    )

@@ -1,0 +1,86 @@
+"""Ranking-metric correctness on hand-computed fixtures."""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_search import evals as EVL
+
+
+def _metrics(spark, results, qrels, k=3):
+    res = spark.createDataFrame(results, "query_id string, doc_id long, rank long")
+    qr = spark.createDataFrame(qrels, "query_id string, doc_id long, rel int")
+    return {r["query_id"]: r for r in
+            EVL.ranking_metrics(res, qr, k=k).collect()}
+
+
+def test_perfect_ranking(spark):
+    out = _metrics(
+        spark,
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        [("q", 1, 2), ("q", 2, 1), ("q", 3, 1)],
+    )["q"]
+    assert out["mrr"] == 1.0
+    assert out["ndcg"] == 1.0
+    assert out["precision"] == 1.0
+    assert out["recall"] == 1.0
+
+
+def test_partial_hit_values(spark):
+    # retrieved: d1(r1, rel0) d2(r2, rel2) d3(r3, rel0); qrels: d2=2, d9=1
+    out = _metrics(
+        spark,
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        [("q", 2, 2), ("q", 9, 1)],
+    )["q"]
+    assert out["mrr"] == 0.5
+    dcg = (2 ** 2 - 1) / math.log2(1 + 2)
+    idcg = (2 ** 2 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(3)
+    assert out["ndcg"] == round(dcg / idcg, 6)
+    assert out["precision"] == round(1 / 3, 6)
+    assert out["recall"] == 0.5
+
+
+def test_no_hits_scores_zero(spark):
+    out = _metrics(
+        spark,
+        [("q", 1, 1), ("q", 2, 2)],
+        [("q", 9, 1)],
+    )["q"]
+    assert out["mrr"] == 0.0 and out["ndcg"] == 0.0
+    assert out["precision"] == 0.0 and out["recall"] == 0.0
+
+
+def test_rows_past_k_ignored(spark):
+    a = _metrics(
+        spark,
+        [("q", 1, 1), ("q", 9, 4)],  # the rank-4 hit is outside k=3
+        [("q", 9, 1), ("q", 1, 1)],
+    )["q"]
+    assert a["recall"] == 0.5
+
+
+def test_unjudged_query_absent(spark):
+    out = _metrics(
+        spark,
+        [("q", 1, 1), ("z", 1, 1)],
+        [("q", 1, 1)],
+    )
+    assert set(out) == {"q"}  # 'z' has no qrels: undefined, not zero
+
+
+def test_mean_metrics(spark):
+    res = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1)], "query_id string, doc_id long, rank long"
+    )
+    qr = spark.createDataFrame(
+        [("a", 1, 1), ("b", 9, 1)], "query_id string, doc_id long, rel int"
+    )
+    m = EVL.mean_metrics(EVL.ranking_metrics(res, qr, k=1)).collect()[0]
+    assert m["n_queries"] == 2
+    assert m["mean_mrr"] == 0.5
+    assert m["mean_recall"] == 0.5

@@ -1611,6 +1611,33 @@ def _q_shuffle_shards(spark, sf_dir):
     return SA.shuffle_shards(_docs_raw(spark, sf_dir), n_shards=8, seed=7)
 
 
+# Boilerplate fixture: the driver corpus is single-line word soup with
+# every line unique, so (secret-scan precedent) the entry pair plants
+# deterministic boilerplate — a header line on every doc and a footer
+# on even doc_ids — expressed identically in Spark and the oracle SQL;
+# the strip must remove exactly those and return the original text.
+_BP_HEADER = "== COMMON LICENSE HEADER =="
+_BP_FOOTER = "-- generated footer --"
+_BP_TEXT_DUCK = (
+    f"'{_BP_HEADER}' || chr(10) || coalesce(text, '') || "
+    f"CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_BP_FOOTER}' ELSE '' END"
+)
+
+
+def _q_strip_boilerplate(spark, sf_dir):
+    fixt = _docs_raw(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit(_BP_HEADER + "\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\n" + _BP_FOOTER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.strip_boilerplate_lines(fixt, max_line_df=2)
+
+
 # offline ranking evaluation: search_many rankings scored against a
 # deterministic synthetic qrels table (rel = f(doc_id, query number))
 EVAL_K = 10
@@ -1826,6 +1853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # offline ranking eval: MRR/NDCG/P/R@10 of search_many
         # rankings vs a deterministic qrels table
         "eval_ranking_metrics": _q_eval_metrics,
+        # cross-document boilerplate LINE removal (cleaned text, not
+        # just the curation flag)
+        "strip_boilerplate": _q_strip_boilerplate,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1956,6 +1986,9 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR, P.WITH_SUGGESTIONS, HYBRID_QVEC, c=HYBRID_C
         ),
         "eval_ranking_metrics": _eval_oracle(MULTI_QUERIES, k=EVAL_K),
+        "strip_boilerplate": TX.strip_boilerplate_lines_sql(
+            max_line_df=2, text_expr=_BP_TEXT_DUCK
+        ),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

@@ -721,3 +721,91 @@ FROM documents
 GROUP BY ROLLUP(lang, source)
 ORDER BY grp, lang, source
 """
+
+
+# --------------------------------------------- boilerplate line removal
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame, max_line_df: int = 2, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite documents with cross-document boilerplate LINES removed
+    (the CCNet/RefinedWeb line-dedup transform): any line occurring in
+    MORE than ``max_line_df`` distinct documents (license headers,
+    navigation chrome, copied scaffolding) is dropped from every
+    document; remaining lines keep their order. Complements
+    ``curation_decisions``'s boilerplate FLAG (curate.py) — this one
+    produces the cleaned text.
+
+    Returns (doc_id, clean_text, n_lines, n_removed); a fully-stripped
+    document yields ``clean_text = ''`` (kept, so the caller decides
+    whether empty docs survive).
+
+    Plan: posexplode lines -> per-line distinct-doc df (two partial+
+    final aggs) -> equi-join the df back -> per-doc reassembly
+    (collect_list of (pos, line) structs, array_sort, array_join) —
+    corpus-volume shuffles, which a rewrite op cannot avoid, and
+    nothing wider: the df table is |distinct lines| and the reassembly
+    state is one document's lines."""
+    lines = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
+    )
+    ldf = (
+        lines.select(id_col, "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_ldf"))
+    )
+    j = lines.join(ldf, "_line").withColumn(
+        "_bad", F.col("_ldf") > max_line_df
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_bad"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("_bad").cast("long")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def strip_boilerplate_lines_sql(
+    max_line_df: int = 2, text_expr: str = "coalesce(text, '')"
+) -> str:
+    """``text_expr`` lets the caller feed a fixture expression (e.g.
+    planted headers) — the engine query must use the same transform."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split({text_expr}, chr(10)) AS l
+        FROM documents)
+),
+ldf AS (SELECT line, count(DISTINCT doc_id)::BIGINT AS df
+        FROM lines GROUP BY 1)
+SELECT doc_id::BIGINT AS doc_id,
+       coalesce(
+         string_agg(CASE WHEN ldf.df <= {max_line_df} THEN lines.line END,
+                    chr(10) ORDER BY pos),
+         '') AS clean_text,
+       count(*)::BIGINT AS n_lines,
+       sum((ldf.df > {max_line_df})::BIGINT)::BIGINT AS n_removed
+FROM lines JOIN ldf USING (line)
+GROUP BY doc_id
+"""

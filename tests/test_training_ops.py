@@ -756,3 +756,39 @@ def test_corpus_rollup_levels(spark):
     assert (g["lang"], g["source"], g["n_docs"], g["n_tokens"]) == (
         "__all__", "__all__", 3, 6
     )
+
+
+def test_strip_boilerplate_lines(spark):
+    from spark_search import textops as TX
+
+    rows = [
+        (1, "HEADER\nalpha unique one\nFOOTER"),
+        (2, "HEADER\nbeta unique two\nFOOTER"),
+        (3, "HEADER\ngamma unique three\nFOOTER"),
+        (4, "HEADER\nHEADER\nonly dup lines"),  # dup line within one doc
+        (5, "HEADER\nFOOTER"),                  # fully stripped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           TX.strip_boilerplate_lines(docs, max_line_df=2).collect()}
+    # HEADER df=5 and FOOTER df=4 exceed 2 -> removed everywhere
+    assert out[1]["clean_text"] == "alpha unique one"
+    assert out[2]["clean_text"] == "beta unique two"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
+    # within-doc duplicates: df counts DISTINCT docs, both copies go
+    assert out[4]["clean_text"] == "only dup lines"
+    assert out[4]["n_removed"] == 2
+    # fully-stripped doc survives as empty text
+    assert out[5]["clean_text"] == ""
+    assert out[5]["n_removed"] == 2
+
+
+def test_strip_boilerplate_keeps_order(spark):
+    from spark_search import textops as TX
+
+    rows = [(i, "X\nline %d a\nline %d b" % (i, i)) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.strip_boilerplate_lines(docs, max_line_df=2).collect()
+    for r in out:
+        i = r["doc_id"]
+        assert r["clean_text"] == "line %d a\nline %d b" % (i, i)

@@ -1624,6 +1624,10 @@ _BP_TEXT_DUCK = (
 )
 
 
+def _q_doc_keywords(spark, sf_dir):
+    return P.keywords_per_doc(_corpus(spark, sf_dir), m=5, min_df=2)
+
+
 def _q_strip_boilerplate(spark, sf_dir):
     fixt = _docs_raw(spark, sf_dir).select(
         "doc_id",
@@ -1856,6 +1860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-document boilerplate LINE removal (cleaned text, not
         # just the curation flag)
         "strip_boilerplate": _q_strip_boilerplate,
+        # per-document tf-idf keyword table (MoreLikeThis
+        # interestingTerms for every doc at once)
+        "doc_keywords": _q_doc_keywords,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1989,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": TX.strip_boilerplate_lines_sql(
             max_line_df=2, text_expr=_BP_TEXT_DUCK
         ),
+        "doc_keywords": P.keywords_per_doc_sql(_TOKS_DUCK, m=5, min_df=2),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

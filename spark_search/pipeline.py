@@ -861,3 +861,78 @@ def bm25_topk_grouped(
     return cut.select(
         F.col("query_id").alias(group), "doc_id", "score", "rank"
     )
+
+
+# ------------------------------------------------------ doc keywords
+
+
+def keywords_per_doc(
+    corpus: DataFrame,
+    m: int = 5,
+    min_df: int = 2,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """(doc_id, term, wt, pos) — every document's top-``m`` terms by
+    tf(t,d) · idf(t): the corpus-wide generalization of
+    ``mlt_term_weights`` (Lucene MoreLikeThis interestingTerms run for
+    ALL docs at once) — the keyword table behind related-document
+    precomputation and corpus exploration. ``min_df`` drops hapax
+    terms exactly as in MLT; ``pos`` is 1..m by (wt DESC, term ASC).
+
+    Plan: one tokenize -> tf aggregation, the tiny (term, df) table
+    broadcast back, then a per-DOC window rank. Unlike a per-stratum
+    window (a scale-killer), partitions here are one document's
+    distinct terms — bounded by document length — so the window
+    exchange is corpus-volume but never concentrates."""
+    corpus = _floor(corpus)
+    tf = term_doc_tf(tokens(corpus, tokenizer))
+    dfreq = doc_freq(tf).where(F.col("df") >= int(min_df))
+    dl = doc_lengths(corpus, tokenizer)
+    stats = corpus_stats_df(dl)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    wt = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    ).select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf").cast("double") * idf, 6).alias("wt"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("wt").desc(), F.col("term").asc()
+    )
+    return (
+        wt.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= m)
+        .select("doc_id", "term", "wt", "pos")
+    )
+
+
+def keywords_per_doc_sql(
+    toks: str, m: int = 5, min_df: int = 2
+) -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM corpus),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+          HAVING count(*) >= {min_df}),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+wt AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5)), 6) AS wt
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id::BIGINT AS doc_id, term, wt, pos::BIGINT AS pos
+FROM (SELECT doc_id, term, wt,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY wt DESC, term ASC
+             ) AS pos
+      FROM wt)
+WHERE pos <= {m}
+"""

@@ -242,3 +242,33 @@ def test_grouped_equals_per_group_filtered_search(corpus, reader):
             ).collect()
         ]
         assert sorted(grp[lang]) == sorted(flt), lang
+
+
+# ------------------------------------------------------- doc keywords
+
+
+def test_keywords_per_doc_matches_mlt_weights(corpus):
+    """For any single doc, the corpus-wide keyword table must agree
+    with mlt_term_weights (same tf·idf formula, same min_df)."""
+    kw = {
+        (r["term"], r["wt"])
+        for r in P.keywords_per_doc(corpus, m=10, min_df=2).collect()
+        if r["doc_id"] == 1
+    }
+    mlt = {
+        (r["term"], r["wt"])
+        for r in P.mlt_term_weights(corpus, 1, min_df=2).collect()
+    }
+    assert kw == mlt
+
+
+def test_keywords_per_doc_rank_order(corpus):
+    out = P.keywords_per_doc(corpus, m=3, min_df=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append((r["pos"], r["wt"], r["term"]))
+    for d, rows in by.items():
+        rows.sort()
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        wts = [w for _, w, _ in rows]
+        assert wts == sorted(wts, reverse=True)

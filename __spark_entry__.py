@@ -1624,6 +1624,10 @@ _BP_TEXT_DUCK = (
 )
 
 
+def _q_length_quantiles(spark, sf_dir):
+    return TX.length_quantiles(_docs_raw(spark, sf_dir))
+
+
 def _q_doc_keywords(spark, sf_dir):
     return P.keywords_per_doc(_corpus(spark, sf_dir), m=5, min_df=2)
 
@@ -1863,6 +1867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-document tf-idf keyword table (MoreLikeThis
         # interestingTerms for every doc at once)
         "doc_keywords": _q_doc_keywords,
+        # exact corpus length quantiles off the value histogram (no
+        # global sort at any corpus size)
+        "length_quantiles": _q_length_quantiles,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -1997,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
             max_line_df=2, text_expr=_BP_TEXT_DUCK
         ),
         "doc_keywords": P.keywords_per_doc_sql(_TOKS_DUCK, m=5, min_df=2),
+        "length_quantiles": TX.length_quantiles_sql(),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

@@ -809,3 +809,63 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM lines JOIN ldf USING (line)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------ exact quantiles
+
+
+def length_quantiles(docs: DataFrame, qs=(0.25, 0.5, 0.9, 0.99)) -> DataFrame:
+    """(q, dl) — EXACT corpus quantiles of per-document token count,
+    WITHOUT a global sort: token counts are small integers, so the
+    full distribution compresses into a (dl, count) value histogram
+    (|distinct lengths| rows — thousands at any corpus size); a
+    prefix-sum window over that tiny table plus rank targets
+    ``ceil(q·N)`` reads each quantile off the cumulative counts. This
+    is the discrete lower quantile (`quantile_disc`): the smallest dl
+    whose cumulative count reaches the target rank.
+
+    Complements ``length_histogram``'s fixed bins: bins answer
+    composition questions cheaply; this gives the exact p50/p90/p99
+    a packing-budget or truncation decision needs. The only
+    corpus-sized stage is the map + histogram aggregation; the window
+    runs over the histogram, never the corpus."""
+    hist = (
+        docs.select(F.size(_toks(F.col("text"))).cast("long").alias("dl"))
+        .groupBy("dl")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("dl").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    total = cum.agg(F.sum("_c").cast("long").alias("_n"))
+    targets = docs.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(targets),
+            F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")),
+        )
+        .groupBy("q")
+        .agg(F.min("dl").cast("long").alias("dl"))
+        .orderBy("q")
+    )
+
+
+def length_quantiles_sql(qs=(0.25, 0.5, 0.9, 0.99)) -> str:
+    toks = _toks_duck()
+    vals = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+WITH hist AS (
+  SELECT len({toks})::BIGINT AS dl, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1
+),
+cum AS (SELECT dl, sum(c) OVER (ORDER BY dl
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+total AS (SELECT sum(c)::BIGINT AS n FROM hist),
+targets AS (SELECT q::DOUBLE AS q FROM (VALUES {vals}) v(q))
+SELECT q, min(dl)::BIGINT AS dl
+FROM cum CROSS JOIN total JOIN targets ON cum >= ceil(q * n)
+GROUP BY q ORDER BY q
+"""

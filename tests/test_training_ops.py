@@ -792,3 +792,20 @@ def test_strip_boilerplate_keeps_order(spark):
     for r in out:
         i = r["doc_id"]
         assert r["clean_text"] == "line %d a\nline %d b" % (i, i)
+
+
+def test_length_quantiles_match_bruteforce(spark):
+    import math
+
+    from spark_search import textops as TX
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            enumerate([1, 2, 2, 3, 5, 8, 13, 21, 34, 55])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = (0.1, 0.25, 0.5, 0.9, 1.0)
+    got = {r["q"]: r["dl"] for r in
+           TX.length_quantiles(docs, qs=qs).collect()}
+    lens = sorted([1, 2, 2, 3, 5, 8, 13, 21, 34, 55])
+    for q in qs:
+        expect = lens[math.ceil(q * len(lens)) - 1]
+        assert got[q] == expect, (q, got[q], expect)

@@ -209,7 +209,8 @@ _CODE_TOKS_DUCK = tokens_sql("text", tokenizer="code", dialect="duckdb")
 
 
 def _bm25_oracle(terms, mode, k=10, doc_where=None, toks=None,
-                 text_expr="coalesce(text, '')", exclude_terms=None) -> str:
+                 text_expr="coalesce(text, '')", exclude_terms=None,
+                 page_offset=0) -> str:
     toks = toks or _TOKS_DUCK
     uniq = list(dict.fromkeys(terms))
     if mode == P.START_WITH:
@@ -259,8 +260,10 @@ scored AS (
   GROUP BY tf.doc_id {having}
 )
 SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
-       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+       (row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        - {int(page_offset)})::BIGINT AS rank
+FROM scored ORDER BY score DESC, doc_id ASC
+LIMIT {k} OFFSET {int(page_offset)}
 """
 
 
@@ -1624,6 +1627,31 @@ _BP_TEXT_DUCK = (
 )
 
 
+def _q_bm25_page2(spark, sf_dir):
+    """Declarative searchAfter: page 1's last row is the cursor."""
+    c = _corpus(spark, sf_dir)
+    p1 = P.bm25_topk(c, TERMS_OR, P.WITH_SUGGESTIONS, k=10).collect()
+    cur = p1[-1]
+    return _round_result(
+        P.bm25_topk_after(
+            c, TERMS_OR, P.WITH_SUGGESTIONS, k=10,
+            after_score=cur["score"], after_doc=cur["doc_id"],
+        )
+    )
+
+
+def _q_bm25_page2_indexed(spark, sf_dir):
+    rd = _indexed_reader(spark, sf_dir)
+    p1 = rd.search(TERMS_OR, P.WITH_SUGGESTIONS, k=10).collect()
+    cur = p1[-1]
+    return _round_result(
+        rd.search_after(
+            TERMS_OR, P.WITH_SUGGESTIONS, k=10,
+            after_score=cur["score"], after_doc=cur["doc_id"],
+        )
+    )
+
+
 def _q_length_quantiles(spark, sf_dir):
     return TX.length_quantiles(_docs_raw(spark, sf_dir))
 
@@ -1870,6 +1898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact corpus length quantiles off the value histogram (no
         # global sort at any corpus size)
         "length_quantiles": _q_length_quantiles,
+        # deep pagination (Lucene searchAfter): page 2 via the page-1
+        # cursor; oracle = ranks 11..20 of the full ordering
+        "bm25_page2_topk": _q_bm25_page2,
+        "bm25_page2_topk_indexed": _q_bm25_page2_indexed,
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
@@ -2005,6 +2037,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_keywords": P.keywords_per_doc_sql(_TOKS_DUCK, m=5, min_df=2),
         "length_quantiles": TX.length_quantiles_sql(),
+        "bm25_page2_topk": _bm25_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, page_offset=10
+        ),
+        "bm25_page2_topk_indexed": _bm25_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, page_offset=10
+        ),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(

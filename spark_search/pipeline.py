@@ -936,3 +936,53 @@ FROM (SELECT doc_id, term, wt,
       FROM wt)
 WHERE pos <= {m}
 """
+
+
+# -------------------------------------------------------- search-after
+
+
+def bm25_topk_after(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    mode: str = EXACT_MATCH,
+    k: int = 10,
+    after_score: float = None,
+    after_doc: int = None,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """Deep pagination (the Lucene ``searchAfter`` cursor): the next
+    ``k`` results strictly after the (score, doc_id) cursor in the
+    engine's total order (score DESC, doc_id ASC). Cursor-based, not
+    OFFSET-based: page N costs the same as page 1 — no engine
+    materializes offset+k rows — and pages are stable under concurrent
+    corpus growth wherever the cursor's order position is unaffected.
+    Scores are deterministic per engine (pinned by test), so a cursor
+    taken from one page's last row is exact for the next.
+
+    Returns (doc_id, score, rank) with rank 1..k WITHIN the page."""
+    qterms = list(dict.fromkeys(terms))
+    if not qterms:
+        return (
+            corpus.select("doc_id")
+            .where(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0))
+        )
+    corpus = _floor(corpus)
+    tok = tokens(corpus, tokenizer)
+    matched = tok.where(_match_filter(F.col("term"), qterms, mode))
+    tf = term_doc_tf(matched)
+    require_n = len(qterms) if mode == AND_MATCH else None
+    scored = _bm25_scored(tf, corpus, tokenizer, require_n)
+    if after_score is not None:
+        s_a = float(after_score)
+        d_a = int(after_doc if after_doc is not None else -1)
+        scored = scored.where(
+            (F.col("score") < s_a)
+            | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
+        )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).alias("rank")
+    )

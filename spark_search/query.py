@@ -718,6 +718,7 @@ class IndexReader:
         doc_filter=None,
         exclude_terms=None,
         _group: Optional[str] = None,
+        _after: Optional[Tuple[float, int]] = None,
     ) -> DataFrame:
         """BM25 top-k -> DataFrame (doc_id, score, rank).
 
@@ -907,10 +908,11 @@ class IndexReader:
 
         avgdl = stats.avgdl
         span = self.chunk_span
-        # grouped mode keeps the chunk's WHOLE hit set: a chunk-local
-        # global-score cut could drop a small group's best doc. Volume
-        # stays bounded by Σ df (the match set) — same as match_docs.
-        loc_k = k if _group is None else (1 << 62)
+        # grouped/cursored modes keep the chunk's WHOLE hit set: a
+        # chunk-local global-score cut could drop a small group's best
+        # doc (grouped) or every doc below the cursor (search_after).
+        # Volume stays bounded by Σ df (the match set) — match_docs.
+        loc_k = k if (_group is None and _after is None) else (1 << 62)
         n_query = n_query_terms
 
         def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -987,6 +989,12 @@ class IndexReader:
         local = joined.groupBy("chunk").applyInPandas(score_chunk, _LOCAL_SCHEMA)
         if need_all:
             local = local.where(F.col("nterms") == n_query_terms)
+        if _after is not None:
+            s_a, d_a = float(_after[0]), int(_after[1])
+            local = local.where(
+                (F.col("score") < s_a)
+                | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
+            )
         if _group is not None:
             from .pipeline import topk_per_query
 
@@ -1011,6 +1019,47 @@ class IndexReader:
             (r["doc_id"], float(r["score"]), i + 1) for i, r in enumerate(topk)
         ]
         return _rows_literal_df(self.spark, out, _RESULT_FIELDS) if out else empty
+
+    def search_after(
+        self,
+        terms: Iterable[str],
+        mode: str = EXACT_MATCH,
+        k: int = 10,
+        after_score: float = None,
+        after_doc: int = None,
+        doc_filter=None,
+        exclude_terms=None,
+    ) -> DataFrame:
+        """Deep pagination off the index (the Lucene ``searchAfter``
+        cursor): the next ``k`` hits strictly after the
+        (after_score, after_doc) cursor in (score DESC, doc_id ASC)
+        order — rank 1..k within the page. Index search is
+        deterministic run-to-run (sorted-term accumulation), so a
+        cursor from one page's last row is exact for the next.
+
+        Plan deltas vs ``search``: block-max pruning and the
+        chunk-local cut are off (θ bootstrapped ABOVE the cursor could
+        prune exactly the docs the page wants), so scored volume is
+        the match set (Σ df) — the same trade ``search_grouped``
+        makes. Declarative twin: ``pipeline.bm25_topk_after``."""
+        cursor = (
+            None
+            if after_score is None
+            else (
+                float(after_score),
+                int(after_doc if after_doc is not None else -1),
+            )
+        )
+        return self.search(
+            terms,
+            mode,
+            k=k,
+            prune=False,
+            local_max_postings=0,
+            doc_filter=doc_filter,
+            exclude_terms=exclude_terms,
+            _after=cursor,
+        )
 
     def search_grouped(
         self,

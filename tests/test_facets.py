@@ -272,3 +272,60 @@ def test_keywords_per_doc_rank_order(corpus):
         assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
         wts = [w for _, w, _ in rows]
         assert wts == sorted(wts, reverse=True)
+
+
+# ------------------------------------------------------- search-after
+
+
+def test_pages_partition_the_ranking(corpus, reader):
+    """Successive cursor pages must tile the full ranking exactly —
+    including across tied scores (doc tie-break)."""
+    full = P.bm25_topk(
+        corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=10
+    ).collect()
+    pages, cur = [], None
+    for _ in range(3):
+        if cur is None:
+            page = P.bm25_topk(
+                corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2
+            ).collect()
+        else:
+            page = P.bm25_topk_after(
+                corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2,
+                after_score=cur["score"], after_doc=cur["doc_id"],
+            ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        cur = page[-1]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in pages] == [
+        (r["doc_id"], round(r["score"], 9)) for r in full[: len(pages)]
+    ]
+
+
+def test_indexed_search_after_matches_declarative(corpus, reader):
+    p1 = reader.search(["alpha", "beta"], P.WITH_SUGGESTIONS, k=2).collect()
+    cur = p1[-1]
+    a = [
+        (r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in reader.search_after(
+            ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2,
+            after_score=cur["score"], after_doc=cur["doc_id"],
+        ).collect()
+    ]
+    d1 = P.bm25_topk(corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2).collect()
+    b = [
+        (r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in P.bm25_topk_after(
+            corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS, k=2,
+            after_score=d1[-1]["score"], after_doc=d1[-1]["doc_id"],
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_search_after_past_end_is_empty(reader):
+    out = reader.search_after(
+        ["alpha"], P.EXACT_MATCH, k=5, after_score=-1.0, after_doc=1 << 40
+    )
+    assert out.collect() == []

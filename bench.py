@@ -329,6 +329,11 @@ def _measure(
         ("pack_manifest", lambda: SA.pack_manifest(sf_docs).count()),
         ("length_histogram", lambda: TX.length_histogram(sf_docs).count()),
         ("sample_stratified", lambda: SA.sample_stratified(sf_docs).count()),
+        ("strip_boilerplate", lambda: TX.strip_boilerplate_lines(
+            sf_docs
+        ).count()),
+        ("doc_keywords", lambda: P.keywords_per_doc(corpus, m=5).count()),
+        ("length_quantiles", lambda: TX.length_quantiles(sf_docs).count()),
         ("shuffle_shards", lambda: SA.shuffle_shards(
             sf_docs, n_shards=64, seed=1
         ).count()),

@@ -1313,6 +1313,34 @@ def _q_media_features(spark, sf_dir):
 # ------------------------------------------------- facets + snippets
 
 
+
+def _scored_cte(pred, having="", extra_corpus_cols=""):
+    """The frozen BM25 scored-CTE chain every single-query oracle
+    shares (corpus -> toks -> matched tf -> df -> dl -> stats ->
+    per-doc score). ONE source of truth: a change to the oracle
+    arithmetic lands here or nowhere (review finding — previously
+    five builders embedded byte-copies of this block)."""
+    return f"""corpus AS (SELECT doc_id, coalesce(text, '') AS text{extra_corpus_cols} FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE {pred}),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id {having}
+)"""
+
+
 def _facet_pred(terms, mode) -> str:
     uniq = list(dict.fromkeys(terms))
     if mode == P.START_WITH:
@@ -1349,25 +1377,7 @@ def _snippet_oracle(terms, mode, k=10, width=3) -> str:
         f"HAVING count(*) = {len(uniq)}" if mode == P.AND_MATCH else ""
     )
     return f"""
-WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
-mtoks AS (SELECT * FROM toks WHERE {pred}),
-tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
-stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf * {K1_PLUS_1}
-              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
-           AS score
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY tf.doc_id {having}
-),
+WITH {_scored_cte(pred, having)},
 topk AS (
   SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
@@ -1397,25 +1407,7 @@ def _grouped_oracle(terms, mode, k=3, group="lang") -> str:
         f"HAVING count(*) = {len(uniq)}" if mode == P.AND_MATCH else ""
     )
     return f"""
-WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text, {group} FROM documents),
-toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
-mtoks AS (SELECT * FROM toks WHERE {pred}),
-tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
-stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf * {K1_PLUS_1}
-              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
-           AS score
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY tf.doc_id {having}
-)
+WITH {_scored_cte(pred, having, extra_corpus_cols=", " + group)}
 SELECT {group}, doc_id, score, rank FROM (
   SELECT c.{group}, s.doc_id::BIGINT AS doc_id, round(s.score, 6) AS score,
          row_number() OVER (
@@ -1453,25 +1445,7 @@ def _hybrid_oracle(terms, mode, qid, k=10, c=50, alpha=0.5) -> str:
     uniq = list(dict.fromkeys(terms))
     pred = _facet_pred(uniq, mode)
     return f"""
-WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
-mtoks AS (SELECT * FROM toks WHERE {pred}),
-tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
-stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf * {K1_PLUS_1}
-              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
-           AS score
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY tf.doc_id
-),
+WITH {_scored_cte(pred)},
 topc AS (SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS b
          FROM scored ORDER BY score DESC, doc_id ASC LIMIT {c}),
 mx AS (SELECT max(b) AS mx FROM topc),
@@ -1501,25 +1475,7 @@ def _hybrid_rrf_oracle(terms, mode, qid, k=10, c=50, rrf_k=60) -> str:
     uniq = list(dict.fromkeys(terms))
     pred = _facet_pred(uniq, mode)
     return f"""
-WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
-mtoks AS (SELECT * FROM toks WHERE {pred}),
-tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
-stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf * {K1_PLUS_1}
-              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
-           AS score
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-  GROUP BY tf.doc_id
-),
+WITH {_scored_cte(pred)},
 topc AS (SELECT doc_id::BIGINT AS doc_id, score AS b
          FROM scored ORDER BY score DESC, doc_id ASC LIMIT {c}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

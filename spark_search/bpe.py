@@ -158,8 +158,20 @@ def bpe_token_counts(
     counts come from the dictionary's merged symbol strings (split
     size), then one equi-join onto the corpus token stream and a
     per-doc sum. The join's build side is the dictionary."""
+    # subword count = |symbols|, minus 1 ONLY while ``</w>`` is still a
+    # standalone symbol: once a merge absorbs the marker (e.g. 'w </w>'
+    # -> 'w</w>'), that merged symbol IS the word's final subword — an
+    # unconditional -1 would undercount and a fully merged word would
+    # contribute 0 tokens.
+    syms = F.split(F.col("seq"), " ")
     per_word = dic.select(
-        "word", F.size(F.split(F.col("seq"), " ")).alias("_nsub")
+        "word",
+        (
+            F.size(syms)
+            - F.when(F.element_at(syms, -1) == EOW, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("_nsub"),
     )
     toks = docs.select(
         F.col(id_col).cast("long").alias(id_col),
@@ -170,11 +182,7 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            # the </w> marker is one symbol of every word's seq; count
-            # true subwords only
-            (F.sum("_nsub") - F.count(F.lit(1))).cast("long").alias(
-                "n_bpe_tokens"
-            ),
+            F.sum("_nsub").cast("long").alias("n_bpe_tokens"),
         )
     )
 
@@ -261,7 +269,9 @@ lvl{i} AS ({_apply_sql(f"lvl{i - 1}", f"m{i}")}
     return f"""WITH {with_clause}
 SELECT doc_id::BIGINT AS doc_id,
        count(*)::BIGINT AS n_tokens,
-       (sum(len(string_split(seq, ' '))) - count(*))::BIGINT AS n_bpe_tokens
+       sum(len(string_split(seq, ' '))
+           - CASE WHEN string_split(seq, ' ')[-1] = '{EOW}'
+                  THEN 1 ELSE 0 END)::BIGINT AS n_bpe_tokens
 FROM (SELECT doc_id, unnest({toks_expr}) AS word
       FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
 JOIN lvl{n_merges} USING (word)

@@ -126,6 +126,30 @@ def bm25_score_col(tf_col, dl_col, df_col, n_col, avgdl_col):
     return idf * tf_d * F.lit(K1 + 1.0) / denom
 
 
+def _empty_result(corpus: DataFrame) -> DataFrame:
+    """Zero-row (doc_id, score, rank) — the degenerate-query guard
+    (reference SimpleSearchManager.java:58)."""
+    return (
+        corpus.select("doc_id")
+        .where(F.lit(False))
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rank", F.lit(0))
+    )
+
+
+def _matched_tf(corpus, qterms, mode, tokenizer):
+    """Shared query preamble: parallelism floor ONCE, tokenize, match
+    filter BEFORE any shuffle, tf aggregation, AND-mode arity. Every
+    entry point (global, grouped, cursored) builds on this so their
+    scores stay bit-identical by construction."""
+    corpus = _floor(corpus)
+    tok = tokens(corpus, tokenizer)
+    matched = tok.where(_match_filter(F.col("term"), qterms, mode))
+    tf = term_doc_tf(matched)
+    require_n = len(qterms) if mode == AND_MATCH else None
+    return corpus, tok, tf, require_n
+
+
 def bm25_topk(
     corpus: DataFrame,
     terms: Iterable[str],
@@ -159,26 +183,9 @@ def bm25_topk(
     """
     qterms = list(dict.fromkeys(terms))  # dedup, preserve order
     if not qterms:
-        # degenerate query guard (reference SimpleSearchManager.java:58)
-        return (
-            corpus.select("doc_id")
-            .where(F.lit(False))
-            .withColumn("score", F.lit(0.0))
-            .withColumn("rank", F.lit(0))
-        )
+        return _empty_result(corpus)
 
-    # parallelism floor ONCE per query; tokens() and doc_lengths() both
-    # derive from the same (possibly repartitioned) frame, so the
-    # declarative path pays at most one small-input shuffle per query
-    # and zero for cached/at-scale corpora.
-    corpus = _floor(corpus)
-    tok = tokens(corpus, tokenizer)
-    # Filter at the token level first: for EXACT/OR modes Catalyst pushes
-    # this into the scan side of the agg, so the tf aggregation only ever
-    # sees query-term rows.
-    matched = tok.where(_match_filter(F.col("term"), qterms, mode))
-    tf = term_doc_tf(matched)
-    require_n = len(qterms) if mode == AND_MATCH else None
+    corpus, tok, tf, require_n = _matched_tf(corpus, qterms, mode, tokenizer)
     excl = [t for t in dict.fromkeys(exclude_terms or []) if t]
     exclude_docs = (
         tok.where(F.col("term").isin(excl)).select("doc_id").distinct()
@@ -845,11 +852,7 @@ def bm25_topk_grouped(
             .withColumn("score", F.lit(0.0))
             .withColumn("rank", F.lit(0))
         )
-    corpus = _floor(corpus)
-    tok = tokens(corpus, tokenizer)
-    matched = tok.where(_match_filter(F.col("term"), qterms, mode))
-    tf = term_doc_tf(matched)
-    require_n = len(qterms) if mode == AND_MATCH else None
+    corpus, _, tf, require_n = _matched_tf(corpus, qterms, mode, tokenizer)
     scored = _bm25_scored(tf, corpus, tokenizer, require_n)
     joined = scored.join(corpus.select("doc_id", group), "doc_id")
     cut = topk_per_query(
@@ -887,8 +890,10 @@ def keywords_per_doc(
     corpus = _floor(corpus)
     tf = term_doc_tf(tokens(corpus, tokenizer))
     dfreq = doc_freq(tf).where(F.col("df") >= int(min_df))
-    dl = doc_lengths(corpus, tokenizer)
-    stats = corpus_stats_df(dl)
+    # idf needs ONLY n_docs — count the corpus without a second
+    # tokenize pass (review finding: doc_lengths re-tokenized every
+    # document to produce lengths nothing here consumes)
+    stats = corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
@@ -956,23 +961,23 @@ def bm25_topk_after(
     OFFSET-based: page N costs the same as page 1 — no engine
     materializes offset+k rows — and pages are stable under concurrent
     corpus growth wherever the cursor's order position is unaffected.
-    Scores are deterministic per engine (pinned by test), so a cursor
-    taken from one page's last row is exact for the next.
+
+    Cursor-exactness caveat (declarative path): the cursor compares
+    with float equality against a score RECOMPUTED by this job's sum
+    aggregation. Spark does not guarantee cross-job reduce order for a
+    group sum, so a multi-term score could in principle differ in the
+    last ulp between the page-1 job and this one, repeating or
+    skipping one boundary doc (observed stable in practice on a fixed
+    corpus layout; the page-tiling test pins it). Strict-cursor
+    workloads should page the INDEX path — ``IndexReader.search_after``
+    accumulates per-term contributions in sorted-term order, making
+    its scores bit-reproducible across jobs by construction.
 
     Returns (doc_id, score, rank) with rank 1..k WITHIN the page."""
     qterms = list(dict.fromkeys(terms))
     if not qterms:
-        return (
-            corpus.select("doc_id")
-            .where(F.lit(False))
-            .withColumn("score", F.lit(0.0))
-            .withColumn("rank", F.lit(0))
-        )
-    corpus = _floor(corpus)
-    tok = tokens(corpus, tokenizer)
-    matched = tok.where(_match_filter(F.col("term"), qterms, mode))
-    tf = term_doc_tf(matched)
-    require_n = len(qterms) if mode == AND_MATCH else None
+        return _empty_result(corpus)
+    corpus, _, tf, require_n = _matched_tf(corpus, qterms, mode, tokenizer)
     scored = _bm25_scored(tf, corpus, tokenizer, require_n)
     if after_score is not None:
         s_a = float(after_score)

@@ -435,10 +435,15 @@ def write_shuffled(
     and rides the shard exchange. Returns rows written."""
     order = shuffle_shards(docs, n_shards=n_shards, seed=seed)
     payload = docs.select(F.col("doc_id").cast("long").alias("doc_id"), text_col)
+    # sort by (shard, pos), not pos alone: repartition(shard) HASH-
+    # partitions, so one write task usually holds several shards —
+    # sorting on the partition column too makes per-file pos order a
+    # guarantee of THIS sort, not of the stability of the planner-
+    # inserted partitionBy sort (review finding)
     out = (
         order.join(payload, "doc_id")
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard", "pos")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     return out.sparkSession.read.parquet(out_dir).count()

@@ -168,3 +168,19 @@ def test_random_corpora_match_python_reference(spark):
                      for r in dic.collect()}
         dic.unpersist()
         assert got_vocab == exp_vocab, seed
+
+
+def test_token_counts_survive_marker_absorption(spark):
+    """Once a merge absorbs </w> (e.g. 'ab </w>' -> 'ab</w>'), the
+    merged symbol IS the word's final subword: a fully merged word
+    counts 1 token, never 0 (review regression)."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab")], "doc_id long, text string"
+    )
+    merges, dic = BP.bpe_train(docs, n_merges=3, return_dict=True)
+    seqs = {r["word"]: r["seq"] for r in dic.collect()}
+    assert seqs["ab"] == "ab</w>"  # marker fully absorbed
+    out = BP.bpe_token_counts(docs, dic).collect()[0]
+    dic.unpersist()
+    assert out["n_tokens"] == 3
+    assert out["n_bpe_tokens"] == 3  # one subword per word, not 0

@@ -1553,6 +1553,20 @@ def _q_facet_lang_indexed(spark, sf_dir):
     return out.select("lang", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+def _q_bm25_snippets_indexed(spark, sf_dir):
+    out = _positional_reader(spark, sf_dir).search_snippets(
+        TERMS_OR, _corpus(spark, sf_dir), mode=P.WITH_SUGGESTIONS,
+        k=10, width=3,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        "snippet",
+    )
+
+
 def _q_bm25_snippets(spark, sf_dir):
     out = P.snippets(
         _corpus(spark, sf_dir), TERMS_OR, mode=P.WITH_SUGGESTIONS, k=10, width=3
@@ -1861,6 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hit highlighting: top-k + first matched token position +
         # ±3-token snippet, one broadcast-semi-joined corpus pass
         "bm25_snippets": _q_bm25_snippets,
+        # indexed highlighting: first_pos decoded from the positional
+        # index's plists; content read only for the k window texts
+        "bm25_snippets_indexed": _q_bm25_snippets_indexed,
         # un-truncated index match set (reference getValue semantics)
         "match_set_exact_indexed": _q_match_set_indexed,
         "reverse_doc_terms_indexed": _q_reverse_doc_terms_indexed,
@@ -2001,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_lang_indexed": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_snippets": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "bm25_snippets_indexed": _snippet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_code_topk": _bm25_oracle(
             TERMS_CODE, P.WITH_SUGGESTIONS,
             toks=_CODE_TOKS_DUCK, text_expr=_CODE_TEXT_DUCK,

@@ -1061,6 +1061,104 @@ class IndexReader:
             _after=cursor,
         )
 
+    def search_snippets(
+        self,
+        terms: Iterable[str],
+        corpus: DataFrame,
+        mode: str = EXACT_MATCH,
+        k: int = 10,
+        width: int = 3,
+        tokenizer: str = "standard",
+    ) -> DataFrame:
+        """Hit highlighting off the index: top-k (``search``) plus each
+        hit's first matched token position and a ±``width``-token
+        snippet. On a POSITIONAL index (``build_index(positions=True)``)
+        the first position decodes from the plists column — per-query
+        tokenization happens ONLY for the k result docs' window text;
+        on a positions-free index the k candidates are re-tokenized for
+        positions too (the reference's query-time re-scan trade).
+        Declarative twin: ``pipeline.snippets`` — identical output
+        (scores to float-sum reproducibility, positions exactly).
+
+        Plan: k result ids broadcast everywhere — into the plists scan
+        (semi-join before any varint decode) and into ONE corpus scan
+        for the window text. Corpus content is never shuffled."""
+        from .pipeline import _match_filter
+        from .tokenizer import tokens_col
+
+        qterms = list(dict.fromkeys(terms))
+        empty = self.spark.createDataFrame(
+            [],
+            "doc_id long, score double, rank int, first_pos long, "
+            "snippet string",
+        )
+        if not qterms:
+            return empty
+        top = self.search(qterms, mode, k=k)
+        cand = top.select("doc_id")
+        rows = corpus.join(F.broadcast(top), "doc_id").select(
+            "doc_id", "score", "rank",
+            tokens_col(F.col("content"), tokenizer).alias("_arr"),
+        )
+        if "plists" in self.postings_df().columns:
+            meta = self.match_terms(qterms, mode)
+            if not meta:
+                return empty
+            names = [t for t, _, _, _ in meta]
+            buckets = sorted({b for _, _, _, b in meta})
+            pl = (
+                self.postings_df()
+                .where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(names))
+                .select(F.explode("plists").alias("e"))
+                .select(
+                    F.col("e.doc_id").alias("doc_id"),
+                    F.col("e.poss").alias("poss"),
+                )
+                .join(F.broadcast(cand), "doc_id")
+            )
+
+            def _minpos(batches):
+                for pdf in batches:
+                    out_ids: List[int] = []
+                    out_p: List[int] = []
+                    for d, buf in zip(pdf["doc_id"], pdf["poss"]):
+                        p = decode_positions(bytes(buf))
+                        if p.size:
+                            out_ids.append(int(d))
+                            out_p.append(int(p.min()))
+                    if out_ids:
+                        yield pd.DataFrame(
+                            {"doc_id": out_ids, "_p": out_p}
+                        )
+
+            first = (
+                pl.mapInPandas(_minpos, "doc_id long, _p int")
+                .groupBy("doc_id")
+                .agg((F.min("_p") + F.lit(1)).cast("long").alias("first_pos"))
+            )
+        else:
+            first = (
+                rows.select(
+                    "doc_id", F.posexplode("_arr").alias("_p", "term")
+                )
+                .where(_match_filter(F.col("term"), qterms, mode))
+                .groupBy("doc_id")
+                .agg((F.min("_p") + F.lit(1)).cast("long").alias("first_pos"))
+            )
+        start = F.greatest(F.lit(1), F.col("first_pos") - width)
+        end = F.col("first_pos") + width
+        return (
+            rows.join(first, "doc_id")
+            .select(
+                "doc_id", "score", "rank", "first_pos",
+                F.concat_ws(
+                    " ", F.slice(F.col("_arr"), start, end - start + F.lit(1))
+                ).alias("snippet"),
+            )
+            .orderBy(F.col("rank").asc())
+        )
+
     def search_grouped(
         self,
         terms: Iterable[str],

@@ -329,3 +329,42 @@ def test_search_after_past_end_is_empty(reader):
         ["alpha"], P.EXACT_MATCH, k=5, after_score=-1.0, after_doc=1 << 40
     )
     assert out.collect() == []
+
+
+# ----------------------------------------------------- indexed snippets
+
+
+@pytest.fixture(scope="module")
+def pos_reader(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("facet_posidx"))
+    build_index(spark, corpus, d, positions=True)
+    return IndexReader(spark, d)
+
+
+def test_indexed_snippets_match_declarative(corpus, reader, pos_reader):
+    """Both the positional (plists) and fallback (re-tokenize) index
+    paths must reproduce pipeline.snippets exactly."""
+    for rd in (pos_reader, reader):  # reader = positions-free fallback
+        for mode, terms in [
+            (P.WITH_SUGGESTIONS, ["alpha", "beta"]),
+            (P.EXACT_MATCH, ["delta"]),
+            (P.START_WITH, ["ze"]),
+        ]:
+            a = sorted(
+                (r["doc_id"], round(r["score"], 9), r["rank"],
+                 r["first_pos"], r["snippet"])
+                for r in P.snippets(corpus, terms, mode, k=5, width=2).collect()
+            )
+            b = sorted(
+                (r["doc_id"], round(r["score"], 9), r["rank"],
+                 r["first_pos"], r["snippet"])
+                for r in rd.search_snippets(
+                    terms, corpus, mode, k=5, width=2
+                ).collect()
+            )
+            assert a == b, (rd is pos_reader, mode, a, b)
+
+
+def test_indexed_snippets_empty_query(pos_reader, corpus):
+    out = pos_reader.search_snippets([], corpus)
+    assert out.collect() == []

@@ -1351,7 +1351,12 @@ def _facet_pred(terms, mode) -> str:
     return f"term IN ({inlist})"
 
 
-def _facet_oracle(terms, mode, facet="lang") -> str:
+def _facet_oracle(terms, mode, facet="lang", facet_select=None,
+                  doc_where=None) -> str:
+    """``facet_select`` renames a documents column to the registry's
+    name (e.g. ``source AS repo``); ``doc_where`` is the drill-down
+    filter — it scopes ONLY the counting side, never the match set
+    (the engine's membership-only filter semantics)."""
     uniq = list(dict.fromkeys(terms))
     pred = _facet_pred(uniq, mode)
     having = (
@@ -1359,12 +1364,15 @@ def _facet_oracle(terms, mode, facet="lang") -> str:
         if mode == P.AND_MATCH
         else ""
     )
+    sel = facet_select or facet
+    where = f" WHERE {doc_where}" if doc_where else ""
     return f"""
-WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text, {facet} FROM documents),
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
 toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
-hit AS (SELECT doc_id FROM toks WHERE {pred} GROUP BY doc_id{having})
+hit AS (SELECT doc_id FROM toks WHERE {pred} GROUP BY doc_id{having}),
+cnt AS (SELECT doc_id, {sel} FROM documents{where})
 SELECT {facet}, count(*)::BIGINT AS doc_count
-FROM corpus JOIN hit USING (doc_id)
+FROM cnt JOIN hit USING (doc_id)
 GROUP BY {facet}
 ORDER BY doc_count DESC, {facet} ASC
 """
@@ -1551,6 +1559,15 @@ def _q_facet_lang_indexed(spark, sf_dir):
         TERMS_OR, mode=P.WITH_SUGGESTIONS, facet="lang"
     )
     return out.select("lang", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def _q_facet_drill_indexed(spark, sf_dir):
+    """Drill-down: repo facets of the OR query, scoped to two langs."""
+    out = _indexed_reader(spark, sf_dir).search_facets(
+        TERMS_OR, mode=P.WITH_SUGGESTIONS, facet="repo",
+        doc_filter="lang IN ('de', 'fr')",
+    )
+    return out.select("repo", F.col("doc_count").cast("long").alias("doc_count"))
 
 
 def _q_bm25_snippets_indexed(spark, sf_dir):
@@ -1847,6 +1864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (registry carries repo/lang — no corpus scan)
         "facet_lang": _q_facet_lang,
         "facet_lang_indexed": _q_facet_lang_indexed,
+        # faceted-search drill-down: repo facets within a lang slice
+        # (filter scopes the counting side only, never the match set)
+        "facet_repo_filtered_indexed": _q_facet_drill_indexed,
         # diversified results: top-3 per language in ONE query (salted
         # two-phase per-group tournament over the scored match set)
         "bm25_grouped_topk": _q_bm25_grouped,
@@ -1991,6 +2011,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix_topk_indexed": _bm25_oracle(TERMS_PREFIX, P.START_WITH),
         "bm25_or_topk_merged": _bm25_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "facet_lang": _facet_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
+        "facet_repo_filtered_indexed": _facet_oracle(
+            TERMS_OR, P.WITH_SUGGESTIONS, facet="repo",
+            facet_select="source AS repo",
+            doc_where="lang IN ('de', 'fr')",
+        ),
         "bm25_grouped_topk": _grouped_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "bm25_grouped_topk_indexed": _grouped_oracle(TERMS_OR, P.WITH_SUGGESTIONS),
         "hybrid_topk": _hybrid_oracle(

@@ -722,6 +722,7 @@ def facet_counts(
     facet: str = "lang",
     tokenizer: str = "standard",
     top_n: int = None,
+    doc_filter=None,
 ) -> DataFrame:
     """Search-result facet counts — the Lucene faceting analog the
     reference's Swing app approximates by eyeballing the path column
@@ -753,8 +754,15 @@ def facet_counts(
         )
     else:
         hit = m.select("doc_id").distinct()
+    side = corpus
+    if doc_filter is not None:
+        # drill-down: counts scoped to an already-selected slice —
+        # membership-only (facets carry no scores), same semantics as
+        # IndexReader.search_facets(doc_filter=...)
+        flt = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
+        side = corpus.where(flt)
     out = (
-        corpus.select("doc_id", facet)
+        side.select("doc_id", facet)
         .join(hit, "doc_id")
         .groupBy(facet)
         .agg(F.count("*").alias("doc_count"))

@@ -1903,6 +1903,7 @@ class IndexReader:
         mode: str = EXACT_MATCH,
         facet: str = "lang",
         top_n: Optional[int] = None,
+        doc_filter=None,
     ) -> DataFrame:
         """Facet counts over the UN-truncated match set, straight off
         the index: ``match_docs`` (bucket/term-pruned postings decode,
@@ -1912,10 +1913,24 @@ class IndexReader:
         declarative twin is ``pipeline.facet_counts``; both implement
         the Lucene faceting analog the reference lacks (its Swing
         table renders rows unaggregated). Returns (facet, doc_count),
-        doc_count DESC, facet ASC."""
+        doc_count DESC, facet ASC.
+
+        ``doc_filter`` (SQL predicate or Column over registry columns)
+        is the faceted-search DRILL-DOWN: counts scoped to the already-
+        selected slice — membership-only, applied as a registry-side
+        filter before the count (facets have no scores, so this is the
+        whole filter semantics)."""
         hit = self.match_docs(terms, mode)
+        reg = self.docs_df()
+        if doc_filter is not None:
+            flt = (
+                F.expr(doc_filter)
+                if isinstance(doc_filter, str)
+                else doc_filter
+            )
+            reg = reg.where(flt)
         out = (
-            self.docs_df()
+            reg
             .select("doc_id", facet)
             .join(hit, "doc_id")
             .groupBy(facet)

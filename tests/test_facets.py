@@ -368,3 +368,21 @@ def test_indexed_snippets_match_declarative(corpus, reader, pos_reader):
 def test_indexed_snippets_empty_query(pos_reader, corpus):
     out = pos_reader.search_snippets([], corpus)
     assert out.collect() == []
+
+
+def test_facet_drilldown_filters_counts_not_matches(corpus, reader):
+    """doc_filter scopes the COUNTING side only: matched docs outside
+    the slice vanish from counts, and both paths agree."""
+    for impl in (
+        lambda: P.facet_counts(
+            corpus, ["alpha", "beta"], P.WITH_SUGGESTIONS,
+            facet="repo", doc_filter="lang = 'de'",
+        ),
+        lambda: reader.search_facets(
+            ["alpha", "beta"], P.WITH_SUGGESTIONS,
+            facet="repo", doc_filter="lang = 'de'",
+        ),
+    ):
+        got = [(r["repo"], r["doc_count"]) for r in impl().collect()]
+        # matched docs {1,2,3,5}; de slice keeps {3 (r2), 5 (r3)}
+        assert got == [("r2", 1), ("r3", 1)], got

@@ -1814,7 +1814,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ------------------------------------------------------------------
+    # ORDER MATTERS: the driver's correctness gate checks a 50-entry
+    # window from the FRONT of this dict. Round 5 rotates the window
+    # (VERDICT.md r4 finding #1): first the only historically-red row
+    # (curation_decisions) and every query that has never had a driver
+    # oracle row, then the rows whose last green gate was r03, then the
+    # two whose implementation changed this round (more_like_this
+    # fusion). The r04-green serving-surface rows follow after the
+    # window; their latest driver status is green in CORRECTNESS_r04.
+    # ------------------------------------------------------------------
     return {
+        # -- gate window (50) -------------------------------------------
+        # red in r03, fix never driver-verified (string projection of
+        # the reasons array on both sides)
+        "curation_decisions": _q_curation_decisions,
+        "curation_near": _q_curation_near,
+        "curation_boilerplate": _q_curation_boiler,
+        # never driver-gated (landed after the r04 window filled)
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "graph_pagerank": _q_graph_pagerank,
+        "cluster_kmeans": _q_cluster_kmeans,
+        "sim_ivf_topk_trained": _q_sim_ivf_trained,
+        "decontaminate": _q_decontaminate,
+        "mix_plan": _q_mix_plan,
+        "text_lm_scores": _q_text_lm_scores,
+        "text_pmi_bigrams": _q_text_pmi_bigrams,
+        "dedup_incremental": _q_dedup_incremental,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "events_json_stats": _q_events_json_stats,
+        "shuffle_shards": _q_shuffle_shards,
+        "corpus_rollup": _q_corpus_rollup,
+        "length_histogram": _q_length_histogram,
+        "pack_manifest": _q_pack_manifest,
+        "text_dup_spans": _q_text_dup_spans,
+        "text_secret_scan": _q_text_secret_scan,
+        # re-implemented this round (two-pass fusion) — re-verify
+        "bm25_mlt": _q_bm25_mlt,
+        "bm25_mlt_indexed": _q_bm25_mlt_indexed,
+        # last green gate was r03 (pushed out of the r04 window)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_ann": _q_dedup_embedding_ann,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
+        "text_token_counts": _q_text_token_counts,
+        "vocab_coverage": _q_vocab_coverage,
+        "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
+        "text_lang_confusion": _q_text_lang_confusion,
+        "text_fingerprints": _q_text_fingerprints,
+        "pack_sequences": _q_pack_sequences,
+        "sample_stratified": _q_sample_stratified,
+        "term_stats": _q_term_stats,
+        "corpus_stats": _q_corpus_stats,
+        "match_set_exact": _q_match_set,
+        "doc_lengths_top": _q_doc_lengths_top,
+        "reverse_doc_terms": _q_reverse_doc_terms,
+        "term_prefix_expansion": _q_term_prefix_expansion,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
+        # -- end gate window --------------------------------------------
         "bm25_exact_topk": _q_bm25_exact,
         "bm25_or_topk": _q_bm25_or,
         "bm25_and_topk": _q_bm25_and,
@@ -1849,10 +1916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the declarative pipeline and the disk-index dictionary path
         "bm25_suggest_topk": _q_bm25_suggest,
         "bm25_suggest_topk_indexed": _q_bm25_suggest_indexed,
-        # more-like-this (Lucene MoreLikeThis analog): declarative +
-        # disk-index paths, one shared oracle
-        "bm25_mlt": _q_bm25_mlt,
-        "bm25_mlt_indexed": _q_bm25_mlt_indexed,
         # exact-phrase BM25: positions recomputed at query time (Q5
         # re-scan architecture); indexed form prunes candidates via
         # match_docs AND before verification
@@ -1910,72 +1973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # O4 per-(term, doc) posting delete (maintain.delete_term_postings)
         "bm25_or_topk_term_deleted": _q_bm25_term_deleted,
         "live_result_diffs": _q_live_result_diffs,
-        "term_stats": _q_term_stats,
-        "corpus_stats": _q_corpus_stats,
-        "match_set_exact": _q_match_set,
-        "doc_lengths_top": _q_doc_lengths_top,
-        "reverse_doc_terms": _q_reverse_doc_terms,
-        "term_prefix_expansion": _q_term_prefix_expansion,
-        # training-data pipeline (SURVEY.md scope extension)
-        "text_token_counts": _q_text_token_counts,
-        "vocab_coverage": _q_vocab_coverage,
-        # composite keep/drop decision table (dedup + quality + lang)
-        "curation_decisions": _q_curation_decisions,
-        "curation_near": _q_curation_near,
-        "curation_boilerplate": _q_curation_boiler,
-        "text_quality": _q_text_quality,
-        "text_repetition": _q_text_repetition,
-        # cross-document duplicated n-gram coverage (boilerplate /
-        # license-header signal) + credential/PII scan
-        "text_dup_spans": _q_text_dup_spans,
-        "text_secret_scan": _q_text_secret_scan,
-        # benchmark decontamination (corpus-vs-eval n-gram overlap) +
-        # domain-mix planning (per-lang token shares -> sampling weights)
-        "decontaminate": _q_decontaminate,
-        "mix_plan": _q_mix_plan,
-        # corpus shaping: sequence packing + stratified sampling
-        "pack_sequences": _q_pack_sequences,
-        "pack_manifest": _q_pack_manifest,
-        "length_histogram": _q_length_histogram,
-        "corpus_rollup": _q_corpus_rollup,
-        "sample_stratified": _q_sample_stratified,
-        # deterministic global training-order shuffle (seeded epoch
-        # permutation: shard + exact in-shard position, no global sort)
-        "shuffle_shards": _q_shuffle_shards,
-        # BPE subword-merge training (word-dictionary statistics; the
-        # corpus is read once) + dictionary-side corpus encoding
-        "bpe_merges": _q_bpe_merges,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "text_lang_confusion": _q_text_lang_confusion,
-        "text_fingerprints": _q_text_fingerprints,
-        # corpus LM statistics: unigram-LM quality scoring + PMI
-        # collocations
-        "text_lm_scores": _q_text_lm_scores,
-        "text_pmi_bigrams": _q_text_pmi_bigrams,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        # transitive duplicate clusters over the minhash pairs
-        # (graph.connected_components — the canonical-doc keep list)
-        "dedup_clusters": _q_dedup_clusters,
-        "graph_pagerank": _q_graph_pagerank,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_ann": _q_dedup_embedding_ann,
-        "sim_cosine_topk": _q_sim_cosine_topk,
-        "sim_ivf_topk": _q_sim_ivf_topk,
-        # embedding clustering (spherical k-means) + trained-quantizer IVF
-        "cluster_kmeans": _q_cluster_kmeans,
-        "sim_ivf_topk_trained": _q_sim_ivf_trained,
-        # event-stream analytics (tumbling windows / sessionization /
-        # JSON props) over the events table
-        "events_windowed": _q_events_windowed,
-        "events_sessions": _q_events_sessions,
-        "events_json_stats": _q_events_json_stats,
-        "media_stats": _q_media_stats,
-        "media_features": _q_media_features,
     }
 
 

@@ -87,10 +87,17 @@ def _gate(max_wait_s: float) -> dict:
 
 
 def _measure(
-    spark, corpus, n_files: int, sf_dir: str, shard_dirs=None
+    spark, corpus, n_files: int, sf_dir: str, shard_dirs=None,
+    include_ops: bool = True,
 ) -> dict:
-    """One full measurement pass: build + queries + training ops, with
-    a fault probe stamped around every section."""
+    """One full measurement pass: build + queries (+ training ops when
+    ``include_ops``), with a fault probe stamped around every section.
+
+    The headline build/query sections are cheap enough to repeat, so
+    `main` runs them >=3 times (min+median reported) while the heavy
+    training-ops sweep runs once in its own gated section — a single
+    weather sample can no longer decide the round's headline numbers
+    (VERDICT.md r4 performance finding)."""
     from spark_search import pipeline as P
     from spark_search.build import build_index
     from spark_search.query import IndexReader
@@ -269,9 +276,29 @@ def _measure(
         timings["merge_indexes"] = round(time.time() - t0, 3)
         shutil.rmtree(os.path.dirname(merge_out), ignore_errors=True)
 
+    ops: dict[str, float] = {}
+    if include_ops:
+        ops = _measure_ops(spark, corpus, sf_dir, probe, section_probes)
+    shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
+    total = build_s + sum(queries.values())
+    return {
+        "value": round(total, 3),
+        "queries": queries,
+        "n_files": n_files,
+        "build_sec": round(build_s, 3),
+        "build_files_per_sec": round(n_files / build_s, 1) if build_s else None,
+        "timings": timings,
+        "extra_queries": extra,
+        "training_ops": ops,
+        "section_fault_mbps": section_probes,
+    }
+
+
+def _measure_ops(spark, corpus, sf_dir: str, probe, section_probes) -> dict:
     # training-data pipeline ops (reported, not part of the headline
     # metric — BASELINE.md §3 fixes `value` = build + search queries)
     from pyspark.sql import functions as F
+    from spark_search import pipeline as P
     from spark_search import bpe as BP
     from spark_search import clustering as CLU
     from spark_search import decontam as DX
@@ -353,20 +380,7 @@ def _measure(
     sf_docs.unpersist()
     emb_raw.unpersist()
     section_probes["after_ops"] = probe()
-
-    shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
-    total = build_s + sum(queries.values())
-    return {
-        "value": round(total, 3),
-        "queries": queries,
-        "n_files": n_files,
-        "build_sec": round(build_s, 3),
-        "build_files_per_sec": round(n_files / build_s, 1) if build_s else None,
-        "timings": timings,
-        "extra_queries": extra,
-        "training_ops": ops,
-        "section_fault_mbps": section_probes,
-    }
+    return ops
 
 
 # Engine-as-canary bound: every warm indexed query lands in 0.3-0.7 s
@@ -450,35 +464,87 @@ def main() -> None:
     except ValueError:
         sf_num = -1.0
 
+    # >=3 gated attempts of the headline sections (build + queries),
+    # each bracketed by fault probes and preceded by a bounded quiet-
+    # window wait — min AND median are published so one weather sample
+    # cannot decide a round (VERDICT.md r4). The heavy training-ops
+    # sweep runs once afterwards in its own gated section.
+    n_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     attempts = 0
     tries = []
     while True:
         attempts += 1
-        res = _measure(spark, corpus, n_files, sf_dir, shard_dirs)
+        res = _measure(
+            spark, corpus, n_files, sf_dir, shard_dirs, include_ops=False
+        )
         tries.append(res)
-        if _attempt_clean(res) or attempts > retries:
+        clean_n = sum(1 for t in tries if _attempt_clean(t))
+        if attempts >= n_attempts and clean_n > 0:
             break
-        # an episode hit mid-run: wait for quiet and re-measure (the
-        # JVM stays warm, so the retry measures steady state)
+        if attempts >= n_attempts + retries:
+            break
+        # wait for a quiet window before the next attempt (the JVM
+        # stays warm, so every attempt measures steady state)
         gate = _gate(gate_wait)
 
-    # report the clean attempt if one exists; otherwise the fastest
-    # attempt (least episode interference — the probe marks the WINDOW
-    # dirty, but a faster wall under the same engine is strictly closer
-    # to the engine's true number). All attempt totals are published so
-    # the selection is auditable.
     shutil.rmtree(shard_root, ignore_errors=True)
+
+    # training ops: once, in their own gated window, with one retry if
+    # a bracketing probe catches an episode
+    ops_probes: dict[str, object] = {}
+    ops_gate = _gate(gate_wait)
+    try:
+        from bench_scaling_gated import fault_rate_mbps
+
+        ops_probe = lambda: round(fault_rate_mbps())  # noqa: E731
+    except Exception:
+        ops_probe = lambda: None  # noqa: E731
+    for _ in range(2):
+        ops_probes = {"before_ops": ops_probe()}
+        ops = _measure_ops(spark, corpus, sf_dir, ops_probe, ops_probes)
+        vals = [v for v in ops_probes.values() if isinstance(v, (int, float))]
+        if not vals or all(v >= FAULT_OK_MBPS for v in vals):
+            break
+        ops_gate = _gate(gate_wait)
+
+    # headline = the MINIMUM clean attempt (noise only inflates walls;
+    # the floor is the engine's number), with the median published
+    # alongside. If no attempt was clean, fall back to the overall
+    # minimum. All attempt totals + per-attempt cleanliness are
+    # published so the selection is auditable.
+    import statistics
+
     clean = [t for t in tries if _attempt_clean(t)]
-    res = clean[0] if clean else min(tries, key=lambda t: t["value"])
+    pool = clean if clean else tries
+    res = min(pool, key=lambda t: t["value"])
+    pool_q = [t["queries"] for t in pool]
+    pool_x = [t["extra_queries"] for t in pool]
+    q_min = {k: min(q[k] for q in pool_q) for k in pool_q[0]}
+    q_med = {k: round(statistics.median(q[k] for q in pool_q), 3)
+             for k in pool_q[0]}
+    x_min = {k: min(x[k] for x in pool_x) for k in pool_x[0]}
+    x_med = {k: round(statistics.median(x[k] for x in pool_x), 3)
+             for k in pool_x[0]}
     out = {
         "metric": "index_build_plus_bm25_topk_total_sec",
         "unit": "sec",
         "sf": sf_num,
         "cpus": cpus,
         **res,
+        "training_ops": ops,
+        "ops_fault_mbps": ops_probes,
+        "ops_gate": ops_gate,
         "launch_gate": gate,
         "attempts": attempts,
         "attempt_values": [t["value"] for t in tries],
+        "attempt_clean": [_attempt_clean(t) for t in tries],
+        "value_median": round(
+            statistics.median(t["value"] for t in pool), 3
+        ),
+        "queries_min": q_min,
+        "queries_median": q_med,
+        "extra_queries_min": x_min,
+        "extra_queries_median": x_med,
         "weather_clean": _attempt_clean(res),
     }
     spark.stop()

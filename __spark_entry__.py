@@ -651,6 +651,73 @@ def _bm25_maintained_oracle() -> str:
     )
 
 
+# Maintained POSITIONAL index under the oracle gate (round 5,
+# VERDICT.md r4 #6): upsert/delete/compact inherit positions=True
+# (SURVEY §7.9), but until now only positions-free maintained indexes
+# had a driver row. This entry deletes a doc that RANKS for the phrase
+# (so compaction must purge its postings+plists or it would still
+# appear), upserts a replacement whose text contains the phrase twice
+# (so plists written by upsert_docs must survive compact and decode),
+# then answers the phrase query ENTIRELY from the maintained index —
+# search_phrase without a corpus argument reads no document content,
+# which is only possible if the plists column survived the whole
+# O4-O7 lifecycle. (Reference analog: DocumentUpdateTaskTest.java:58-74
+# asserts index deltas after update; this is the positional version.)
+PMAINT_DELETED_DOC = 83  # rank-2 phrase hit at the gated sf
+PMAINT_REPLACED_DOC = 7
+PMAINT_NEW_TEXT = "table hash join the table hash merge data"
+_PMAINT_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _pmaint_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    key = os.path.abspath(sf_dir)
+    ent = _PMAINT_READERS.get(key)
+    if ent is not None and ent[0] == id(spark):
+        return ent[1]
+    base_dir = _POS_INDEX_DIRS.get(key)
+    if base_dir is None:
+        _positional_reader(spark, sf_dir)  # builds + caches the pos index
+        base_dir = _POS_INDEX_DIRS[key]
+    from spark_search.maintain import compact, delete_docs, upsert_docs
+
+    root = tempfile.mkdtemp(prefix="sgraft-pmaint-")
+    d1 = os.path.join(root, "del")
+    d2 = os.path.join(root, "ups")
+    d3 = os.path.join(root, "cmp")
+    delete_docs(spark, base_dir, d1, [PMAINT_DELETED_DOC])
+    corpus = _corpus(spark, sf_dir)
+    replacement = corpus.where(
+        F.col("doc_id") == PMAINT_REPLACED_DOC
+    ).select("repo", "path", "commit", "lang").withColumn(
+        "content", F.lit(PMAINT_NEW_TEXT)
+    )
+    upsert_docs(spark, d1, d2, replacement)
+    compact(spark, d2, d3)
+    rd = IndexReader(spark, d3)
+    _PMAINT_READERS[key] = (id(spark), rd)
+    return rd
+
+
+def _q_bm25_phrase_maintained(spark, sf_dir):
+    rd = _pmaint_reader(spark, sf_dir)
+    return _round_result(rd.search_phrase(PHRASE, k=10))
+
+
+def _bm25_phrase_maintained_oracle() -> str:
+    """The phrase oracle over the edited corpus: deleted doc removed,
+    replaced doc's text swapped onto the deterministic upsert id."""
+    base = _bm25_phrase_oracle(PHRASE)
+    edited = (
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents "
+        f"WHERE doc_id NOT IN ({PMAINT_DELETED_DOC}, {PMAINT_REPLACED_DOC}) "
+        f"UNION ALL SELECT {_maint_new_doc_id()} AS doc_id, "
+        f"'{PMAINT_NEW_TEXT}' AS text"
+    )
+    return base.replace(
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents", edited
+    )
+
+
 # O4 per-(term, doc) posting delete under the oracle gate: surgically
 # remove specific term occurrences (reference removeByValue,
 # tree/SearchEngineConcurrentTree.java:239-264), then BM25 — the result
@@ -1880,8 +1947,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_doc_terms": _q_reverse_doc_terms,
         "term_prefix_expansion": _q_term_prefix_expansion,
         "media_stats": _q_media_stats,
-        "media_features": _q_media_features,
+        # NEW this round: phrase search answered from a MAINTAINED
+        # positional index (delete + upsert + compact preserving plists)
+        "bm25_phrase_maintained_positional": _q_bm25_phrase_maintained,
         # -- end gate window --------------------------------------------
+        "media_features": _q_media_features,
         "bm25_exact_topk": _q_bm25_exact,
         "bm25_or_topk": _q_bm25_or,
         "bm25_and_topk": _q_bm25_and,
@@ -2067,6 +2137,7 @@ FROM (SELECT doc_id, {_CODE_TOKS_DUCK} AS arr
         "bm25_phrase_topk": _bm25_phrase_oracle(PHRASE),
         "bm25_phrase_topk_indexed": _bm25_phrase_oracle(PHRASE),
         "bm25_phrase_topk_positional": _bm25_phrase_oracle(PHRASE),
+        "bm25_phrase_maintained_positional": _bm25_phrase_maintained_oracle(),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
         "bm25_or_topk_term_deleted": _bm25_term_deleted_oracle(),
         "live_result_diffs": _live_diff_oracle(),

@@ -75,6 +75,38 @@ def _with_norm(emb: DataFrame, d: "int | None" = None) -> DataFrame:
     )
 
 
+# Normalized-frame cache (round 5, VERDICT.md r4 #7): every similarity
+# / hybrid entry point needs (vec_id, v:double[], norm) — recomputing
+# the cast + norm per query re-scans the embeddings table each time
+# (clustering already persists its unit frame, clustering.py). Keyed by
+# (session id, DataFrame semanticHash) so textually different reads of
+# the same logical plan share one persisted frame; bounded LRU — the
+# oldest entry is unpersisted when a 5th distinct embeddings frame
+# appears. The cache holds the FLOORED layout (persist bakes the
+# parallelism floor in, the bench-corpus pattern).
+_NORM_CACHE: "dict[tuple[int, int], tuple[DataFrame, int | None]]" = {}
+_NORM_CACHE_MAX = 4
+
+
+def _norm_cached(emb: DataFrame) -> "tuple[DataFrame, int | None]":
+    try:
+        key = (id(emb.sparkSession), emb.semanticHash())
+    except Exception:
+        # local-relation / unsupported plans: no caching, same semantics
+        d = _probe_dim(emb)
+        return _with_norm(emb, d), d
+    hit = _NORM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = _probe_dim(emb)
+    e = _with_norm(emb, d).persist()
+    if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+        old_key = next(iter(_NORM_CACHE))
+        _NORM_CACHE.pop(old_key)[0].unpersist()
+    _NORM_CACHE[key] = (e, d)
+    return e, d
+
+
 def _dot(a, b, d: "int | None" = None):
     """Sequential-order dot product; with ``d`` known it unrolls to d
     codegen multiplies (left-to-right fold, bit-identical to the HOF
@@ -107,8 +139,7 @@ def cosine_topk(
     ever sorts one query's full corpus of scores."""
     from .pipeline import topk_per_query
 
-    d = _probe_dim(emb)
-    e = _with_norm(emb, d)
+    e, d = _norm_cached(emb)
     q = e.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -235,8 +266,7 @@ def ivf_topk(
     recall at the same nprobe; ``n_centroids`` is ignored then."""
     from .pipeline import topk_per_query
 
-    d = _probe_dim(emb)
-    e = _with_norm(emb, d)
+    e, d = _norm_cached(emb)
     cent = (
         centroids
         if centroids is not None
@@ -387,8 +417,7 @@ def hybrid_rerank(
     into one embeddings scan (semi-join; the corpus-sized side never
     shuffles); the query vector and the 1-row max ride the same
     broadcast. The final rank is a window over ≤ |candidates| rows."""
-    d = _probe_dim(emb)
-    e = _with_norm(emb, d)
+    e, d = _norm_cached(emb)
     q = e.where(F.col("vec_id") == int(query_vec_id)).select(
         F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
@@ -453,8 +482,7 @@ def hybrid_rrf(
 
     Scale: identical to ``hybrid_rerank`` — candidate broadcast into
     one embeddings scan; both rank windows see ≤ |candidates| rows."""
-    d = _probe_dim(emb)
-    e = _with_norm(emb, d)
+    e, d = _norm_cached(emb)
     q = e.where(F.col("vec_id") == int(query_vec_id)).select(
         F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )

@@ -1825,8 +1825,7 @@ n_ret AS (SELECT query_id, count(*)::BIGINT AS _n_ret FROM res GROUP BY 1)
 SELECT n_ret.query_id,
        round(coalesce(_mrr, 0.0), 6) AS mrr,
        round(coalesce(_dcg, 0.0) / _idcg, 6) AS ndcg,
-       round(coalesce(_n_hit, 0)::DOUBLE
-             / least(_n_ret, {k})::DOUBLE, 6) AS precision,
+       round(coalesce(_n_hit, 0)::DOUBLE / {k}.0, 6) AS precision,
        round(coalesce(_n_hit, 0)::DOUBLE / _n_rel::DOUBLE, 6) AS recall
 FROM n_ret
 JOIN n_rel USING (query_id)

@@ -161,6 +161,10 @@ def main(argv=None) -> int:
     fc.add_argument("--facet", default="lang",
                     help="registry column: repo/path/commit/lang")
     fc.add_argument("--top-n", type=int, default=None)
+    fc.add_argument("--filter", default=None,
+                    help="SQL predicate over registry columns — facet "
+                         "drill-down: counts scoped to the slice, the "
+                         "match set itself is never filtered")
     fc.add_argument("--limit", type=int, default=100)
 
     gr = sub.add_parser(
@@ -313,7 +317,8 @@ def main(argv=None) -> int:
     terms = [t for t in args.terms.split(",") if t]
     if args.cmd == "facets":
         res = rd.search_facets(
-            terms, _MODES[args.mode], facet=args.facet, top_n=args.top_n
+            terms, _MODES[args.mode], facet=args.facet, top_n=args.top_n,
+            doc_filter=args.filter,
         )
         rows = _rows(res, args.limit)
         _emit({

@@ -35,11 +35,16 @@ def ranking_metrics(
     ``IndexReader.search_many`` / ``pipeline.bm25_topk_many`` output;
     rows past rank ``k`` are ignored. ``qrels``: (query_id, doc_id,
     rel) with integer grades, rel > 0 meaning relevant. Queries present
-    in ``results`` but with NO relevant qrels produce NULL metrics
-    (undefined, not zero — a query with an empty judgment set is not a
-    failure); queries absent from ``results`` score 0 via
-    ``mean_metrics`` only if their qrels exist and you outer-join —
-    this function evaluates the rankings it is given.
+    in ``results`` but with NO relevant qrels are OMITTED from the
+    output (their metrics are undefined, not zero — a query with an
+    empty judgment set is not a failure, and it does not count toward
+    ``mean_metrics``'s n_queries); queries absent from ``results``
+    score 0 via ``mean_metrics`` only if their qrels exist and you
+    outer-join — this function evaluates the rankings it is given.
+
+    ``precision`` is the standard precision@k = |hits| / k (trec_eval
+    semantics: retrieving fewer than ``k`` documents is penalized, a
+    1-hit/1-retrieved ranking at k=10 scores 0.1, not 1.0).
 
     Returns (query_id, mrr, ndcg, precision, recall) rounded to 6 dp.
     """
@@ -89,7 +94,7 @@ def ranking_metrics(
             ).alias("ndcg"),
             F.round(
                 F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
-                / F.least(F.col("_n_ret"), F.lit(k)).cast("double"),
+                / F.lit(float(k)),
                 6,
             ).alias("precision"),
             F.round(

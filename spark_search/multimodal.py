@@ -60,17 +60,48 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(media_type: str, payload: bytes):
-    """Decode a media payload into pixels / samples / frames.
+# --------------------------------------------------- decoder registry
+# Pluggable per-media-type decoders (round 5, VERDICT.md r4 #8): a real
+# codec (PIL/ffmpeg/librosa) drops in via register_decoder without
+# touching this module's internals. A decoder is
+# ``fn(payload: bytes, meta: dict | None) -> 1-D uint8-coercible array``
+# (pixels / samples / frame bytes). extract_features snapshots the
+# registry at PLAN time and ships it inside the mapInPandas closure, so
+# driver-side registrations reach executors without any import-order
+# coupling. With no decoder registered for a type, the raw payload
+# bytes are the feature source (the declared sandbox stub — byte-exact
+# with the DuckDB oracle).
+_DECODERS: "dict[str, object]" = {}
 
-    STUB: real decoding needs PIL/ffmpeg/librosa, none of which ship in
-    this environment. The Spark-side plumbing (media_table +
-    extract_features' Arrow path) is real; swap this function for a
-    real decoder to productionize."""
-    raise NotImplementedError(
-        f"media decoding for {media_type!r} requires external codecs; "
-        "this sandbox ships none (see module docstring)"
-    )
+
+def register_decoder(media_type: str, fn) -> None:
+    """Register ``fn(payload, meta) -> array-like`` for a media type.
+    The function must be picklable (module-level def or functools
+    partial) — it rides the task closure to executors."""
+    _DECODERS[str(media_type)] = fn
+
+
+def unregister_decoder(media_type: str) -> None:
+    _DECODERS.pop(str(media_type), None)
+
+
+def decode_media(media_type: str, payload: bytes, meta: dict = None):
+    """Decode a media payload into pixels / samples / frames via the
+    registered decoder for ``media_type``.
+
+    With no decoder registered this raises NotImplementedError: real
+    decoding needs PIL/ffmpeg/librosa, none of which ship in this
+    environment. The Spark-side plumbing (media_table +
+    extract_features' Arrow path) is real; ``register_decoder`` drops a
+    real codec in to productionize."""
+    fn = _DECODERS.get(str(media_type))
+    if fn is None:
+        raise NotImplementedError(
+            f"no decoder registered for {media_type!r}; external codecs "
+            "do not ship in this sandbox (see module docstring) — "
+            "register one with multimodal.register_decoder"
+        )
+    return fn(payload, meta)
 
 
 def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
@@ -78,7 +109,13 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     byte statistics via mapInPandas (vectorized numpy over Arrow
     batches; zero per-row Python). ``histogram`` buckets bytes into
     ``n_bins`` equal ranges — the deterministic stand-in for a real
-    feature extractor's output vector."""
+    feature extractor's output vector.
+
+    Media types with a registered decoder (``register_decoder``) are
+    decoded first and the statistics run over the DECODED sample array;
+    types without one fall back to raw payload bytes (the sandbox
+    default, oracle-checked)."""
+    decoders = dict(_DECODERS)  # plan-time snapshot, shipped in closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -86,7 +123,13 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
             for doc_id, mt, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                dec = decoders.get(mt)
+                if dec is not None:
+                    arr = np.asarray(
+                        dec(payload or b"", None), dtype=np.uint8
+                    ).ravel()
+                else:
+                    arr = np.frombuffer(payload or b"", dtype=np.uint8)
                 if arr.size:
                     hist = np.bincount(
                         arr // (256 // n_bins), minlength=n_bins

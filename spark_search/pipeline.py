@@ -1047,6 +1047,18 @@ def bm25_topk_after(
     corpus, _, tf, require_n = _matched_tf(corpus, qterms, mode, tokenizer)
     scored = _bm25_scored(tf, corpus, tokenizer, require_n)
     if after_score is not None:
+        # runtime steer for strict-cursor callers (ADVICE r4): the
+        # docstring caveat alone is invisible to CLI-level users
+        import warnings
+
+        warnings.warn(
+            "bm25_topk_after (declarative) compares the cursor against a "
+            "recomputed float sum; a boundary doc can repeat or skip in "
+            "the last ulp across jobs. Strict-cursor pagination should "
+            "use IndexReader.search_after (bit-reproducible scores).",
+            UserWarning,
+            stacklevel=2,
+        )
         s_a = float(after_score)
         d_a = int(after_doc if after_doc is not None else -1)
         scored = scored.where(

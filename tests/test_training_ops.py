@@ -152,6 +152,47 @@ def test_multimodal_plumbing(spark, docs):
         M.decode_media("image", b"\x00")
 
 
+def test_multimodal_decoder_registry(spark, docs):
+    """A registered codec swaps in WITHOUT touching multimodal
+    internals: image rows get decoded-sample statistics, unregistered
+    types keep raw-byte statistics, and after unregistering the
+    original (oracle-checked) behavior returns."""
+
+    def _fake_image_decoder(payload, meta):
+        # deterministic stand-in codec: 'decodes' a payload to the
+        # constant-pixel frame [7] * len(payload). Nested def —
+        # cloudpickle ships it by VALUE inside the mapInPandas closure,
+        # so executors need no import of this test module.
+        import numpy as np
+
+        return np.full(len(payload), 7, dtype=np.uint8)
+
+    media = M.media_table(docs)
+    raw = {r["doc_id"]: r for r in M.extract_features(media).collect()}
+    M.register_decoder("image", _fake_image_decoder)
+    try:
+        # decode_media now routes through the registry
+        out = M.decode_media("image", b"abc")
+        assert list(out) == [7, 7, 7]
+        dec = {r["doc_id"]: r for r in M.extract_features(media).collect()}
+        img_ids = [i for i, r in dec.items() if r["media_type"] == "image"]
+        oth_ids = [i for i, r in dec.items() if r["media_type"] != "image"]
+        assert img_ids and oth_ids
+        for i in img_ids:
+            if dec[i]["n_bytes"]:
+                # every decoded sample is 7 -> mean byte exactly 7
+                assert dec[i]["mean_byte"] == 7.0
+                assert dec[i]["n_bytes"] == raw[i]["n_bytes"]
+        for i in oth_ids:  # untouched types keep raw-byte stats
+            assert dec[i] == raw[i]
+    finally:
+        M.unregister_decoder("image")
+    back = {r["doc_id"]: r for r in M.extract_features(media).collect()}
+    assert back == raw
+    with pytest.raises(NotImplementedError):
+        M.decode_media("image", b"\x00")
+
+
 def test_lang_id_markers(spark, docs):
     pred = {r["doc_id"]: r["pred_lang"] for r in X.lang_id(docs).collect()}
     assert pred[0] == "en" and pred[3] == "de"

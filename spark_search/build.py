@@ -400,10 +400,21 @@ def _build_stages(
     manifest.save_partial()
 
     # ---------------------------------------------------------- stage: docs
-    t0 = time.time()
-    if not (resume and manifest.stage_done("docs", fingerprint)):
-        base = corpus if "doc_id" in corpus.columns else with_doc_ids(corpus)
-        docs = with_doc_length(with_content_hash(base), tokenizer).select(
+    # Round 5 (VERDICT.md r4 #4): when the corpus already carries
+    # doc_id, the docs/doclens writes share NOTHING with the postings
+    # exchange — they are an independent DAG branch. Running them in a
+    # pyspark.InheritableThread (job group + cancellation inherit)
+    # overlaps the registry write with the postings shuffle: the small
+    # stages' scheduling gaps and single-wave straggler tails fill with
+    # postings tasks instead of idling cores. Work is identical either
+    # way (index bytes unchanged); only the schedule changes — and the
+    # fixed per-build serial tail, which §4.6 measured as the scaling
+    # limiter at 4x cores, shrinks by the docs-stage wall. The thread
+    # never touches the manifest (no partial-JSON races): results ride
+    # a holder and the MAIN thread records the stage after join.
+    def _docs_stage_body(base_df) -> dict:
+        t0 = time.time()
+        docs = with_doc_length(with_content_hash(base_df), tokenizer).select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256", "dl"
         )
         # 2x parallelism: multiple waves per level even when the plan
@@ -482,12 +493,40 @@ def _build_stages(
         chunked.write.mode("overwrite").option(
             "compression", "uncompressed"
         ).parquet(paths.doclens)
-        manifest.stats = CorpusStats(n_docs, avgdl, total_dl).to_dict()
+        return {
+            "stats": CorpusStats(n_docs, avgdl, total_dl).to_dict(),
+            "rows": n_docs,
+            "bytes": dir_bytes(paths.docs) + dir_bytes(paths.doclens),
+            "wall_s": time.time() - t0,
+        }
+
+    docs_thread = None
+    docs_result: dict = {}
+
+    def _record_docs(res: dict) -> None:
+        manifest.stats = res["stats"]
         manifest.record_stage(
-            "docs", fingerprint, rows=n_docs,
-            bytes=dir_bytes(paths.docs) + dir_bytes(paths.doclens),
-            wall_s=time.time() - t0,
+            "docs", fingerprint, rows=res["rows"],
+            bytes=res["bytes"], wall_s=res["wall_s"],
         )
+
+    if not (resume and manifest.stage_done("docs", fingerprint)):
+        if "doc_id" in corpus.columns:
+            from pyspark import InheritableThread
+
+            def _docs_runner():
+                try:
+                    docs_result["res"] = _docs_stage_body(corpus)
+                except BaseException as exc:  # surfaced at join
+                    docs_result["err"] = exc
+
+            docs_thread = InheritableThread(target=_docs_runner)
+            docs_thread.start()
+        else:
+            # ids are minted by the docs write and re-read from disk by
+            # the postings stage below — a real dependency, so this
+            # path stays sequential
+            _record_docs(_docs_stage_body(with_doc_ids(corpus)))
 
     # ------------------------------------------------- stage: postings (per group)
     base = corpus if "doc_id" in corpus.columns else None
@@ -700,6 +739,15 @@ def _build_stages(
             bytes=dir_bytes(paths.postings),
             wall_s=time.time() - tc,
         )
+
+    # docs branch joins here: stats must land before the terms stage
+    # merges n_terms into them, and any failure in the branch must fail
+    # the build before commit
+    if docs_thread is not None:
+        docs_thread.join()
+        if "err" in docs_result:
+            raise docs_result["err"]
+        _record_docs(docs_result["res"])
 
     # --------------------------------------------------------- stage: terms
     if not (resume and manifest.stage_done("terms", fingerprint)):

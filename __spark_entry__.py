@@ -310,6 +310,93 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+# Pseudo-relevance feedback (Rocchio/RM3 query expansion): the content
+# analog of the reference's spelling-based WITH_SUGGESTIONS expansion.
+# Protocol frozen in pipeline.bm25_prf_topk / IndexReader.search_prf.
+PRF_FB_DOCS = 5
+PRF_FB_TERMS = 5
+PRF_MIN_DF = 2
+
+
+def _bm25_prf_oracle(terms, k=10, fb_docs=PRF_FB_DOCS,
+                     fb_terms=PRF_FB_TERMS, min_df=PRF_MIN_DF) -> str:
+    uniq = list(dict.fromkeys(terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf0 AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks
+        WHERE term IN ({inlist}) GROUP BY 1, 2),
+df0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf0 GROUP BY 1),
+scored0 AS (
+  SELECT tf0.doc_id,
+         sum( ln(1.0 + (stats.n_docs - df0.df + 0.5) / (df0.df + 0.5))
+              * tf0.tf * {K1_PLUS_1}
+              / (tf0.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf0 JOIN df0 USING (term)
+  JOIN dl ON dl.doc_id = tf0.doc_id CROSS JOIN stats
+  GROUP BY tf0.doc_id
+),
+fb AS (SELECT doc_id FROM scored0
+       ORDER BY score DESC, doc_id ASC LIMIT {int(fb_docs)}),
+cand AS (SELECT DISTINCT term FROM toks JOIN fb USING (doc_id)
+         WHERE term NOT IN ({inlist})),
+tfc AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks
+        WHERE term IN (SELECT term FROM cand) GROUP BY 1, 2),
+dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tfc GROUP BY 1),
+wts AS (
+  SELECT t.term,
+         round(sum(t.tf)::DOUBLE
+               * ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)),
+               6) AS wt
+  FROM tfc t JOIN fb USING (doc_id)
+  JOIN dfc ON dfc.term = t.term CROSS JOIN stats
+  WHERE dfc.df >= {int(min_df)}
+  GROUP BY t.term, dfc.df, stats.n_docs
+),
+sel AS (SELECT term FROM wts ORDER BY wt DESC, term ASC LIMIT {int(fb_terms)}),
+tff AS (SELECT term, doc_id, tf FROM tf0
+        UNION ALL
+        SELECT term, doc_id, tf FROM tfc WHERE term IN (SELECT term FROM sel)),
+dff AS (SELECT term, count(*)::DOUBLE AS df FROM tff GROUP BY 1),
+scoredf AS (
+  SELECT tff.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dff.df + 0.5) / (dff.df + 0.5))
+              * tff.tf * {K1_PLUS_1}
+              / (tff.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tff JOIN dff USING (term)
+  JOIN dl ON dl.doc_id = tff.doc_id CROSS JOIN stats
+  GROUP BY tff.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM scoredf ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_bm25_prf(spark, sf_dir):
+    return _round_result(
+        P.bm25_prf_topk(
+            _corpus(spark, sf_dir), TERMS_OR, k=10,
+            fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS, min_df=PRF_MIN_DF,
+        )
+    )
+
+
+def _q_bm25_prf_indexed(spark, sf_dir):
+    rd = _indexed_reader(spark, sf_dir)
+    return _round_result(
+        rd.search_prf(
+            TERMS_OR, k=10,
+            fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS, min_df=PRF_MIN_DF,
+        )
+    )
+
+
 # Exact-phrase query: adjacency verified from content at query time
 # (the index stores no positions — faithful to the reference, whose
 # tree is doc-level only; reference SimpleSearchManager.java:187-214
@@ -1944,12 +2031,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_set_exact": _q_match_set,
         "doc_lengths_top": _q_doc_lengths_top,
         "reverse_doc_terms": _q_reverse_doc_terms,
-        "term_prefix_expansion": _q_term_prefix_expansion,
-        "media_stats": _q_media_stats,
         # NEW this round: phrase search answered from a MAINTAINED
         # positional index (delete + upsert + compact preserving plists)
         "bm25_phrase_maintained_positional": _q_bm25_phrase_maintained,
+        # NEW this round: pseudo-relevance-feedback query expansion,
+        # declarative + indexed under one self-contained oracle
+        "bm25_prf_topk": _q_bm25_prf,
+        "bm25_prf_topk_indexed": _q_bm25_prf_indexed,
         # -- end gate window --------------------------------------------
+        "term_prefix_expansion": _q_term_prefix_expansion,
+        "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "bm25_exact_topk": _q_bm25_exact,
         "bm25_or_topk": _q_bm25_or,
@@ -2137,6 +2228,8 @@ FROM (SELECT doc_id, {_CODE_TOKS_DUCK} AS arr
         "bm25_phrase_topk_indexed": _bm25_phrase_oracle(PHRASE),
         "bm25_phrase_topk_positional": _bm25_phrase_oracle(PHRASE),
         "bm25_phrase_maintained_positional": _bm25_phrase_maintained_oracle(),
+        "bm25_prf_topk": _bm25_prf_oracle(TERMS_OR),
+        "bm25_prf_topk_indexed": _bm25_prf_oracle(TERMS_OR),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
         "bm25_or_topk_term_deleted": _bm25_term_deleted_oracle(),
         "live_result_diffs": _live_diff_oracle(),

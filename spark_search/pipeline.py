@@ -476,6 +476,100 @@ def more_like_this(
         dl.unpersist()
 
 
+def bm25_prf_topk(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    min_df: int = 2,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio/RM3-style query expansion):
+    run the OR query, take the top ``fb_docs`` results as implicit
+    relevance feedback, add their ``fb_terms`` strongest terms to the
+    query, re-score. The classic recall lever when queries are short —
+    the reference engine's WITH_SUGGESTIONS mode expands by SPELLING
+    (Hunspell, app/.../SearchActionListener.java:44-48); PRF expands by
+    CONTENT, composing the same OR-union machinery.
+
+    Frozen deterministic protocol (oracle-checkable):
+      1. feedback set = BM25 top ``fb_docs`` (score DESC, doc_id ASC);
+      2. candidate terms = feedback docs' terms minus the query terms;
+         weight = round(Σ_fb tf(t,d) · idf(t), 6) with GLOBAL df and
+         the standard idf formula, df ≥ ``min_df`` (hapax guard, as in
+         more_like_this); selection orders (wt DESC, term ASC), top
+         ``fb_terms``;
+      3. final = standard BM25 OR over (query ∪ expansion) terms,
+         global stats, top ``k``.
+
+    Fused plan (the more_like_this round-5 shape): ONE corpus tokenize
+    feeds the initial tf; the candidate (term, doc_id, tf) frame —
+    Σ df over the feedback docs' vocabulary, never corpus volume — and
+    the (doc_id, dl) frame persist across the weighting and final
+    scoring passes; the feedback-doc token scan itself is doc_id-pruned
+    (the predicate sits on a corpus column, under the explode). Driver
+    traffic is parameter-bounded: fb_docs ids + fb_terms weights + the
+    final ≤ k rows (returned as a local-relation frame so the persisted
+    frames release before return)."""
+    qterms = list(dict.fromkeys(terms))
+    if not qterms:
+        return _empty_result(corpus)
+    corpus = _floor(corpus)
+    tok = tokens(corpus, tokenizer)
+    tf0 = term_doc_tf(tok.where(F.col("term").isin(qterms))).persist()
+    dl = doc_lengths(corpus, tokenizer).persist()
+    cand_tf = None
+    try:
+        fb_rows = _bm25_rank(tf0, corpus, int(fb_docs), tokenizer, dl=dl).collect()
+        fb_ids = [int(r["doc_id"]) for r in fb_rows]
+        if not fb_ids:
+            return corpus.sparkSession.createDataFrame(
+                [], "doc_id long, score double, rank int"
+            )
+        cand_terms = (
+            tok.where(F.col("doc_id").isin(fb_ids))
+            .where(~F.col("term").isin(qterms))
+            .select("term")
+            .distinct()
+        )
+        cand_tf = term_doc_tf(
+            tok.join(F.broadcast(cand_terms), "term")
+        ).persist()
+        stats = corpus_stats_df(dl)
+        dfreq = doc_freq(cand_tf).where(F.col("df") >= int(min_df))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        wts = (
+            cand_tf.where(F.col("doc_id").isin(fb_ids))
+            .groupBy("term")
+            .agg(F.sum(F.col("tf").cast("double")).alias("_s"))
+            .join(dfreq, "term")
+            .crossJoin(F.broadcast(stats))
+            .select("term", F.round(F.col("_s") * idf, 6).alias("wt"))
+            .orderBy(F.col("wt").desc(), F.col("term").asc())
+            .limit(int(fb_terms))
+            .collect()
+        )
+        sel = [r["term"] for r in wts]
+        tf_final = tf0
+        if sel:
+            tf_final = tf0.unionByName(
+                cand_tf.where(F.col("term").isin(sel))
+            )
+        ranked = _bm25_rank(tf_final, corpus, k, tokenizer, dl=dl)
+        rows = ranked.collect()
+        return corpus.sparkSession.createDataFrame(rows, ranked.schema)
+    finally:
+        tf0.unpersist()
+        dl.unpersist()
+        if cand_tf is not None:
+            cand_tf.unpersist()
+
+
 # ------------------------------------------------------- phrase queries
 
 

@@ -1772,6 +1772,143 @@ class IndexReader:
         expanded = sorted(set(qterms) | set(self.suggest_terms(qterms, max_dist)))
         return self.search(expanded, WITH_SUGGESTIONS, k=k, doc_filter=doc_filter)
 
+    def docs_terms(self, doc_ids: Iterable[int]) -> DataFrame:
+        """(doc_id, term, tf) for a SET of documents — the O3 reverse
+        lookup (:meth:`doc_terms`) generalized to many ids in ONE
+        chunk-pruned postings pass. Targets are grouped by chunk; the
+        scan reads only those chunks, a broadcast per-chunk [lo, hi]
+        bound drops non-covering vocabulary rows JVM-side before the
+        Arrow decode (the same codegen prefilter as doc_terms), and the
+        decode UDF binary-searches each covering block once for ALL
+        targets that fall in its range. Tombstoned ids are dropped
+        up front. Volume is Σ (chunk vocab of the touched chunks),
+        independent of how many target docs share a chunk."""
+        ids = sorted({int(d) for d in doc_ids})
+        empty = self.spark.createDataFrame([], "doc_id long, term string, tf int")
+        if not ids:
+            return empty
+        dels = self.deletes_df()
+        if dels is not None:
+            gone = {
+                int(r["doc_id"])
+                for r in dels.where(F.col("doc_id").isin(ids)).collect()
+            }
+            ids = [d for d in ids if d not in gone]
+            if not ids:
+                return empty
+        span = self.chunk_span
+        by_chunk: Dict[int, list] = {}
+        for d in ids:
+            by_chunk.setdefault(d // span, []).append(d)
+        bounds = self.spark.createDataFrame(
+            [(c, min(v), max(v)) for c, v in by_chunk.items()],
+            "chunk long, _lo long, _hi long",
+        )
+        post = (
+            self.postings_df()
+            .where(F.col("chunk").isin(list(by_chunk)))
+            .where(F.size("blocks") > 0)
+            .join(F.broadcast(bounds), "chunk")
+            .where(
+                (F.element_at(F.col("blocks"), 1)["first_doc"] <= F.col("_hi"))
+                & (F.element_at(F.col("blocks"), -1)["last_doc"] >= F.col("_lo"))
+            )
+            .select("term", "chunk", "blocks")
+        )
+        tmap = {c: np.asarray(sorted(v), dtype=np.int64) for c, v in by_chunk.items()}
+
+        def _decode(batches):
+            for pdf in batches:
+                od, ot, ov = [], [], []
+                for term, chunk, blks in zip(
+                    pdf["term"], pdf["chunk"], pdf["blocks"]
+                ):
+                    tgts = tmap[int(chunk)]
+                    for b in blks:
+                        fd, ld = int(b["first_doc"]), int(b["last_doc"])
+                        i0 = int(np.searchsorted(tgts, fd))
+                        i1 = int(np.searchsorted(tgts, ld, side="right"))
+                        if i0 == i1:
+                            continue
+                        bids, btfs = decode_block(
+                            fd, bytes(b["deltas"]), bytes(b["tfs"])
+                        )
+                        pos = np.searchsorted(bids, tgts[i0:i1])
+                        for t_, p_ in zip(tgts[i0:i1], pos):
+                            if p_ < bids.size and bids[p_] == t_:
+                                od.append(int(t_))
+                                ot.append(term)
+                                ov.append(int(btfs[p_]))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(od, dtype="int64"),
+                        "term": pd.Series(ot, dtype="object"),
+                        "tf": pd.Series(ov, dtype="int32"),
+                    }
+                )
+
+        return post.mapInPandas(_decode, "doc_id long, term string, tf int")
+
+    def search_prf(
+        self,
+        terms: Iterable[str],
+        k: int = 10,
+        fb_docs: int = 5,
+        fb_terms: int = 5,
+        min_df: int = 2,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Pseudo-relevance feedback on the disk index — the same
+        frozen protocol as ``pipeline.bm25_prf_topk`` (rank/score-
+        identical on a fresh index by construction):
+
+        1. feedback set = :meth:`search` top ``fb_docs``;
+        2. candidate terms from ONE :meth:`docs_terms` pass over the
+           feedback docs (never the corpus); weights
+           round(Σ_fb tf · idf, 6) with df from the term DICTIONARY
+           (zero jobs when the vocab cache holds), df ≥ ``min_df``,
+           query terms excluded; top ``fb_terms`` by (wt DESC, term
+           ASC);
+        3. final = the standard OR search over query ∪ expansion.
+
+        Driver traffic is parameter-bounded (fb ids, the feedback
+        vocabulary's aggregated weights, the final top-k). Staleness
+        contract: dictionary df counts tombstoned docs until
+        ``compact()``, like every dictionary-driven path."""
+        qterms = [t for t in dict.fromkeys(terms) if t]
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not qterms:
+            return empty
+        fb = self.search(qterms, WITH_SUGGESTIONS, k=int(fb_docs)).collect()
+        fb_ids = [int(r["doc_id"]) for r in fb]
+        if not fb_ids:
+            return empty
+        cand = (
+            self.docs_terms(fb_ids)
+            .where(~F.col("term").isin(qterms))
+            .groupBy("term")
+            .agg(F.sum(F.col("tf").cast("double")).alias("_s"))
+            .collect()
+        )
+        if not cand:
+            return self.search(
+                qterms, WITH_SUGGESTIONS, k=k, doc_filter=doc_filter
+            )
+        meta = self.match_terms([r["term"] for r in cand], EXACT_MATCH)
+        dfm = {t: d for t, d, _, _ in meta}
+        n = float(self.stats.n_docs)
+        wts = sorted(
+            (
+                (round(float(r["_s"]) * _idf(n, float(dfm[r["term"]])), 6),
+                 r["term"])
+                for r in cand
+                if r["term"] in dfm and dfm[r["term"]] >= int(min_df)
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        sel = qterms + [t for _, t in wts[: int(fb_terms)]]
+        return self.search(sel, WITH_SUGGESTIONS, k=k, doc_filter=doc_filter)
+
     def more_like_this(
         self,
         doc_id: int,

@@ -138,6 +138,67 @@ def test_more_like_this_missing_doc_empty(spark):
     assert P.more_like_this(corpus, 10**9, k=5).collect() == []
 
 
+def test_prf_paths_identical_and_expand(spark, tmp_path):
+    """PRF query expansion: declarative and disk-index paths agree
+    rank- and score-exactly; the expanded result differs from the
+    unexpanded one (the feedback loop actually fired); empty query →
+    empty result."""
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 120, seed=7)).cache()
+    q = ["tokenizer", "postings"]  # mid-df vocabulary terms
+    decl = P.bm25_prf_topk(corpus, q, k=10, fb_docs=4, fb_terms=4).collect()
+    assert decl
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx)
+    rd = IndexReader(spark, idx)
+    indexed = rd.search_prf(q, k=10, fb_docs=4, fb_terms=4).collect()
+    assert [(r.doc_id, round(r.score, 9), r["rank"]) for r in decl] == [
+        (r.doc_id, round(r.score, 9), r["rank"]) for r in indexed
+    ]
+
+    plain = P.bm25_topk(corpus, q, P.WITH_SUGGESTIONS, k=10).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in plain] != [
+        (r.doc_id, round(r.score, 9)) for r in decl
+    ], "expansion changed nothing — feedback loop inert"
+    assert P.bm25_prf_topk(corpus, [], k=5).collect() == []
+    assert rd.search_prf([], k=5).collect() == []
+    corpus.unpersist()
+
+
+def test_docs_terms_matches_per_doc_lookup(spark, tmp_path):
+    """docs_terms (multi-doc O3 reverse lookup) returns exactly the
+    union of per-doc doc_terms rows, across chunk boundaries, and
+    drops tombstoned ids."""
+    from spark_search.build import build_index
+    from spark_search.maintain import delete_docs
+    from spark_search.query import IndexReader
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 60, seed=11))
+    idx = str(tmp_path / "idx")
+    # small chunk_span so the target set spans multiple chunks
+    build_index(spark, corpus, idx, chunk_span=16)
+    rd = IndexReader(spark, idx)
+    ids = [1, 2, 17, 40]
+    multi = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in rd.docs_terms(ids).collect()
+    }
+    single = set()
+    for d in ids:
+        for r in rd.doc_terms(d).collect():
+            single.add((d, r["term"], r["tf"]))
+    assert multi == single and multi
+
+    idx2 = str(tmp_path / "idx2")
+    delete_docs(spark, idx, idx2, [17])
+    rd2 = IndexReader(spark, idx2)
+    multi2 = {r["doc_id"] for r in rd2.docs_terms(ids).collect()}
+    assert 17 not in multi2 and multi2 == {1, 2, 40}
+
+
 def test_contains_mode_paths_identical(spark, tmp_path):
     """CONTAINS_MATCH (wildcard *q*): disk-index and declarative paths
     agree rank/score-exactly; the expansion is a superset of EXACT."""

@@ -127,6 +127,21 @@ def main(argv=None) -> int:
                    help="SQL predicate over registry columns")
     g.add_argument("--limit", type=int, default=100)
 
+    pr = sub.add_parser(
+        "prf",
+        help="pseudo-relevance-feedback search: expand the query with "
+             "the top feedback docs' strongest terms, re-score",
+    )
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--terms", required=True, help="comma-separated")
+    pr.add_argument("--k", type=int, default=10)
+    pr.add_argument("--fb-docs", type=int, default=5)
+    pr.add_argument("--fb-terms", type=int, default=5)
+    pr.add_argument("--min-df", type=int, default=2)
+    pr.add_argument("--filter", default=None,
+                    help="SQL predicate over registry columns")
+    pr.add_argument("--limit", type=int, default=100)
+
     m = sub.add_parser(
         "merge",
         help="fold independently-built shard indexes into one canonical "
@@ -345,6 +360,11 @@ def main(argv=None) -> int:
     elif args.cmd == "suggest":
         res = rd.search_suggest(
             terms, max_dist=args.max_dist, k=args.k, doc_filter=args.filter
+        )
+    elif args.cmd == "prf":
+        res = rd.search_prf(
+            terms, k=args.k, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
+            min_df=args.min_df, doc_filter=args.filter,
         )
     else:  # phrase
         corpus = (

@@ -281,6 +281,30 @@ def test_cli_positional_phrase(spark, corpus, tmp_path, capsys):
     assert len(rows) > 0 and rows[0]["rank"] == 1
 
 
+def test_cli_prf(spark, corpus, tmp_path, capsys):
+    """prf subcommand end-to-end: build, then feedback-expanded search
+    through the CLI JSON surface."""
+    import json
+
+    from spark_search.cli import main
+
+    src = str(tmp_path / "corpus_prf_pq")
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "cli_prf_idx")
+    assert main(["build", "--corpus", src, "--index", idx]) == 0
+    assert main(
+        ["prf", "--index", idx, "--terms", "hello",
+         "--fb-docs", "2", "--fb-terms", "3", "--min-df", "1", "--k", "5"]
+    ) == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    rows = out[1]["rows"]
+    assert out[1]["cmd"] == "prf" and len(rows) > 0
+    assert rows[0]["rank"] == 1
+
+
 def test_cli_build_from_catalog_table(spark, corpus, tmp_path, capsys):
     """--corpus table:<name> resolves through the session catalog (the
     production Iceberg path): build from a registered view, then query

@@ -397,6 +397,67 @@ def _q_bm25_prf_indexed(spark, sf_dir):
     )
 
 
+# Compound boolean query (Lucene BooleanQuery): (data OR join) AND
+# (merge OR table) AND NOT hash — AND-of-OR-groups with a prohibited
+# clause, the shape the reference's three flat modes cannot express.
+BOOL_MUST = [["data", "join"], ["merge", "table"]]
+BOOL_NOT = ["hash"]
+
+
+def _bm25_bool_oracle(must, must_not, k=10) -> str:
+    groups = [list(dict.fromkeys(g)) for g in must]
+    all_terms = list(dict.fromkeys(t for g in groups for t in g))
+    inlist = ", ".join(f"'{t}'" for t in all_terms)
+    gvals = ", ".join(
+        f"('{t}', {gi})" for gi, g in enumerate(groups) for t in g
+    )
+    xlist = ", ".join(f"'{t}'" for t in dict.fromkeys(must_not))
+    return f"""
+WITH corpus AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus),
+mtoks AS (SELECT * FROM toks WHERE term IN ({inlist})),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+gmap AS (SELECT * FROM (VALUES {gvals}) AS v(term, gid)),
+allowed AS (
+  SELECT doc_id FROM (SELECT DISTINCT m.doc_id, g.gid
+                      FROM mtoks m JOIN gmap g ON g.term = m.term)
+  GROUP BY doc_id HAVING count(DISTINCT gid) = {len(groups)}
+),
+excluded AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({xlist})),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {K1_PLUS_1}
+              / (tf.tf + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN allowed ON allowed.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM excluded)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_bm25_bool(spark, sf_dir):
+    return _round_result(
+        P.bm25_bool_topk(_corpus(spark, sf_dir), BOOL_MUST, BOOL_NOT, k=10)
+    )
+
+
+def _q_bm25_bool_indexed(spark, sf_dir):
+    rd = _indexed_reader(spark, sf_dir)
+    return _round_result(rd.search_bool(BOOL_MUST, BOOL_NOT, k=10))
+
+
 # Exact-phrase query: adjacency verified from content at query time
 # (the index stores no positions — faithful to the reference, whose
 # tree is doc-level only; reference SimpleSearchManager.java:187-214
@@ -2028,8 +2089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "term_stats": _q_term_stats,
         "corpus_stats": _q_corpus_stats,
-        "match_set_exact": _q_match_set,
-        "doc_lengths_top": _q_doc_lengths_top,
         "reverse_doc_terms": _q_reverse_doc_terms,
         # NEW this round: phrase search answered from a MAINTAINED
         # positional index (delete + upsert + compact preserving plists)
@@ -2038,7 +2097,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declarative + indexed under one self-contained oracle
         "bm25_prf_topk": _q_bm25_prf,
         "bm25_prf_topk_indexed": _q_bm25_prf_indexed,
+        # NEW this round: compound boolean query (AND of OR-groups +
+        # prohibited clause), declarative + indexed, one oracle
+        "bm25_bool_topk": _q_bm25_bool,
+        "bm25_bool_topk_indexed": _q_bm25_bool_indexed,
         # -- end gate window --------------------------------------------
+        "match_set_exact": _q_match_set,
+        "doc_lengths_top": _q_doc_lengths_top,
         "term_prefix_expansion": _q_term_prefix_expansion,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
@@ -2230,6 +2295,8 @@ FROM (SELECT doc_id, {_CODE_TOKS_DUCK} AS arr
         "bm25_phrase_maintained_positional": _bm25_phrase_maintained_oracle(),
         "bm25_prf_topk": _bm25_prf_oracle(TERMS_OR),
         "bm25_prf_topk_indexed": _bm25_prf_oracle(TERMS_OR),
+        "bm25_bool_topk": _bm25_bool_oracle(BOOL_MUST, BOOL_NOT),
+        "bm25_bool_topk_indexed": _bm25_bool_oracle(BOOL_MUST, BOOL_NOT),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
         "bm25_or_topk_term_deleted": _bm25_term_deleted_oracle(),
         "live_result_diffs": _live_diff_oracle(),

@@ -205,6 +205,7 @@ def _bm25_scored(
     doc_filter=None,
     exclude_docs: DataFrame | None = None,
     dl: DataFrame | None = None,
+    require_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring body: (term, doc_id, tf) rows of MATCHED terms ->
     un-truncated (doc_id, score) over the whole match set. df comes
@@ -231,6 +232,10 @@ def _bm25_scored(
         # and scoring agg so disallowed docs never shuffle further.
         tf = tf.join(corpus.where(flt).select("doc_id"), "doc_id", "semi")
 
+    if require_docs is not None:
+        # boolean-query membership (AND of OR-groups): semi join the
+        # allowed doc set at the same global-stats point as doc_filter
+        tf = tf.join(require_docs, "doc_id", "semi")
     # ``dl`` lets a caller that already materialized the doc-length
     # frame (more_like_this's fused plan) share it; the expression is
     # identical either way, so scores are bit-identical.
@@ -268,11 +273,13 @@ def _bm25_rank(
     doc_filter=None,
     exclude_docs: DataFrame | None = None,
     dl: DataFrame | None = None,
+    require_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail: ``_bm25_scored`` + global top-k ->
     (doc_id, score, rank)."""
     scored = _bm25_scored(
-        tf, corpus, tokenizer, require_n, doc_filter, exclude_docs, dl
+        tf, corpus, tokenizer, require_n, doc_filter, exclude_docs, dl,
+        require_docs,
     ).orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     # rank over ≤k rows — the window after the limit is trivially small.
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -568,6 +575,71 @@ def bm25_prf_topk(
         dl.unpersist()
         if cand_tf is not None:
             cand_tf.unpersist()
+
+
+def bm25_bool_topk(
+    corpus: DataFrame,
+    must: Iterable[Iterable[str]],
+    must_not: Iterable[str] = None,
+    k: int = 10,
+    tokenizer: str = "standard",
+    doc_filter=None,
+) -> DataFrame:
+    """Compound boolean query — the Lucene BooleanQuery shape
+    ``(a OR b) AND (c OR d) AND NOT e`` the reference's three flat
+    modes cannot express. ``must`` is a list of OR-groups: a document
+    qualifies iff it contains ≥ 1 term of EVERY group (and none of
+    ``must_not``); its score is the standard BM25 sum over ALL matched
+    query terms (Lucene: every matching SHOULD clause contributes),
+    with corpus-global df/N/avgdl — membership filters never change
+    scoring, the repo-wide filter-semantics rule.
+
+    Plan: ONE tokenize + match filter over the union of all group
+    terms (the standard ``_matched_tf`` preamble — scores stay
+    bit-identical to ``bm25_topk`` over the same union by
+    construction); group coverage is decided from those SAME tf rows
+    via a broadcast (term, gid) map → distinct (doc, gid) →
+    count-distinct-gids == n_groups, so the constraint costs one
+    Σ df-bounded aggregation, never a corpus pass. NOT and
+    ``doc_filter`` compose exactly as in ``bm25_topk``."""
+    groups = [
+        [t for t in dict.fromkeys(g) if t] for g in (must or [])
+    ]
+    groups = [g for g in groups if g]
+    if not groups:
+        return _empty_result(corpus)
+    all_terms = list(dict.fromkeys(t for g in groups for t in g))
+    corpus, tok, tf, _ = _matched_tf(
+        corpus, all_terms, WITH_SUGGESTIONS, tokenizer
+    )
+    require = None
+    if len(groups) > 1:
+        from .query import _rows_literal_df  # lazy: query.py imports us
+
+        gmap = _rows_literal_df(
+            corpus.sparkSession,
+            [(t, gi) for gi, g in enumerate(groups) for t in g],
+            [("term", "string"), ("_gid", "int")],
+        )
+        require = (
+            tf.join(F.broadcast(gmap), "term")
+            .select("doc_id", "_gid")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.countDistinct("_gid").alias("_ng"))
+            .where(F.col("_ng") == len(groups))
+            .select("doc_id")
+        )
+    excl = [t for t in dict.fromkeys(must_not or []) if t]
+    exclude_docs = (
+        tok.where(F.col("term").isin(excl)).select("doc_id").distinct()
+        if excl
+        else None
+    )
+    return _bm25_rank(
+        tf, corpus, k, tokenizer, None, doc_filter, exclude_docs,
+        require_docs=require,
+    )
 
 
 # ------------------------------------------------------- phrase queries

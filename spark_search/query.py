@@ -407,7 +407,9 @@ class IndexReader:
             return F.broadcast(grouped)
         return grouped
 
-    def _allow_by_chunk(self, doc_filter=None, exclude_terms=None) -> DataFrame:
+    def _allow_by_chunk(
+        self, doc_filter=None, exclude_terms=None, require_docs=None
+    ) -> DataFrame:
         """(doc_filter, exclude_terms) -> (chunk, _allow): allowed
         positions per chunk, shaped exactly like the doclens arrays —
         one registry scan (the filter predicate pushes down to the
@@ -429,6 +431,10 @@ class IndexReader:
             )
             src = src.where(flt)
         ids = src
+        for req in (require_docs or []):
+            # boolean-query membership: intersect with each must-group's
+            # match set (semi join; volume Σ df per group, distributed)
+            ids = ids.join(req, "doc_id", "semi")
         if exclude_terms:
             ids = ids.join(
                 self.match_docs(list(exclude_terms), EXACT_MATCH),
@@ -719,6 +725,7 @@ class IndexReader:
         exclude_terms=None,
         _group: Optional[str] = None,
         _after: Optional[Tuple[float, int]] = None,
+        _require_docs: Optional[list] = None,
     ) -> DataFrame:
         """BM25 top-k -> DataFrame (doc_id, score, rank).
 
@@ -841,6 +848,7 @@ class IndexReader:
             local_max_postings
             and doc_filter is None
             and not excl
+            and not _require_docs
             and head  # wide expansions carry counters but no metadata
             and total_df is not None
             and total_df <= local_max_postings
@@ -864,7 +872,8 @@ class IndexReader:
         )
 
         theta = 0.0
-        if prune and mode != AND_MATCH and doc_filter is None and not excl:
+        if (prune and mode != AND_MATCH and doc_filter is None
+                and not excl and not _require_docs):
             # θ bootstrap costs extra driver jobs; only worth it when
             # enough postings could be skipped (unknown-size expansions
             # always bootstrap — they are the heavy ones)
@@ -900,10 +909,13 @@ class IndexReader:
             joined = joined.withColumn(
                 "_dels", F.lit(None).cast("array<long>")
             )
-        has_allow = doc_filter is not None or bool(excl)
+        has_allow = (
+            doc_filter is not None or bool(excl) or bool(_require_docs)
+        )
         if has_allow:
             joined = joined.join(
-                self._allow_by_chunk(doc_filter, excl), "chunk"
+                self._allow_by_chunk(doc_filter, excl, _require_docs),
+                "chunk",
             )
 
         avgdl = stats.avgdl
@@ -1848,6 +1860,49 @@ class IndexReader:
                 )
 
         return post.mapInPandas(_decode, "doc_id long, term string, tf int")
+
+    def search_bool(
+        self,
+        must: Iterable[Iterable[str]],
+        must_not: Iterable[str] = None,
+        k: int = 10,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Compound boolean query on the disk index — Lucene
+        BooleanQuery semantics, rank/score-identical to
+        ``pipeline.bm25_bool_topk`` on a fresh index: a document
+        qualifies iff it matches ≥ 1 term of EVERY ``must`` group and
+        no ``must_not`` term; the score is the standard OR-union BM25
+        over all matched query terms (global stats — membership never
+        changes scoring).
+
+        Each must-group's membership resolves through the index's own
+        match set (:meth:`match_docs`, Σ df volume) and intersects into
+        the per-chunk allowed-position lists the filter channel already
+        uses, so chunks with no qualifying docs drop before any block
+        decode and no doc set ever concentrates on the driver. Pruning
+        and the driver-local fast path are disabled under the
+        constraint, same rule as every filtered search."""
+        groups = [
+            [t for t in dict.fromkeys(g) if t] for g in (must or [])
+        ]
+        groups = [g for g in groups if g]
+        if not groups:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        all_terms = list(dict.fromkeys(t for g in groups for t in g))
+        require = (
+            [self.match_docs(g, EXACT_MATCH) for g in groups]
+            if len(groups) > 1
+            else None
+        )
+        return self.search(
+            all_terms,
+            WITH_SUGGESTIONS,
+            k=k,
+            doc_filter=doc_filter,
+            exclude_terms=must_not,
+            _require_docs=require,
+        )
 
     def search_prf(
         self,

@@ -168,6 +168,60 @@ def test_prf_paths_identical_and_expand(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_bool_query_paths_and_semantics(spark, tmp_path):
+    """Compound boolean query: declarative and indexed paths agree
+    exactly; every returned doc matches >=1 term of EVERY must-group
+    and no must_not term; scores equal the plain OR-union scores of
+    the same docs (membership never changes scoring)."""
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader
+    from spark_search.tokenizer import tokenize
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 100, seed=13)).cache()
+    must = [["tokenizer", "postings"], ["import", "return"]]
+    must_not = ["shuffle_writer"]
+    decl = P.bm25_bool_topk(corpus, must, must_not, k=10).collect()
+    assert decl
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx)
+    rd = IndexReader(spark, idx)
+    indexed = rd.search_bool(must, must_not, k=10).collect()
+    assert [(r.doc_id, round(r.score, 9), r["rank"]) for r in decl] == [
+        (r.doc_id, round(r.score, 9), r["rank"]) for r in indexed
+    ]
+
+    texts = {r.doc_id: r.content for r in corpus.collect()}
+    for r in decl:
+        toks = set(tokenize(texts[r.doc_id] or ""))
+        for g in must:
+            assert toks & set(g), (r.doc_id, g)
+        assert not (toks & set(must_not))
+
+    # membership-only: scores match the unconstrained OR query's
+    all_terms = [t for g in must for t in g]
+    or_scores = {
+        r.doc_id: round(r.score, 9)
+        for r in P.bm25_topk(
+            corpus, all_terms, P.WITH_SUGGESTIONS, k=10**6
+        ).collect()
+    }
+    for r in decl:
+        assert round(r.score, 9) == or_scores[r.doc_id]
+
+    # degenerate guards: no groups -> empty; an impossible group -> empty
+    assert P.bm25_bool_topk(corpus, [], k=5).collect() == []
+    assert rd.search_bool([], k=5).collect() == []
+    assert (
+        P.bm25_bool_topk(
+            corpus, [["tokenizer"], ["zzz_not_a_term"]], k=5
+        ).collect()
+        == []
+    )
+    assert rd.search_bool([["tokenizer"], ["zzz_not_a_term"]], k=5).collect() == []
+    corpus.unpersist()
+
+
 def test_docs_terms_matches_per_doc_lookup(spark, tmp_path):
     """docs_terms (multi-doc O3 reverse lookup) returns exactly the
     union of per-doc doc_terms rows, across chunk boundaries, and

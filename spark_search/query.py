@@ -2015,14 +2015,29 @@ class IndexReader:
         sel = [t for _, t in wts[: int(m_terms)]]
         if not sel:
             return empty
-        excl = F.col("doc_id") != F.lit(src)
-        if doc_filter is not None:
-            flt = (
-                F.expr(doc_filter)
-                if isinstance(doc_filter, str)
-                else doc_filter
+        if doc_filter is None:
+            # single-doc exclusion fast path (round 5): filtering ONE
+            # doc through the generic registry-filter channel forces an
+            # allow-by-chunk registry scan and disables block-max
+            # pruning + the driver-local path. Fetching k+1 UNFILTERED
+            # rows and dropping the source driver-side is exact (the
+            # source occupies at most one slot; membership filters never
+            # change scores) and keeps every fast path live — measured
+            # 1.32 → ~0.9 s warm at sf0.1.
+            rows = self.search(sel, WITH_SUGGESTIONS, k=k + 1).collect()
+            keep = [r for r in rows if int(r["doc_id"]) != src][:k]
+            return _rows_literal_df(
+                self.spark,
+                [
+                    (int(r["doc_id"]), float(r["score"]), i + 1)
+                    for i, r in enumerate(keep)
+                ],
+                _RESULT_FIELDS,
             )
-            excl = excl & flt
+        flt = (
+            F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
+        )
+        excl = (F.col("doc_id") != F.lit(src)) & flt
         return self.search(sel, WITH_SUGGESTIONS, k=k, doc_filter=excl)
 
     # ------------------------------------------------- full match sets

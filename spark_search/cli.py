@@ -127,6 +127,21 @@ def main(argv=None) -> int:
                    help="SQL predicate over registry columns")
     g.add_argument("--limit", type=int, default=100)
 
+    bq = sub.add_parser(
+        "bool",
+        help="compound boolean query: (a OR b) AND (c OR d) AND NOT e",
+    )
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--must", required=True,
+                    help="semicolon-separated OR-groups of comma-"
+                         "separated terms, e.g. 'data,join;merge,table'")
+    bq.add_argument("--must-not", default=None,
+                    help="comma-separated prohibited terms")
+    bq.add_argument("--k", type=int, default=10)
+    bq.add_argument("--filter", default=None,
+                    help="SQL predicate over registry columns")
+    bq.add_argument("--limit", type=int, default=100)
+
     pr = sub.add_parser(
         "prf",
         help="pseudo-relevance-feedback search: expand the query with "
@@ -325,6 +340,28 @@ def main(argv=None) -> int:
         rows = _rows(res.orderBy("query_id", "rank"), args.limit)
         _emit({
             "cmd": "search-many", "n_queries": len(qset), "k": args.k,
+            "wall_sec": round(time.time() - t0, 3), "rows": rows,
+        })
+        return 0
+
+    if args.cmd == "bool":
+        must = [
+            [t for t in grp.split(",") if t]
+            for grp in args.must.split(";")
+            if grp.strip()
+        ]
+        must_not = (
+            [t for t in args.must_not.split(",") if t]
+            if args.must_not
+            else None
+        )
+        res = rd.search_bool(
+            must, must_not, k=args.k, doc_filter=args.filter
+        )
+        rows = _rows(res, args.limit)
+        _emit({
+            "cmd": "bool", "must": must, "must_not": must_not,
+            "k": args.k,
             "wall_sec": round(time.time() - t0, 3), "rows": rows,
         })
         return 0

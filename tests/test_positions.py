@@ -305,6 +305,29 @@ def test_cli_prf(spark, corpus, tmp_path, capsys):
     assert rows[0]["rank"] == 1
 
 
+def test_cli_bool(spark, corpus, tmp_path, capsys):
+    """bool subcommand: semicolon-separated OR-groups + prohibited
+    terms through the CLI JSON surface."""
+    import json
+
+    from spark_search.cli import main
+
+    src = str(tmp_path / "corpus_bool_pq")
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "cli_bool_idx")
+    assert main(["build", "--corpus", src, "--index", idx]) == 0
+    assert main(
+        ["bool", "--index", idx, "--must", "hello;world", "--k", "5"]
+    ) == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert out[1]["cmd"] == "bool"
+    assert out[1]["must"] == [["hello"], ["world"]]
+    assert len(out[1]["rows"]) > 0
+
+
 def test_cli_build_from_catalog_table(spark, corpus, tmp_path, capsys):
     """--corpus table:<name> resolves through the session catalog (the
     production Iceberg path): build from a registered view, then query

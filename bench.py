@@ -185,6 +185,21 @@ def _measure(
     ).collect()
     extra["q_filtered_indexed"] = round(time.time() - tq, 3)
 
+    # round-5 serving additions: feedback-expanded search (initial
+    # search + one docs_terms reverse pass + expanded OR search) and a
+    # compound boolean query (two must-groups resolved through the
+    # index's match sets + prohibited clause)
+    tq = time.time()
+    reader.search_prf(
+        ["data", "join", "merge"], k=10, fb_docs=5, fb_terms=5
+    ).collect()
+    extra["q_prf_indexed"] = round(time.time() - tq, 3)
+    tq = time.time()
+    reader.search_bool(
+        [["data", "join"], ["merge", "table"]], ["shuffle"], k=10
+    ).collect()
+    extra["q_bool_indexed"] = round(time.time() - tq, 3)
+
     # batched query set: 16 OR queries answered in ONE job — the
     # at-scale serving shape (one bucket-pruned postings scan for the
     # whole set instead of 16; compare against 16 x q_or3). The pool

@@ -458,6 +458,115 @@ def _q_bm25_bool_indexed(spark, sf_dir):
     return _round_result(rd.search_bool(BOOL_MUST, BOOL_NOT, k=10))
 
 
+# Multi-field weighted search (Lucene MultiFieldQueryParser / field
+# boosts): content at weight 1, path at weight 3 — the code-search
+# shape where a filename hit outranks a body hit. The sf corpus's path
+# is the deterministic source/doc_id.txt projection, so the oracle
+# reconstructs it in SQL.
+MF_TERMS = ["data", "src3", "txt"]
+MF_WEIGHTS = {"content": 1.0, "path": 3.0}
+_MF_PATH_DUCK = "source || '/' || doc_id::VARCHAR || '.txt'"
+
+
+def _bm25_multifield_oracle(terms, weights, k=10) -> str:
+    uniq = list(dict.fromkeys(terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    field_text = {
+        "content": "coalesce(text, '')",
+        "path": _MF_PATH_DUCK,
+    }
+    chains, combines = [], []
+    names = sorted(weights)
+    for i, fld in enumerate(names):
+        te = field_text[fld]
+        chains.append(f"""
+corpus_{i} AS (SELECT doc_id, {te} AS text FROM documents),
+toks_{i} AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM corpus_{i}),
+mtoks_{i} AS (SELECT * FROM toks_{i} WHERE term IN ({inlist})),
+tf_{i} AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM mtoks_{i} GROUP BY 1, 2),
+df_{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf_{i} GROUP BY 1),
+dl_{i} AS (SELECT doc_id, len({_TOKS_DUCK})::DOUBLE AS dl FROM corpus_{i}),
+stats_{i} AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl_{i}),
+scored_{i} AS (
+  SELECT tf_{i}.doc_id,
+         round(sum( ln(1.0 + (stats_{i}.n_docs - df_{i}.df + 0.5) / (df_{i}.df + 0.5))
+              * tf_{i}.tf * {K1_PLUS_1}
+              / (tf_{i}.tf + {K1} * ({ONE_MINUS_B} + {B} * dl_{i}.dl / stats_{i}.avgdl)) ), 6)
+           AS score
+  FROM tf_{i}
+  JOIN df_{i} USING (term)
+  JOIN dl_{i} ON dl_{i}.doc_id = tf_{i}.doc_id
+  CROSS JOIN stats_{i}
+  GROUP BY tf_{i}.doc_id
+)""")
+        combines.append((i, float(weights[fld])))
+    # full-outer weighted combine (DuckDB: chain FULL JOIN USING)
+    join_expr = f"scored_{combines[0][0]} s0"
+    for j in range(1, len(combines)):
+        join_expr += (
+            f" FULL OUTER JOIN scored_{combines[j][0]} s{j} USING (doc_id)"
+        )
+    total = " + ".join(
+        f"{w} * coalesce(s{j}.score, 0.0)"
+        for j, (_, w) in enumerate(combines)
+    )
+    chain_sql = ",".join(c.strip() for c in chains)
+    return f"""
+WITH {chain_sql},
+comb AS (SELECT doc_id, round({total}, 6) AS score FROM {join_expr})
+SELECT doc_id::BIGINT AS doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM comb ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _q_bm25_multifield(spark, sf_dir):
+    return _round_result(
+        P.bm25_multifield_topk(
+            _corpus(spark, sf_dir), MF_TERMS, MF_WEIGHTS, k=10
+        )
+    )
+
+
+_MF_PATH_DIRS: dict[str, str] = {}
+_MF_PATH_READERS: dict[str, tuple[int, IndexReader]] = {}
+
+
+def _path_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over the corpus with the PATH field projected as content —
+    the per-field inverted-index layout the indexed multifield search
+    composes."""
+    key = os.path.abspath(sf_dir)
+    d = _MF_PATH_DIRS.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="sgraft-pathidx-")
+        c = _corpus(spark, sf_dir)
+        build_index(
+            spark,
+            c.select(
+                "doc_id", "repo", "path", "commit", "lang",
+                F.col("path").alias("content"),
+            ),
+            d,
+        )
+        _MF_PATH_DIRS[key] = d
+    ent = _MF_PATH_READERS.get(key)
+    if ent is None or ent[0] != id(spark):
+        ent = (id(spark), IndexReader(spark, d))
+        _MF_PATH_READERS[key] = ent
+    return ent[1]
+
+
+def _q_bm25_multifield_indexed(spark, sf_dir):
+    from spark_search.query import search_multifield
+
+    readers = {
+        "content": (_indexed_reader(spark, sf_dir), MF_WEIGHTS["content"]),
+        "path": (_path_reader(spark, sf_dir), MF_WEIGHTS["path"]),
+    }
+    return _round_result(search_multifield(readers, MF_TERMS, k=10))
+
+
 # Exact-phrase query: adjacency verified from content at query time
 # (the index stores no positions — faithful to the reference, whose
 # tree is doc-level only; reference SimpleSearchManager.java:187-214
@@ -2087,8 +2196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
-        "term_stats": _q_term_stats,
-        "corpus_stats": _q_corpus_stats,
         "reverse_doc_terms": _q_reverse_doc_terms,
         # NEW this round: phrase search answered from a MAINTAINED
         # positional index (delete + upsert + compact preserving plists)
@@ -2101,7 +2208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prohibited clause), declarative + indexed, one oracle
         "bm25_bool_topk": _q_bm25_bool,
         "bm25_bool_topk_indexed": _q_bm25_bool_indexed,
+        # NEW this round: multi-field weighted search (content + path
+        # boosts; indexed form composes one index per field)
+        "bm25_multifield_topk": _q_bm25_multifield,
+        "bm25_multifield_topk_indexed": _q_bm25_multifield_indexed,
         # -- end gate window --------------------------------------------
+        "term_stats": _q_term_stats,
+        "corpus_stats": _q_corpus_stats,
         "match_set_exact": _q_match_set,
         "doc_lengths_top": _q_doc_lengths_top,
         "term_prefix_expansion": _q_term_prefix_expansion,
@@ -2297,6 +2410,8 @@ FROM (SELECT doc_id, {_CODE_TOKS_DUCK} AS arr
         "bm25_prf_topk_indexed": _bm25_prf_oracle(TERMS_OR),
         "bm25_bool_topk": _bm25_bool_oracle(BOOL_MUST, BOOL_NOT),
         "bm25_bool_topk_indexed": _bm25_bool_oracle(BOOL_MUST, BOOL_NOT),
+        "bm25_multifield_topk": _bm25_multifield_oracle(MF_TERMS, MF_WEIGHTS),
+        "bm25_multifield_topk_indexed": _bm25_multifield_oracle(MF_TERMS, MF_WEIGHTS),
         "bm25_or_topk_maintained": _bm25_maintained_oracle(),
         "bm25_or_topk_term_deleted": _bm25_term_deleted_oracle(),
         "live_result_diffs": _live_diff_oracle(),

@@ -642,6 +642,72 @@ def bm25_bool_topk(
     )
 
 
+DEFAULT_FIELD_WEIGHTS = {"content": 1.0, "path": 2.0}
+
+
+def combine_field_scores(parts, k: int) -> DataFrame:
+    """Weighted full-outer combine of per-field (doc_id, score) frames
+    → (doc_id, score, rank) top-k. ``parts`` = [(frame, weight), ...];
+    each frame's score must already be 6-dp rounded (the cross-engine
+    protocol: round per field, then round the weighted sum). Shared by
+    the declarative and indexed multifield paths so their arithmetic is
+    identical by construction."""
+    acc = None
+    cols = []
+    for i, (frame, w) in enumerate(parts):
+        f = frame.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score").alias(f"_s{i}"),
+        )
+        acc = f if acc is None else acc.join(f, "doc_id", "full_outer")
+        cols.append((f"_s{i}", float(w)))
+    total = None
+    for name, w in cols:
+        term = F.lit(w) * F.coalesce(F.col(name), F.lit(0.0))
+        total = term if total is None else (total + term)
+    scored = acc.select("doc_id", F.round(total, 6).alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w_ = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", F.row_number().over(w_).alias("rank")
+    )
+
+
+def bm25_multifield_topk(
+    corpus: DataFrame,
+    terms: Iterable[str],
+    fields: "Mapping[str, float]" = None,
+    k: int = 10,
+    tokenizer: str = "standard",
+) -> DataFrame:
+    """Multi-field weighted search — the Lucene MultiFieldQueryParser /
+    per-field-boost shape (e.g. a path hit outranks a body hit in code
+    search). Each field is scored as an INDEPENDENT BM25 corpus (its
+    own tokenize, df, dl, avgdl — the per-field-BM25-plus-boosts
+    variant, not tf-pooling BM25F) over the same OR query; the final
+    score is round(Σ weight_f · round(score_f, 6), 6) with docs absent
+    from a field contributing 0 there (full-outer combine).
+
+    ``fields`` maps corpus column → weight (default content=1.0,
+    path=2.0). Plan: one tokenize + match + score pipeline per field —
+    the path/metadata fields are narrow projections, so their passes
+    are cheap next to content's; the combine joins k-bounded… rather,
+    match-set-bounded per-field score frames on doc_id."""
+    qterms = list(dict.fromkeys(terms))
+    if not qterms:
+        return _empty_result(corpus)
+    fmap = dict(fields) if fields else dict(DEFAULT_FIELD_WEIGHTS)
+    parts = []
+    for fld in sorted(fmap):
+        fc = corpus.select("doc_id", F.col(fld).alias("content"))
+        fc2, _, tf, _ = _matched_tf(fc, qterms, WITH_SUGGESTIONS, tokenizer)
+        scored = _bm25_scored(tf, fc2, tokenizer).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        parts.append((scored, float(fmap[fld])))
+    return combine_field_scores(parts, k)
+
+
 # ------------------------------------------------------- phrase queries
 
 

@@ -2576,3 +2576,37 @@ def _match_token(tok: str, qterms: List[str], mode: str) -> bool:
     if mode == CONTAINS_MATCH:
         return any(q in tok for q in qterms)
     return tok in qterms
+
+
+def search_multifield(
+    field_readers: "Dict[str, Tuple[object, float]]",
+    terms: Iterable[str],
+    k: int = 10,
+) -> DataFrame:
+    """Multi-field weighted search on disk indexes — rank/score-
+    identical to ``pipeline.bm25_multifield_topk`` over the same corpus
+    by construction. ``field_readers`` maps field name →
+    (IndexReader, weight), each reader built over the corpus with that
+    field projected as ``content`` (an index per field — the Lucene
+    per-field inverted-index layout).
+
+    Every field contributes its FULL match-set ranking (k = that
+    index's n_docs: exact, bounded by Σ df of the query terms, never
+    corpus volume), rounded to 6 dp per field before the weighted
+    full-outer combine — the shared ``combine_field_scores`` protocol.
+    At serving scale, cap recall per field by passing smaller readers'
+    k through a candidate stage instead (hybrid_rerank's shape)."""
+    from .pipeline import combine_field_scores
+
+    qterms = [t for t in dict.fromkeys(terms) if t]
+    if not qterms or not field_readers:
+        spark = next(iter(field_readers.values()))[0].spark if field_readers else None
+        return spark.createDataFrame([], RESULT_SCHEMA) if spark else None
+    parts = []
+    for fld in sorted(field_readers):
+        rd, w = field_readers[fld]
+        full = rd.search(
+            qterms, WITH_SUGGESTIONS, k=int(rd.stats.n_docs)
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        parts.append((full, float(w)))
+    return combine_field_scores(parts, k)

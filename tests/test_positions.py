@@ -328,6 +328,40 @@ def test_cli_bool(spark, corpus, tmp_path, capsys):
     assert len(out[1]["rows"]) > 0
 
 
+def test_cli_multifield(spark, corpus, tmp_path, capsys):
+    """multifield subcommand: content index + path-field index, boosted
+    combine through the CLI JSON surface."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spark_search.cli import main
+
+    src = str(tmp_path / "corpus_mf_pq")
+    corpus.write.parquet(src)
+    psrc = str(tmp_path / "corpus_mfp_pq")
+    corpus.select(
+        "doc_id", "repo", "path", "commit", "lang",
+        F.col("path").alias("content"),
+    ).write.parquet(psrc)
+    idx = str(tmp_path / "cli_mf_idx")
+    pidx = str(tmp_path / "cli_mfp_idx")
+    assert main(["build", "--corpus", src, "--index", idx]) == 0
+    assert main(["build", "--corpus", psrc, "--index", pidx]) == 0
+    assert main(
+        ["multifield", "--index", idx,
+         "--field-index", f"path={pidx}:2.0",
+         "--terms", "hello", "--k", "5"]
+    ) == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert out[2]["cmd"] == "multifield"
+    assert out[2]["fields"] == {"content": 1.0, "path": 2.0}
+    assert len(out[2]["rows"]) > 0
+
+
 def test_cli_build_from_catalog_table(spark, corpus, tmp_path, capsys):
     """--corpus table:<name> resolves through the session catalog (the
     production Iceberg path): build from a registered view, then query

@@ -1085,15 +1085,40 @@ def snippets(
     single spaces (tokenizers strip whitespace runs, so the snippet is
     a canonical rendering, not a byte slice of the source).
 
-    Plan: the bm25_topk result (k rows) broadcasts into ONE corpus
-    scan (broadcast hash semi-join — content is read once, never
-    shuffled); tokenize + posexplode run over only those k rows, the
-    min(pos) agg sees at most k groups, and the window slice is a
-    per-row codegen expression. Cost = bm25_topk + O(k) extra rows."""
+    Plan (round 5): the bm25_topk result is collected (k-bounded, the
+    repo's parameter-bounded-collect policy) so the highlight pass
+    reads the corpus through a LITERAL ``doc_id IN (...)`` predicate —
+    pushed to the parquet scan (row-group min/max pruning on the
+    doc_id-sorted layout), where the previous broadcast-join form
+    still streamed every content row through the join probe. Tokenize
+    + posexplode run over only those k rows, the min(pos) agg sees at
+    most k groups, and the window slice is a per-row codegen
+    expression. Cost = bm25_topk + a k-row-group scan."""
     qterms = list(dict.fromkeys(terms))
-    top = bm25_topk(corpus, qterms, mode=mode, k=k, tokenizer=tokenizer)
+    top_rows = bm25_topk(
+        corpus, qterms, mode=mode, k=k, tokenizer=tokenizer
+    ).collect()
+    if not top_rows:
+        return (
+            corpus.select("doc_id")
+            .where(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0))
+            .withColumn("first_pos", F.lit(0))
+            .withColumn("snippet", F.lit(""))
+        )
+    from .query import _rows_literal_df  # lazy: query.py imports us
+
+    lit = _rows_literal_df(
+        corpus.sparkSession,
+        [(int(r["doc_id"]), float(r["score"]), int(r["rank"]))
+         for r in top_rows],
+        [("doc_id", "long"), ("score", "double"), ("rank", "int")],
+    )
+    ids = [int(r["doc_id"]) for r in top_rows]
     rows = (
-        corpus.join(F.broadcast(top), "doc_id")
+        corpus.where(F.col("doc_id").isin(ids))
+        .join(F.broadcast(lit), "doc_id")
         .select(
             "doc_id", "score", "rank",
             tokens_col(F.col("content"), tokenizer).alias("_arr"),

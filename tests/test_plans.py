@@ -385,6 +385,17 @@ def test_facet_counts_empty_terms_guard(spark, corpus):
         assert out.count() == 0
 
 
+def test_snippet_pass_pushes_doc_ids_to_scan(spark, corpus):
+    """The highlight pass reads the corpus through a literal
+    doc_id IN (...) predicate pushed to the parquet scan (row-group
+    pruning), not a broadcast join that streams every content row
+    (round 5)."""
+    plan = plan_of(
+        P.snippets(corpus, ["data", "join"], P.WITH_SUGGESTIONS, k=5)
+    )
+    assert "In(doc_id, [" in plan, plan[:1500]
+
+
 def test_hybrid_candidates_are_broadcast(spark, corpus, sf_emb):
     """The candidate set must broadcast into the embeddings scan (the
     corpus-sized side never shuffles for a k-row candidate list)."""

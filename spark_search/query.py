@@ -1104,8 +1104,10 @@ class IndexReader:
         (scores to float-sum reproducibility, positions exactly).
 
         Plan: k result ids broadcast everywhere — into the plists scan
-        (semi-join before any varint decode) and into ONE corpus scan
-        for the window text. Corpus content is never shuffled."""
+        (semi-join before any varint decode); the window-text read goes
+        through a literal ``doc_id IN (...)`` predicate pushed to the
+        corpus parquet scan (row-group pruning — round 5, the
+        pipeline.snippets mirror). Corpus content is never shuffled."""
         from .pipeline import _match_filter
         from .tokenizer import tokens_col
 
@@ -1117,11 +1119,24 @@ class IndexReader:
         )
         if not qterms:
             return empty
-        top = self.search(qterms, mode, k=k)
+        top_rows = self.search(qterms, mode, k=k).collect()
+        if not top_rows:
+            return empty
+        top = _rows_literal_df(
+            self.spark,
+            [(int(r["doc_id"]), float(r["score"]), int(r["rank"]))
+             for r in top_rows],
+            _RESULT_FIELDS,
+        )
+        ids = [int(r["doc_id"]) for r in top_rows]
         cand = top.select("doc_id")
-        rows = corpus.join(F.broadcast(top), "doc_id").select(
-            "doc_id", "score", "rank",
-            tokens_col(F.col("content"), tokenizer).alias("_arr"),
+        rows = (
+            corpus.where(F.col("doc_id").isin(ids))
+            .join(F.broadcast(top), "doc_id")
+            .select(
+                "doc_id", "score", "rank",
+                tokens_col(F.col("content"), tokenizer).alias("_arr"),
+            )
         )
         if "plists" in self.postings_df().columns:
             meta = self.match_terms(qterms, mode)

@@ -2574,8 +2574,15 @@ class IndexReader:
             "array<struct<row: int, positions: array<int>>>"
         )(_positions)
 
+        # literal doc_id IN pushdown for the content re-read (round 5,
+        # the snippets pattern): res is k-bounded, so the id list is a
+        # driver literal and the corpus scan row-group-prunes
+        ids = [int(r["doc_id"]) for r in res.select("doc_id").collect()]
+        src = corpus.select("doc_id", "repo", "path", "content")
+        if ids:
+            src = src.where(F.col("doc_id").isin(ids))
         joined = (
-            res.join(corpus.select("doc_id", "repo", "path", "content"), "doc_id")
+            F.broadcast(res).join(src, "doc_id")
             .join(docs, "doc_id")
             .select(
                 "doc_id",
